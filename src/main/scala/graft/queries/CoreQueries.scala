@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.tables.TestTables
+
+/** Catalog-enrichment / last-point query shapes from the reference's
+  * read path (SURVEY §2.3): tiny-dimension broadcast joins and the
+  * last-point-per-series lookup (`R/getNewContinuous.R:119-139`).
+  */
+object CoreQueries {
+
+  /** Catalog enrichment: fact ⋈ chain of small dims, all broadcast —
+    * zero shuffle on the join itself, one shuffle for the final
+    * aggregation. Mirrors timeseries ⋈ locations ⋈ parameters ⋈ …
+    */
+  private def catalogEnrich(s: SparkSession, d: String) = {
+    val li = TestTables.lineitem(s, d)
+    val o = TestTables.orders(s, d)
+    val c = TestTables.customer(s, d)
+    val n = TestTables.nation(s, d)
+    val r = TestTables.region(s, d)
+    li.join(broadcast(o), li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(r("r_name").as("region_name"), li("l_returnflag").as("return_flag"))
+      .agg(
+        round(sum(li("l_extendedprice") * (lit(1.0) - li("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items")
+      )
+      .orderBy(col("region_name"), col("return_flag"))
+  }
+
+  private val catalogEnrichSql =
+    """SELECT r_name AS region_name, l_returnflag AS return_flag,
+      |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |       count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  /** Last-point-per-series (`R/getNewContinuous.R:132-136`): the
+    * incremental-ingest watermark lookup. One window over the
+    * series key; deterministic tie-break (ts DESC, event_id DESC).
+    */
+  private def lastPoint(s: SparkSession, d: String) = {
+    import org.apache.spark.sql.expressions.Window
+    val e = TestTables.events(s, d)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+    e.withColumn("rn", row_number().over(w))
+      .withColumn("n_events", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .filter(col("rn") === 1)
+      .select(
+        col("user_id"),
+        unix_micros(col("ts")).as("last_ts_us"),
+        round(col("value"), 4).as("last_value"),
+        col("n_events")
+      )
+      .orderBy(col("user_id"))
+  }
+
+  private val lastPointSql =
+    """SELECT user_id, epoch_us(ts) AS last_ts_us, round(value, 4) AS last_value, n_events
+      |FROM (
+      |  SELECT user_id, ts, value,
+      |         count(*) OVER (PARTITION BY user_id) AS n_events,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events
+      |)
+      |WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_catalog_enrich", catalogEnrich, Some(catalogEnrichSql), headline = true),
+    QueryDef("q_last_point", lastPoint, Some(lastPointSql))
+  )
+}
