@@ -17,7 +17,8 @@ final case class QueryDef(
 
 object Registry {
   lazy val all: Seq[QueryDef] =
-    CoreQueries.defs ++ TimeseriesQueries.defs ++ TextMlQueries.defs
+    CoreQueries.defs ++ TimeseriesQueries.defs ++ DerivedQueries.defs ++
+      TextMlQueries.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 

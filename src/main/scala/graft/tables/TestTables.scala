@@ -22,8 +22,10 @@ object TestTables {
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
   /** `events.ts` is NANOS in parquet, which Spark 4 only reads with
     * `spark.sql.legacy.parquet.nanosAsLong=true` (set in Verify/Bench).
-    * Normalize either representation to a microsecond TimestampType —
-    * the testdata carries no sub-microsecond components.
+    * Normalize either representation to a microsecond TimestampType.
+    * ns -> us MUST be exact integer division (`div`, truncating like
+    * DuckDB's TIMESTAMP cast): epoch-ns values exceed 2^53, so a
+    * double division loses the low microsecond bit.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -31,7 +33,7 @@ object TestTables {
     val raw = t(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType =>
-        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => raw
     }
   }
