@@ -18,7 +18,7 @@ final case class QueryDef(
 object Registry {
   lazy val all: Seq[QueryDef] =
     CoreQueries.defs ++ TimeseriesQueries.defs ++ DerivedQueries.defs ++
-      TextMlQueries.defs
+      StatsQueries.defs ++ SyncQueries.defs ++ TextMlQueries.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 

@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Imputation, Segments, Synchronize}
+import graft.tables.TestTables
+
+/** RLE segments, LOCF, JSON args parsing, and the synchronize
+  * full-outer diff (SURVEY §2.5/§2.7/§3.3).
+  */
+object SyncQueries {
+
+  // ---- RLE gaps-and-islands ----------------------------------------
+
+  private def rleSegments(s: SparkSession, d: String): DataFrame =
+    Segments
+      .fromPoints(
+        TestTables.events(s, d),
+        keyCols = Seq("user_id"),
+        dtCol = "ts",
+        valueCol = "event_type",
+        orderCols = Seq("event_id")
+      )
+      .select(
+        col("user_id"),
+        unix_micros(col("start_dt")).as("start_us"),
+        unix_micros(col("end_dt")).as("end_us"),
+        col("event_type").as("value"),
+        col("n_points")
+      )
+      .orderBy(col("user_id"), col("start_us"))
+
+  private val rleSegmentsSql =
+    """WITH pts AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), grp AS (
+      |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                           ROWS UNBOUNDED PRECEDING) AS g
+      |  FROM pts
+      |), seg AS (
+      |  SELECT user_id, g, min(ts) AS start_dt, min(event_type) AS value, count(*) AS n_points
+      |  FROM grp GROUP BY 1, 2
+      |)
+      |SELECT user_id, epoch_us(start_dt) AS start_us,
+      |       epoch_us(lead(start_dt) OVER (PARTITION BY user_id ORDER BY start_dt)) AS end_us,
+      |       value, n_points
+      |FROM seg
+      |ORDER BY user_id, start_us""".stripMargin
+
+  // ---- LOCF (forward + backward fill) ------------------------------
+
+  private def locf(s: SparkSession, d: String): DataFrame = {
+    val e = TestTables.events(s, d)
+      .withColumn("v", when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value")))
+    Imputation
+      .locf(e, keyCols = Seq("user_id"), orderCols = Seq("ts", "event_id"), valueCol = "v")
+      .select(
+        col("event_id"),
+        col("user_id"),
+        round(col("filled"), 4).as("filled"),
+        (col("event_id") % 7 === 0).as("was_missing")
+      )
+      .orderBy(col("event_id"))
+  }
+
+  private val locfSql =
+    """SELECT event_id, user_id,
+      |       round(coalesce(
+      |         last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |         first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |       ), 4) AS filled,
+      |       event_id % 7 = 0 AS was_missing
+      |FROM (SELECT *, CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v FROM events)
+      |ORDER BY event_id""".stripMargin
+
+  // ---- JSON source_fx_args-style parsing ---------------------------
+
+  private def jsonExtract(s: SparkSession, d: String): DataFrame =
+    TestTables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("event_type"))
+      .agg(
+        round(avg(col("k")), 4).as("avg_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        count(col("k")).as("n")
+      )
+      .orderBy(col("event_type"))
+
+  private val jsonExtractSql =
+    """SELECT event_type,
+      |       round(avg(k), 4) AS avg_k, min(k) AS min_k, max(k) AS max_k, count(k) AS n
+      |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events)
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  // ---- synchronize: full-outer remote-wins diff --------------------
+
+  private def syncDiff(s: SparkSession, d: String): DataFrame = {
+    val e = TestTables.events(s, d)
+    val remote = e.select(col("user_id"), col("event_id"), col("value"))
+    val localBase = e
+      .filter(col("event_id") % 11 =!= 0) // missing locally -> insert
+      .select(
+        col("user_id"),
+        col("event_id"),
+        when(col("event_id") % 13 === 0, col("value") + 1).otherwise(col("value")).as("value"),
+        (col("event_id") % 19 === 0).as("no_update")
+      )
+    val localOnly = e
+      .filter(col("event_id") % 17 === 0) // absent from remote -> delete
+      .select(
+        col("user_id"),
+        (col("event_id") + 10000000L).as("event_id"),
+        col("value"),
+        lit(false).as("no_update")
+      )
+    Synchronize
+      .diff(
+        localBase.unionByName(localOnly),
+        remote,
+        keyCols = Seq("user_id", "event_id"),
+        compareCols = Seq("value"),
+        noUpdateCol = Some("no_update")
+      )
+      .select(col("event_id"), col("user_id"), col("action"))
+      .orderBy(col("event_id"), col("user_id"))
+  }
+
+  private val syncDiffSql =
+    """WITH local AS (
+      |  SELECT user_id, event_id,
+      |         CASE WHEN event_id % 13 = 0 THEN value + 1 ELSE value END AS value,
+      |         event_id % 19 = 0 AS no_update
+      |  FROM events WHERE event_id % 11 <> 0
+      |  UNION ALL
+      |  SELECT user_id, event_id + 10000000, value, false FROM events WHERE event_id % 17 = 0
+      |), remote AS (
+      |  SELECT user_id, event_id, value FROM events
+      |)
+      |SELECT coalesce(l.event_id, r.event_id) AS event_id,
+      |       coalesce(l.user_id, r.user_id) AS user_id,
+      |       CASE WHEN l.event_id IS NULL THEN 'insert'
+      |            WHEN r.event_id IS NULL THEN
+      |              CASE WHEN l.no_update THEN 'protected' ELSE 'delete' END
+      |            WHEN l.value IS DISTINCT FROM r.value THEN
+      |              CASE WHEN l.no_update THEN 'protected' ELSE 'update' END
+      |            ELSE 'keep' END AS action
+      |FROM local l
+      |FULL OUTER JOIN remote r ON l.user_id = r.user_id AND l.event_id = r.event_id
+      |ORDER BY event_id, user_id""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_rle_segments", rleSegments, Some(rleSegmentsSql)),
+    QueryDef("q_locf", locf, Some(locfSql)),
+    QueryDef("q_json_extract", jsonExtract, Some(jsonExtractSql)),
+    QueryDef("q_sync_diff", syncDiff, Some(syncDiffSql), headline = true)
+  )
+}
