@@ -1,0 +1,36 @@
+package graft.functions
+
+/** ISO-8601 period strings <-> seconds, the reference's interchange
+  * format for measurement cadence (`R/calculate_period.R:110-135` in
+  * YukonWRB/AquaCache builds `P{d}DT{h}H{m}M{s}S` from fractional
+  * hours; `lubridate::period()` parses it back).
+  */
+object PeriodFormat {
+
+  /** Format fractional HOURS into the reference's exact shape
+    * `P{d}DT{h}H{m}M{s}S` (seconds rounded half-even like R's
+    * `round`).
+    */
+  def fromHours(hours: Double): String = {
+    val days = math.floor(hours / 24).toLong
+    val remainingHours = hours % 24
+    val h = math.floor(remainingHours).toLong
+    val fracMinutes = (remainingHours - math.floor(remainingHours)) * 60
+    val m = math.floor(fracMinutes).toLong
+    val s = math.rint((fracMinutes - m) * 60).toLong
+    s"P${days}DT${h}H${m}M${s}S"
+  }
+
+  def fromSeconds(seconds: Long): String = fromHours(seconds / 3600.0)
+
+  private val Re =
+    """P(?:(\d+)D)?(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?""".r
+
+  /** Parse `PnDTnHnMnS` (any component optional) to seconds. */
+  def toSeconds(iso: String): Option[Long] = iso match {
+    case Re(d, h, m, s) if Seq(d, h, m, s).exists(_ != null) =>
+      def l(x: String) = Option(x).map(_.toDouble).getOrElse(0.0)
+      Some(math.rint(l(d) * 86400 + l(h) * 3600 + l(m) * 60 + l(s)).toLong)
+    case _ => None
+  }
+}

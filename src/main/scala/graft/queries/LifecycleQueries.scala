@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.{AuditAsOf, Guidelines, SeriesKernels}
+import graft.tables.TestTables
+
+/** Time-travel, guideline evaluation, and the per-series ordered-scan
+  * kernels (SURVEY §2.8/§2.11/§2.12).
+  */
+object LifecycleQueries {
+
+  // ---- as-of reconstruction ----------------------------------------
+
+  /** events reinterpreted as an update log per user "row": the state
+    * of a user at T is the value of its event active at T. Exercises
+    * the union + earliest-post-T-rank reconstruction.
+    */
+  private def asOfSnapshot(s: SparkSession, d: String): DataFrame = {
+    val e = TestTables.events(s, d)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wAll = Window.partitionBy(col("user_id"))
+    val annotated = e
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .withColumn("created", min(col("ts")).over(wAll))
+    val current = annotated
+      .filter(col("next_ts").isNull)
+      .select(col("user_id"), col("value"), col("created"))
+    val log = annotated
+      .filter(col("next_ts").isNotNull)
+      .select(
+        col("user_id"),
+        col("value"),
+        col("created"),
+        col("next_ts").as("action_ts"),
+        lit("U").as("action")
+      )
+    AuditAsOf
+      .snapshotAt(current, log, "user_id", Seq("value"), "2024-01-15 00:00:00")
+      .select(col("user_id"), round(col("value"), 4).as("value"))
+      .orderBy(col("user_id"))
+  }
+
+  private val asOfSnapshotSql =
+    """SELECT user_id, round(value, 4) AS value
+      |FROM (
+      |  SELECT user_id, value,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events
+      |  WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+      |)
+      |WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
+  // ---- guideline evaluation ----------------------------------------
+
+  /** (rule_id, algorithm, target, input, b0, b1, cap_min, cap_max,
+    * digits, expression)
+    */
+  private val ruleRows: Seq[(Long, String, String, Option[String], Option[Double], Option[Double], Option[Double], Option[Double], Int, Option[String])] = Seq(
+    (1L, "constant", "click", None, Some(50.0), None, None, None, 2, None),
+    (2L, "linear", "view", Some("click"), Some(10.0), Some(2.0), None, None, 2, None),
+    (3L, "log_linear", "purchase", Some("click"), Some(0.5), Some(0.8), Some(1.0), Some(3.0), 3, None),
+    (4L, "sql_scalar", "error", Some("click"), None, None, None, None, 2, Some("least(100, 20 + 0.5 * $1)")),
+    (5L, "narrative", "signup", None, None, None, None, None, 2, None)
+  )
+
+  private def guidelines(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val results = TestTables.events(s, d)
+      .groupBy(col("user_id"), to_date(col("ts")).as("date"), col("event_type").as("parameter"))
+      .agg((avg(abs(col("value"))) + 1.0).as("value"))
+    val rules = ruleRows.toDF(
+      "rule_id", "algorithm", "target_param", "input_param",
+      "b0", "b1", "cap_min", "cap_max", "digits", "expression"
+    )
+    Guidelines
+      .evaluate(results, rules, sampleKeyCols = Seq("user_id", "date"))
+      .select(
+        col("rule_id"),
+        col("user_id"),
+        col("date"),
+        col("parameter"),
+        round(col("value"), 4).as("value"),
+        col("limit"),
+        col("exceeds")
+      )
+      .orderBy(col("rule_id"), col("user_id"), col("date"))
+  }
+
+  private val guidelinesSql =
+    """WITH results AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS date, event_type AS parameter,
+      |         avg(abs(value)) + 1.0 AS value
+      |  FROM events GROUP BY 1, 2, 3
+      |), rules AS (
+      |  SELECT * FROM (VALUES
+      |    (1, 'constant',   'click',    NULL,    50.0, NULL, NULL, NULL, 2, NULL),
+      |    (2, 'linear',     'view',     'click', 10.0, 2.0,  NULL, NULL, 2, NULL),
+      |    (3, 'log_linear', 'purchase', 'click', 0.5,  0.8,  1.0,  3.0,  3, NULL),
+      |    (4, 'sql_scalar', 'error',    'click', NULL, NULL, NULL, NULL, 2, 'x'),
+      |    (5, 'narrative',  'signup',   NULL,    NULL, NULL, NULL, NULL, 2, NULL)
+      |  ) t(rule_id, algorithm, target_param, input_param, b0, b1, cap_min, cap_max, digits, expression)
+      |), joined AS (
+      |  SELECT r.rule_id, res.user_id, res.date, res.parameter, res.value, r.algorithm,
+      |         r.b0, r.b1, r.cap_min, r.cap_max, r.digits, i.value AS x
+      |  FROM results res
+      |  JOIN rules r ON res.parameter = r.target_param
+      |  LEFT JOIN results i
+      |    ON i.user_id = res.user_id AND i.date = res.date AND i.parameter = r.input_param
+      |), limits AS (
+      |  SELECT *,
+      |         CASE algorithm
+      |           WHEN 'constant' THEN b0
+      |           WHEN 'linear' THEN b0 + b1 * x
+      |           WHEN 'log_linear' THEN exp(b0 + b1 * ln(x))
+      |           WHEN 'sql_scalar' THEN least(100, 20 + 0.5 * x)
+      |         END AS raw_limit
+      |  FROM joined
+      |), capped AS (
+      |  SELECT *,
+      |         round(least(greatest(raw_limit, coalesce(cap_min, raw_limit)),
+      |                     coalesce(cap_max, raw_limit)) * power(10, digits))
+      |           / power(10, digits) AS lim
+      |  FROM limits
+      |)
+      |SELECT CAST(rule_id AS BIGINT) AS rule_id, user_id, date, parameter,
+      |       round(value, 4) AS value, lim AS "limit",
+      |       CASE WHEN algorithm = 'narrative' THEN NULL ELSE value > lim END AS exceeds
+      |FROM capped
+      |ORDER BY rule_id, user_id, date""".stripMargin
+
+  // ---- per-series ordered-scan kernels (no SQL oracle:
+  //      order-dependent state machines; rows-only check) ------------
+
+  private def increments(s: SparkSession, d: String): DataFrame = {
+    val e = TestTables.events(s, d)
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val gauge = e.withColumn("gauge", sum(abs(col("value"))).over(w) % 50.0)
+    SeriesKernels
+      .increments(gauge, "user_id", "ts", "gauge", resetDrop = 20.0, minPos = 0.1, maxGap = 2)
+      .select(
+        col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        round(col("increment"), 4).as("increment")
+      )
+      .orderBy(col("user_id"), col("ts_us"))
+  }
+
+  private def periodInfer(s: SparkSession, d: String): DataFrame =
+    SeriesKernels
+      .inferPeriods(TestTables.events(s, d), "user_id", "ts")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("period"))
+      .orderBy(col("user_id"), col("ts_us"))
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_asof_snapshot", asOfSnapshot, Some(asOfSnapshotSql)),
+    QueryDef("q_guidelines", guidelines, Some(guidelinesSql)),
+    QueryDef("q_increments", increments, None, headline = true),
+    QueryDef("q_period_infer", periodInfer, None)
+  )
+}

@@ -18,7 +18,8 @@ final case class QueryDef(
 object Registry {
   lazy val all: Seq[QueryDef] =
     CoreQueries.defs ++ TimeseriesQueries.defs ++ DerivedQueries.defs ++
-      StatsQueries.defs ++ SyncQueries.defs ++ TextMlQueries.defs
+      StatsQueries.defs ++ SyncQueries.defs ++ LifecycleQueries.defs ++
+      TextMlQueries.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 
