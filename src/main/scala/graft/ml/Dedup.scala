@@ -1,0 +1,171 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.PortableHash
+
+/** Document deduplication family: exact (hash-groupBy), n-gram
+  * Jaccard, MinHash + LSH banding, SimHash.
+  *
+  * Scale design (100 TB):
+  *   - shingling/hashing are map-side projections;
+  *   - MinHash signatures reduce each doc to numPerm longs via one
+  *     shuffle on doc_id (partial min aggregation combines map-side);
+  *   - LSH banding turns the O(n²) pair space into per-bucket
+  *     equi-joins (shuffle on band key) — only same-bucket docs meet;
+  *   - candidate verification re-joins shingles ONLY for candidate
+  *     docs (semi-join pushdown);
+  *   - `maxShingleDocFreq` drops ubiquitous shingles before the
+  *     pair join (stopword-shingle skew kill), the standard guard
+  *     against quadratic hot keys.
+  */
+object Dedup {
+
+  /** Hash family for MinHash permutations. */
+  sealed trait HashFamily
+  /** md5-derived 56-bit — bit-identical in DuckDB (oracle checks). */
+  case object PortableMd5 extends HashFamily
+  /** xxhash64(seed=i) — Spark-native codegen path for production. */
+  case object Xx64 extends HashFamily
+
+  private def permHash(family: HashFamily, perm: Int, shingle: Column): Column =
+    family match {
+      case PortableMd5 => PortableHash.md5num56(concat(lit(s"$perm|"), shingle))
+      case Xx64        => xxhash64(lit(perm), shingle)
+    }
+
+  /** Distinct word n-gram shingles per doc: (idCol, shingle). */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = TextStats.tokens(col(textCol))
+    docs
+      .select(col(idCol), toks.as("toks"))
+      .select(
+        col(idCol),
+        explode(
+          expr(s"transform(sequence(1, greatest(size(toks) - ${n - 1}, 1)), i -> array_join(slice(toks, i, $n), ' '))")
+        ).as("shingle")
+      )
+      .filter(col("shingle") =!= "")
+      .distinct()
+  }
+
+  /** Exact pairwise n-gram Jaccard >= threshold. `candidates`
+    * restricts the pair space (LSH output); `maxShingleDocFreq` drops
+    * shingles occurring in more docs than that before pairing.
+    */
+  def jaccardPairs(
+      sh: DataFrame,
+      idCol: String,
+      threshold: Double,
+      candidates: Option[DataFrame] = None,
+      maxShingleDocFreq: Option[Int] = None
+  ): DataFrame = {
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val filtered = maxShingleDocFreq match {
+      case Some(maxDf) =>
+        val rare = sh
+          .groupBy(col("shingle"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf)
+          .select("shingle")
+        sh.join(rare, Seq("shingle"), "left_semi")
+      case None => sh
+    }
+    val a = filtered.select(col(idCol).as("d1"), col("shingle"))
+    val b = filtered.select(col(idCol).as("d2"), col("shingle"))
+    val pairsAll = a
+      .join(b, Seq("shingle"))
+      .filter(col("d1") < col("d2"))
+    val pairs = candidates match {
+      case Some(c) => pairsAll.join(c.select(col("d1"), col("d2")), Seq("d1", "d2"), "left_semi")
+      case None    => pairsAll
+    }
+    pairs
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col(idCol).as("d1"), col("n_sh").as("n1")), Seq("d1"))
+      .join(sizes.select(col(idCol).as("d2"), col("n_sh").as("n2")), Seq("d2"))
+      .withColumn("union_sh", col("n1") + col("n2") - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("union_sh"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Per-doc MinHash signature columns mh0..mh{k-1}. */
+  def minHashSignatures(
+      sh: DataFrame,
+      idCol: String,
+      numPerm: Int,
+      family: HashFamily = Xx64
+  ): DataFrame =
+    sh.groupBy(col(idCol))
+      .agg(
+        (0 until numPerm).map(i => min(permHash(family, i, col("shingle"))).as(s"mh$i")).head,
+        (1 until numPerm).map(i => min(permHash(family, i, col("shingle"))).as(s"mh$i")): _*
+      )
+
+  /** LSH candidate pairs: signatures banded (bands × rowsPerBand =
+    * numPerm); docs sharing any band bucket become candidates.
+    */
+  def lshCandidates(
+      signatures: DataFrame,
+      idCol: String,
+      numPerm: Int,
+      bands: Int
+  ): DataFrame = {
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    val r = numPerm / bands
+    val bandStructs = (0 until bands).map { b =>
+      val key = concat_ws("|", (0 until r).map(i => col(s"mh${b * r + i}")): _*)
+      struct(lit(b).as("band"), key.as("band_key"))
+    }
+    val banded = signatures
+      .select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    val l = banded.select(col(idCol).as("d1"), col("band"), col("band_key"))
+    val rt = banded.select(col(idCol).as("d2"), col("band"), col("band_key"))
+    l.join(rt, Seq("band", "band_key"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2")
+      .distinct()
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: shingle -> sign -> band ->
+    * candidate -> verify true Jaccard >= threshold.
+    */
+  def minHashNearDups(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      numPerm: Int,
+      bands: Int,
+      threshold: Double,
+      family: HashFamily = Xx64
+  ): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, shingleN)
+    val sig = minHashSignatures(sh, idCol, numPerm, family)
+    val cand = lshCandidates(sig, idCol, numPerm, bands)
+    jaccardPairs(sh, idCol, threshold, candidates = Some(cand))
+  }
+
+  /** 56-bit SimHash over the doc's token multiset: bit j of the hash
+    * is 1 when the sum of (+1/-1) votes from each token's hash bit j
+    * is positive. Near-dup docs land within small Hamming distance.
+    */
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toksDf = docs
+      .select(col(idCol), explode(TextStats.tokens(col(textCol))).as("tok"))
+      .withColumn("h", PortableHash.md5num56(col("tok")))
+    val bitVotes = (0 until 56).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$j")
+    }
+    val voted = toksDf.groupBy(col(idCol)).agg(bitVotes.head, bitVotes.tail: _*)
+    val hash = (0 until 56)
+      .map(j => when(col(s"v$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    voted.select(col(idCol), hash.as("simhash"))
+  }
+
+  /** Hamming distance between two 56-bit SimHashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

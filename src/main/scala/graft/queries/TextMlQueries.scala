@@ -2,17 +2,41 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.PortableHash
+import graft.ml.{Dedup, Multimodal, Similarity, TextStats}
 import graft.tables.TestTables
 
-/** Training-data-pipeline operators over `documents` / `embeddings`. */
+/** Training-data-pipeline operators over `documents` / `embeddings`:
+  * text stats, language ID, fingerprinting, the dedup family (exact,
+  * Jaccard, MinHash+LSH, SimHash), similarity search (brute-force +
+  * LSH ANN), multimodal binary plumbing.
+  */
 object TextMlQueries {
 
-  /** Exact dedup: hash-groupBy on full text (one shuffle on the
-    * 128-bit digest — at 100 TB this is the canonical exact-dedup
-    * pattern; the digest is tiny vs the payload so shuffle bytes stay
-    * bounded if text is dropped before the shuffle, which Catalyst
-    * does here via column pruning).
-    */
+  // ---- shared DuckDB fragments (must mirror TextStats.tokens /
+  //      Dedup.shingles exactly) -------------------------------------
+
+  private val tokCte =
+    """tok AS (
+      |  SELECT doc_id, lang, text,
+      |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      |  FROM documents
+      |)""".stripMargin
+
+  private val shCte =
+    """sh AS (
+      |  SELECT DISTINCT doc_id, shingle
+      |  FROM (
+      |    SELECT doc_id,
+      |           unnest(list_transform(range(1, greatest(len(toks) - 1, 2)),
+      |                                 i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+      |    FROM tok
+      |  )
+      |  WHERE shingle <> ''
+      |)""".stripMargin
+
+  // ---- exact dedup (kept from the first batch) ---------------------
+
   private def dedupExact(s: SparkSession, d: String): DataFrame =
     TestTables.documents(s, d)
       .groupBy(md5(col("text")).as("text_hash"))
@@ -25,7 +49,338 @@ object TextMlQueries {
       |GROUP BY 1
       |ORDER BY canonical_id""".stripMargin
 
+  // ---- token stats -------------------------------------------------
+
+  private def tokenStats(s: SparkSession, d: String): DataFrame = {
+    val toks = TextStats.tokens(col("text"))
+    TestTables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        TextStats.bpeishTokenCount(col("text")).as("n_bpe"),
+        round(
+          when(size(toks) > 0, length(array_join(toks, "")).cast("double") / size(toks)),
+          4
+        ).as("avg_token_len")
+      )
+      .orderBy(col("doc_id"))
+  }
+
+  private val tokenStatsSql = {
+    val pat = TextStats.BpeishPattern.replace("'", "''")
+    s"""WITH $tokCte
+       |SELECT doc_id, len(toks) AS n_tokens,
+       |       len(regexp_extract_all(lower(text), '$pat')) AS n_bpe,
+       |       round(CASE WHEN len(toks) > 0
+       |             THEN len(array_to_string(toks, ''))::DOUBLE / len(toks) END, 4) AS avg_token_len
+       |FROM tok
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- quality score -----------------------------------------------
+
+  private def qualityScore(s: SparkSession, d: String): DataFrame =
+    TextStats
+      .qualityMetrics(TestTables.documents(s, d), "text")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        round(col("punct_ratio"), 6).as("punct_ratio"),
+        col("stop_hits"),
+        round(col("quality_score"), 4).as("quality_score"),
+        (col("quality_score") >= 0.5).as("quality_flag")
+      )
+      .orderBy(col("doc_id"))
+
+  private val qualityScoreSql = {
+    val en = TextStats.StopwordProfiles.toMap.apply("en").map(w => s"'$w'").mkString(", ")
+    s"""WITH $tokCte,
+       |m AS (
+       |  SELECT doc_id, len(toks) AS n_tokens,
+       |         (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE
+       |           / greatest(length(text), 1) AS punct_ratio,
+       |         len(list_intersect(toks, [$en])) AS stop_hits
+       |  FROM tok
+       |)
+       |SELECT doc_id, n_tokens, round(punct_ratio, 6) AS punct_ratio, stop_hits,
+       |       round(least(1.0, n_tokens / 50.0) * 0.4
+       |             + least(1.0, stop_hits / 5.0) * 0.3
+       |             + (1.0 - least(1.0, punct_ratio * 10.0)) * 0.3, 4) AS quality_score,
+       |       (least(1.0, n_tokens / 50.0) * 0.4
+       |             + least(1.0, stop_hits / 5.0) * 0.3
+       |             + (1.0 - least(1.0, punct_ratio * 10.0)) * 0.3) >= 0.5 AS quality_flag
+       |FROM m
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- language ID -------------------------------------------------
+
+  private def langId(s: SparkSession, d: String): DataFrame = {
+    val toks = TextStats.tokens(col("text"))
+    TestTables.documents(s, d)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        TextStats.predictedLang(toks).as("predicted")
+      )
+      .withColumn("correct", col("predicted") === col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val langIdSql = {
+    val scores = TextStats.StopwordProfiles.map { case (lang, words) =>
+      s"len(list_intersect(toks, [${words.map(w => s"'$w'").mkString(", ")}])) AS s_$lang"
+    }.mkString(",\n       ")
+    val langs = TextStats.StopwordProfiles.map(_._1)
+    val best = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val cases = langs.map(l => s"WHEN s_$l = best AND best > 0 THEN '$l'").mkString("\n         ")
+    s"""WITH $tokCte,
+       |scored AS (
+       |  SELECT doc_id, lang,
+       |       $scores
+       |  FROM tok
+       |), ranked AS (
+       |  SELECT *, $best AS best FROM scored
+       |)
+       |SELECT doc_id, lang,
+       |       CASE $cases
+       |         ELSE 'und' END AS predicted,
+       |       (CASE $cases
+       |         ELSE 'und' END) = lang AS correct
+       |FROM ranked
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- fingerprint (normalization-invariant dedup) -----------------
+
+  private def fingerprint(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val norm = array_join(TextStats.tokens(col("text")), " ")
+    val w = Window.partitionBy(col("fingerprint"))
+    TestTables.documents(s, d)
+      .select(col("doc_id"), PortableHash.md5num56(norm).as("fingerprint"))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val fingerprintSql =
+    s"""WITH $tokCte,
+       |fp AS (
+       |  SELECT doc_id, ${PortableHash.md5num56Sql("array_to_string(toks, ' ')")} AS fingerprint
+       |  FROM tok
+       |)
+       |SELECT doc_id, fingerprint,
+       |       min(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id,
+       |       doc_id <> min(doc_id) OVER (PARTITION BY fingerprint) AS is_dup
+       |FROM fp
+       |ORDER BY doc_id""".stripMargin
+
+  // ---- n-gram Jaccard near-dup pairs -------------------------------
+
+  private def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = Dedup.shingles(TestTables.documents(s, d), "doc_id", "text", 3)
+    Dedup
+      .jaccardPairs(sh, "doc_id", threshold = 0.6)
+      .select(
+        col("d1"),
+        col("d2"),
+        col("inter"),
+        col("union_sh"),
+        round(col("jaccard"), 6).as("jaccard")
+      )
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  private val jaccardVerifySql =
+    """pair AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+      |), jac AS (
+      |  SELECT d1, d2, inter, s1.n_sh + s2.n_sh - inter AS union_sh,
+      |         inter::DOUBLE / (s1.n_sh + s2.n_sh - inter) AS jaccard
+      |  FROM pair
+      |  JOIN sizes s1 ON s1.doc_id = d1
+      |  JOIN sizes s2 ON s2.doc_id = d2
+      |)""".stripMargin
+
+  private val ngramJaccardSql =
+    s"""WITH $tokCte, $shCte, $jaccardVerifySql
+       |SELECT d1, d2, inter, union_sh, round(jaccard, 6) AS jaccard
+       |FROM jac
+       |WHERE jaccard >= 0.6
+       |ORDER BY d1, d2""".stripMargin
+
+  // ---- MinHash + LSH near-dup pairs --------------------------------
+
+  private val MinHashPerms = 8
+  private val MinHashBands = 4
+
+  private def minHashLsh(s: SparkSession, d: String): DataFrame =
+    Dedup
+      .minHashNearDups(
+        TestTables.documents(s, d),
+        "doc_id",
+        "text",
+        shingleN = 3,
+        numPerm = MinHashPerms,
+        bands = MinHashBands,
+        threshold = 0.6,
+        family = Dedup.PortableMd5
+      )
+      .select(
+        col("d1"),
+        col("d2"),
+        col("inter"),
+        col("union_sh"),
+        round(col("jaccard"), 6).as("jaccard")
+      )
+      .orderBy(col("d1"), col("d2"))
+
+  private val minHashLshSql = {
+    val mhHash = PortableHash.md5num56Sql("i::VARCHAR || '|' || shingle")
+    s"""WITH $tokCte, $shCte,
+       |mh AS (
+       |  SELECT doc_id, i, min($mhHash) AS mh
+       |  FROM sh CROSS JOIN range(0, $MinHashPerms) r(i)
+       |  GROUP BY doc_id, i
+       |), banded AS (
+       |  SELECT doc_id, i // ${MinHashPerms / MinHashBands} AS band,
+       |         string_agg(mh::VARCHAR, '|' ORDER BY i) AS band_key
+       |  FROM mh GROUP BY doc_id, i // ${MinHashPerms / MinHashBands}
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM banded a
+       |  JOIN banded b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |), pair AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  JOIN cand c ON c.d1 = a.doc_id AND c.d2 = b.doc_id
+       |  GROUP BY 1, 2
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+       |), jac AS (
+       |  SELECT d1, d2, inter, s1.n_sh + s2.n_sh - inter AS union_sh,
+       |         inter::DOUBLE / (s1.n_sh + s2.n_sh - inter) AS jaccard
+       |  FROM pair
+       |  JOIN sizes s1 ON s1.doc_id = d1
+       |  JOIN sizes s2 ON s2.doc_id = d2
+       |)
+       |SELECT d1, d2, inter, union_sh, round(jaccard, 6) AS jaccard
+       |FROM jac
+       |WHERE jaccard >= 0.6
+       |ORDER BY d1, d2""".stripMargin
+  }
+
+  // ---- SimHash -----------------------------------------------------
+
+  private def simHash(s: SparkSession, d: String): DataFrame =
+    Dedup
+      .simHash(TestTables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  private val simHashSql = {
+    val votes = (0 until 56)
+      .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
+      .mkString(",\n         ")
+    val hash = (0 until 56)
+      .map(j => s"CASE WHEN v$j > 0 THEN (1::BIGINT << $j) ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $tokCte,
+       |toked AS (
+       |  SELECT doc_id, ${PortableHash.md5num56Sql("unnest(toks)")} AS h FROM tok
+       |), votes AS (
+       |  SELECT doc_id,
+       |         $votes
+       |  FROM toked GROUP BY doc_id
+       |)
+       |SELECT doc_id, $hash AS simhash
+       |FROM votes
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- similarity search -------------------------------------------
+
+  private def cosineTopK(s: SparkSession, d: String): DataFrame =
+    Similarity
+      .cosineTopK(
+        TestTables.embeddings(s, d),
+        "vec_id",
+        "embedding",
+        queryPred = col("vec_id") % 100 === 0,
+        k = 5
+      )
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+
+  private val cosineTopKSql =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+      |), q AS (
+      |  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0
+      |), scored AS (
+      |  SELECT query_id, e.vec_id AS neighbor_id,
+      |         list_dot_product(qv, v) / sqrt(list_dot_product(qv, qv) * list_dot_product(v, v)) AS cos
+      |  FROM q, e
+      |  WHERE e.vec_id <> q.query_id
+      |)
+      |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      |  FROM scored
+      |)
+      |WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** Approximate ANN via random-hyperplane LSH buckets + 1-bit
+    * multiprobe — deterministic planes, but not SQL-expressible
+    * (plane constants from an integer mix): rows-only check.
+    */
+  private def annLsh(s: SparkSession, d: String): DataFrame =
+    Similarity
+      .annTopK(
+        TestTables.embeddings(s, d),
+        "vec_id",
+        "embedding",
+        queryPred = col("vec_id") % 100 === 0,
+        k = 5,
+        nPlanes = 12
+      )
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+
+  // ---- multimodal binary plumbing ----------------------------------
+
+  private def multimodalFeatures(s: SparkSession, d: String): DataFrame =
+    Multimodal
+      .extractFeatures(
+        TestTables.documents(s, d).withColumn("media", col("text").cast("binary")),
+        "doc_id",
+        "media"
+      )
+      .orderBy(col("doc_id"))
+
+  private val multimodalFeaturesSql =
+    s"""SELECT doc_id, octet_length(text::BLOB) AS n_bytes,
+       |       ascii(substr(text, 1, 1)) AS head_byte,
+       |       ${PortableHash.md5num56Sql("text")} AS checksum
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
-    QueryDef("q_dedup_exact", dedupExact, Some(dedupExactSql))
+    QueryDef("q_dedup_exact", dedupExact, Some(dedupExactSql)),
+    QueryDef("q_token_stats", tokenStats, Some(tokenStatsSql)),
+    QueryDef("q_quality_score", qualityScore, Some(qualityScoreSql)),
+    QueryDef("q_lang_id", langId, Some(langIdSql)),
+    QueryDef("q_fingerprint", fingerprint, Some(fingerprintSql)),
+    QueryDef("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql), headline = true),
+    QueryDef("q_minhash_lsh", minHashLsh, Some(minHashLshSql), headline = true),
+    QueryDef("q_simhash", simHash, Some(simHashSql), headline = true),
+    QueryDef("q_cosine_topk", cosineTopK, Some(cosineTopKSql), headline = true),
+    QueryDef("q_ann_lsh", annLsh, None, headline = true),
+    QueryDef("q_multimodal_features", multimodalFeatures, Some(multimodalFeaturesSql))
   )
 }

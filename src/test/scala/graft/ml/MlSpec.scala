@@ -1,0 +1,139 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MlSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  test("TextStats.tokens + bpeish count") {
+    import spark.implicits._
+    val out = Seq(("Hello, World! it's 42 degrees."))
+      .toDF("text")
+      .select(
+        TextStats.tokens(col("text")).as("toks"),
+        TextStats.bpeishTokenCount(col("text")).as("bpe")
+      )
+      .collect()
+      .head
+    assert(out.getSeq[String](0) == Seq("hello", "world", "it", "s", "42", "degrees"))
+    assert(out.getInt(1) > 6) // BPE-ish segmentation is finer than words
+  }
+
+  test("TextStats.predictedLang: stopword evidence, deterministic ties, und fallback") {
+    import spark.implicits._
+    val out = Seq(
+      ("the cat and the dog of it is that", "en"),
+      ("el perro de la casa que es un gato", "es"),
+      ("xyzzy qwerty plugh", "und")
+    ).toDF("text", "expected")
+      .select(TextStats.predictedLang(TextStats.tokens(col("text"))).as("p"), col("expected"))
+      .collect()
+    out.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
+  test("Dedup.shingles builds distinct word 3-grams") {
+    val sh = Dedup
+      .shingles(docs((1L, "a b c d e, a b c d e")), "doc_id", "text", 3)
+      .collect()
+      .map(_.getString(1))
+      .toSet
+    assert(sh.contains("a b c") && sh.contains("c d e") && sh.contains("e a b"))
+    // 10 tokens -> 8 positions, but the repeated half collapses: 5 distinct
+    assert(sh == Set("a b c", "b c d", "c d e", "d e a", "e a b"))
+  }
+
+  test("Dedup.jaccardPairs: identical docs J=1, disjoint docs absent") {
+    val d = docs(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven")
+    )
+    val sh = Dedup.shingles(d, "doc_id", "text", 3)
+    val pairs = Dedup
+      .jaccardPairs(sh, "doc_id", 0.5)
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("d1")), r.getLong(r.fieldIndex("d2")), r.getDouble(r.fieldIndex("jaccard"))))
+    assert(pairs.toList == List((1L, 2L, 1.0)))
+  }
+
+  test("Dedup.minHashNearDups catches a high-Jaccard pair with both hash families") {
+    val d = docs(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+      (3L, "completely different content about spark catalyst optimizer internals here")
+    )
+    for (family <- Seq[Dedup.HashFamily](Dedup.PortableMd5, Dedup.Xx64)) {
+      val pairs = Dedup
+        .minHashNearDups(d, "doc_id", "text", 3, numPerm = 8, bands = 4, threshold = 0.5, family = family)
+        .select("d1", "d2")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(pairs.toList == List((1L, 2L)), s"family $family")
+    }
+  }
+
+  test("Dedup.simHash: identical texts equal; near-dups closer than unrelated") {
+    val d = docs(
+      (1L, "the quick brown fox jumps over the lazy dog every single day"),
+      (2L, "the quick brown fox jumps over the lazy dog every single night"),
+      (3L, "the quick brown fox jumps over the lazy dog every single day"),
+      (4L, "catalyst tungsten shuffle partition broadcast codegen executor driver stage task")
+    )
+    val h = Dedup.simHash(d, "doc_id", "text").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(3L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(1L), h(2L)) < ham(h(1L), h(4L)))
+    assert(ham(h(1L), h(2L)) <= 20)
+  }
+
+  test("Similarity.cosine and cosineTopK exact ranking") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity
+      .cosineTopK(emb, "vec_id", "embedding", col("vec_id") === 0, k = 2)
+      .orderBy("rank")
+      .collect()
+      .map(r => (r.getInt(r.fieldIndex("rank")), r.getLong(r.fieldIndex("neighbor_id"))))
+    assert(out.toList == List((1, 1L), (2, 2L)))
+  }
+
+  test("Similarity.annTopK is deterministic and self-consistent") {
+    import spark.implicits._
+    val vecs = (0L until 100L).map { i =>
+      i -> Array.tabulate(64)(j => math.sin(i * 7.0 + j).toFloat)
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    def run() = Similarity
+      .annTopK(emb, "vec_id", "embedding", col("vec_id") % 20 === 0, k = 3, nPlanes = 8)
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("query_id")), r.getInt(r.fieldIndex("rank")), r.getLong(r.fieldIndex("neighbor_id"))))
+      .toList
+    val a = run()
+    assert(a == run()) // deterministic planes -> stable output
+    assert(a.nonEmpty)
+    assert(a.forall { case (q, _, n) => q != n })
+  }
+
+  test("Multimodal.extractFeatures computes real byte-level features") {
+    import spark.implicits._
+    val df = Seq((1L, "abc"), (2L, "")).toDF("doc_id", "text")
+      .withColumn("media", col("text").cast("binary"))
+    val out = Multimodal
+      .extractFeatures(df, "doc_id", "media")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2))))
+      .toMap
+    assert(out(1L) == ((3L, 'a'.toInt)))
+    assert(out(2L) == ((0L, -1)))
+  }
+}
