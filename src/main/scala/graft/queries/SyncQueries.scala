@@ -155,8 +155,63 @@ object SyncQueries {
       |FULL OUTER JOIN remote r ON l.user_id = r.user_id AND l.event_id = r.event_id
       |ORDER BY event_id, user_id""".stripMargin
 
+  // ---- segment algebra: RLE -> collapse/merge adjust ---------------
+
+  /** Existing QC segments = RLE over the first half of the month; new
+    * segments = RLE over the second half; adjusted per user with
+    * bridge-latest-extension (the getNew append path, SURVEY §2.9).
+    * Order-dependent interval algebra — rows-only check.
+    */
+  private def segmentAdjust(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.SegmentAdjust
+    val e = TestTables.events(s, d)
+    def rle(from: String, to: String, withIds: Boolean) = {
+      val seg = Segments
+        .fromPoints(
+          e.filter(col("ts") >= lit(from).cast("timestamp") && col("ts") < lit(to).cast("timestamp")),
+          keyCols = Seq("user_id"),
+          dtCol = "ts",
+          valueCol = "event_type",
+          orderCols = Seq("event_id")
+        )
+        .withColumn("end_dt", coalesce(col("end_dt"), col("last_dt") + expr("INTERVAL 1 HOUR")))
+        .select(
+          col("user_id").as("series_id"),
+          col("event_type").as("value"),
+          col("start_dt"),
+          col("end_dt")
+        )
+      if (withIds)
+        seg.withColumn(
+          "id",
+          row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("series_id"))
+              .orderBy(col("start_dt"))
+          ).cast("long")
+        )
+      else seg.withColumn("id", lit(null).cast("long"))
+    }
+    SegmentAdjust
+      .adjust(
+        rle("2024-01-01 00:00:00", "2024-01-16 00:00:00", withIds = true),
+        rle("2024-01-16 00:00:00", "2024-02-01 00:00:00", withIds = false),
+        bridgeLatestExtension = true
+      )
+      .select(
+        col("series_id"),
+        col("id"),
+        col("value"),
+        unix_micros(col("start_dt")).as("start_us"),
+        unix_micros(col("end_dt")).as("end_us"),
+        col("op")
+      )
+      .orderBy(col("series_id"), col("op"), col("start_us"), col("id"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_rle_segments", rleSegments, Some(rleSegmentsSql)),
+    QueryDef("q_segment_adjust", segmentAdjust, None),
     QueryDef("q_locf", locf, Some(locfSql)),
     QueryDef("q_json_extract", jsonExtract, Some(jsonExtractSql)),
     QueryDef("q_sync_diff", syncDiff, Some(syncDiffSql), headline = true)
