@@ -1,0 +1,258 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Haversine
+import graft.tables.TestTables
+
+/** Ingest-path query shapes: incremental watermark filtering, HYDAT
+  * daily-mean merge, RLS visibility, top-k context fetch, set ops,
+  * spatial donor discovery (SURVEY §2.1/§2.2/§2.6/§2.12).
+  */
+object IngestQueries {
+
+  // ---- incremental "new since last point" --------------------------
+
+  private def incrementalFilter(s: SparkSession, d: String): DataFrame = {
+    val e = TestTables.events(s, d)
+    val db = e
+      .filter(col("ts") < lit("2024-01-20 00:00:00").cast("timestamp"))
+      .groupBy(col("user_id"))
+      .agg(max(col("ts")).as("last_dt"))
+    e.join(broadcast(db), Seq("user_id"))
+      .filter(col("ts") > col("last_dt"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_new"),
+        unix_micros(min(col("ts"))).as("first_us"),
+        unix_micros(max(col("ts"))).as("last_us"),
+        round(sum(col("value")), 4).as("sum_value")
+      )
+      .orderBy(col("user_id"))
+  }
+
+  private val incrementalFilterSql =
+    """WITH db AS (
+      |  SELECT user_id, max(ts) AS last_dt
+      |  FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00' GROUP BY 1
+      |)
+      |SELECT e.user_id, count(*) AS n_new,
+      |       epoch_us(min(e.ts)) AS first_us, epoch_us(max(e.ts)) AS last_us,
+      |       round(sum(e.value), 4) AS sum_value
+      |FROM events e JOIN db ON e.user_id = db.user_id AND e.ts > db.last_dt
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  // ---- HYDAT-style daily-mean merge --------------------------------
+
+  /** Daily means written only for local days with NO high-frequency
+    * rows — `R/update_hydat.R:261-440`: 'click' events stand in for
+    * the high-frequency series.
+    */
+  private def hydatMerge(s: SparkSession, d: String): DataFrame =
+    TestTables.events(s, d)
+      .groupBy(col("user_id"), to_date(col("ts")).as("date"))
+      .agg(
+        round(avg(col("value")), 4).as("value"),
+        count(lit(1)).as("n"),
+        max(col("event_type") === "click").as("has_hf")
+      )
+      .filter(!col("has_hf"))
+      .drop("has_hf")
+      .orderBy(col("user_id"), col("date"))
+
+  private val hydatMergeSql =
+    """SELECT user_id, date, value, n
+      |FROM (
+      |  SELECT user_id, CAST(ts AS DATE) AS date, round(avg(value), 4) AS value,
+      |         count(*) AS n, bool_or(event_type = 'click') AS has_hf
+      |  FROM events GROUP BY 1, 2
+      |)
+      |WHERE NOT has_hf
+      |ORDER BY user_id, date""".stripMargin
+
+  // ---- RLS visibility (share_with arrays) --------------------------
+
+  /** `'group' = ANY(share_with)` row filtering
+    * (`inst/patches/patch_11.R:871-895`): synthetic share_with arrays
+    * on documents, caller groups (public_reader, group_en).
+    */
+  private def rlsFilter(s: SparkSession, d: String): DataFrame = {
+    val shareWith = when(col("doc_id") % 3 === 0, array(lit("public_reader")))
+      .when(col("doc_id") % 3 === 1, array(concat(lit("group_"), col("lang"))))
+      .otherwise(array(lit("admin")))
+    val userGroups = array(lit("public_reader"), lit("group_en"))
+    TestTables.documents(s, d)
+      .withColumn("share_with", shareWith)
+      .filter(arrays_overlap(col("share_with"), userGroups))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_visible"), min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy(col("lang"))
+  }
+
+  private val rlsFilterSql =
+    """SELECT lang, count(*) AS n_visible, min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM (
+      |  SELECT doc_id, lang,
+      |         CASE doc_id % 3
+      |           WHEN 0 THEN ['public_reader']
+      |           WHEN 1 THEN ['group_' || lang]
+      |           ELSE ['admin'] END AS share_with
+      |  FROM documents
+      |)
+      |WHERE list_has_any(share_with, ['public_reader', 'group_en'])
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  // ---- top-k context fetch (ORDER BY dt DESC LIMIT 10 per series) --
+
+  private def topkContext(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+    TestTables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("user_id"), col("rn"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .orderBy(col("user_id"), col("rn"))
+  }
+
+  private val topkContextSql =
+    """SELECT user_id, rn, event_id, epoch_us(ts) AS ts_us
+      |FROM (
+      |  SELECT user_id, event_id, ts,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events
+      |)
+      |WHERE rn <= 10
+      |ORDER BY user_id, rn""".stripMargin
+
+  // ---- set ops (except / union distinct) ---------------------------
+
+  private def setOps(s: SparkSession, d: String): DataFrame = {
+    val e = TestTables.events(s, d)
+    def users(etype: String, from: String, to: String) =
+      e.filter(
+        col("event_type") === etype &&
+          col("ts") >= lit(from).cast("timestamp") && col("ts") < lit(to).cast("timestamp")
+      ).select(col("user_id")).distinct()
+    users("click", "2024-01-01 00:00:00", "2024-01-11 00:00:00")
+      .except(users("error", "2024-01-01 00:00:00", "2024-01-11 00:00:00"))
+      .union(users("purchase", "2024-01-20 00:00:00", "2024-01-31 00:00:00"))
+      .distinct()
+      .orderBy(col("user_id"))
+  }
+
+  private val setOpsSql =
+    """SELECT DISTINCT user_id FROM (
+      |  (SELECT DISTINCT user_id FROM events
+      |   WHERE event_type = 'click' AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-11'
+      |   EXCEPT
+      |   SELECT DISTINCT user_id FROM events
+      |   WHERE event_type = 'error' AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-11')
+      |  UNION
+      |  SELECT DISTINCT user_id FROM events
+      |  WHERE event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-20' AND ts < TIMESTAMP '2024-01-31'
+      |)
+      |ORDER BY user_id""".stripMargin
+
+  // ---- spatial donor discovery + offset scoring --------------------
+
+  /** Imputation donor search (`R/imputeMissing.R:543-606,886-901`):
+    * stations within a haversine radius, offsets fitted on
+    * hour-aligned values, donors ranked by offset stddev.
+    */
+  private def donorOffsets(s: SparkSession, d: String): DataFrame = {
+    val e = TestTables.events(s, d)
+    // hourly totals in integer cents: exact in both engines regardless
+    // of summation order (the join scrambles order differently per
+    // engine; double avg of 0.01-grid values ties at round-half
+    // boundaries)
+    val hourly = e
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("value"))
+    val coords = e
+      .select(col("user_id")).distinct()
+      .withColumn("lat", lit(60.0) + (col("user_id") % 10) * 0.5)
+      .withColumn("lon", lit(-135.0) + (col("user_id") % 7) * 0.5)
+    val t = coords.select(col("user_id").as("target"), col("lat").as("t_lat"), col("lon").as("t_lon"))
+    val dn = coords.select(col("user_id").as("donor"), col("lat").as("d_lat"), col("lon").as("d_lon"))
+    val nearby = t
+      .join(broadcast(dn), col("target") =!= col("donor"))
+      .withColumn("dist_km", Haversine.km(col("t_lat"), col("t_lon"), col("d_lat"), col("d_lon")))
+      .filter(col("dist_km") <= 150.0)
+      .select("target", "donor", "dist_km")
+    val th = hourly.select(col("user_id").as("target"), col("hour_ts"), col("value").as("t_v"))
+    val dh = hourly.select(col("user_id").as("donor"), col("hour_ts"), col("value").as("d_v"))
+    val scored = nearby
+      .join(th, Seq("target"))
+      .join(dh, Seq("donor", "hour_ts"))
+      .groupBy(col("target"), col("donor"))
+      .agg(
+        first(col("dist_km")).as("dist_km"),
+        avg((col("t_v") - col("d_v")).cast("double")).as("avg_offset"),
+        stddev_samp((col("t_v") - col("d_v")).cast("double")).as("sd"),
+        count(lit(1)).as("n")
+      )
+      .filter(col("n") >= 3)
+      .withColumn("sd_r", round(col("sd"), 6))
+    val w = Window.partitionBy(col("target")).orderBy(col("sd_r"), col("donor"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(
+        col("target"),
+        col("rank"),
+        col("donor"),
+        round(col("dist_km"), 3).as("dist_km"),
+        round(col("avg_offset"), 4).as("avg_offset"),
+        col("sd_r").as("sd"),
+        col("n")
+      )
+      .orderBy(col("target"), col("rank"))
+  }
+
+  private val donorOffsetsSql = {
+    val dist = Haversine.kmSql("t.lat", "t.lon", "d.lat", "d.lon")
+    s"""WITH hourly AS (
+       |  SELECT user_id, date_trunc('hour', ts) AS hour_ts,
+       |         sum(CAST(round(value * 100) AS BIGINT)) AS value
+       |  FROM events GROUP BY 1, 2
+       |), coords AS (
+       |  SELECT DISTINCT user_id,
+       |         60.0 + (user_id % 10) * 0.5 AS lat,
+       |         -135.0 + (user_id % 7) * 0.5 AS lon
+       |  FROM events
+       |), nearby AS (
+       |  SELECT t.user_id AS target, d.user_id AS donor, $dist AS dist_km
+       |  FROM coords t JOIN coords d ON t.user_id <> d.user_id
+       |  WHERE $dist <= 150.0
+       |), scored AS (
+       |  SELECT n.target, n.donor, any_value(n.dist_km) AS dist_km,
+       |         avg((th.value - dh.value)::DOUBLE) AS avg_offset,
+       |         round(stddev_samp((th.value - dh.value)::DOUBLE), 6) AS sd_r,
+       |         count(*) AS n
+       |  FROM nearby n
+       |  JOIN hourly th ON th.user_id = n.target
+       |  JOIN hourly dh ON dh.user_id = n.donor AND dh.hour_ts = th.hour_ts
+       |  GROUP BY 1, 2
+       |  HAVING count(*) >= 3
+       |)
+       |SELECT target, rank, donor, round(dist_km, 3) AS dist_km,
+       |       round(avg_offset, 4) AS avg_offset, sd_r AS sd, n
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY target ORDER BY sd_r, donor) AS rank
+       |  FROM scored
+       |)
+       |WHERE rank <= 3
+       |ORDER BY target, rank""".stripMargin
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_incremental_filter", incrementalFilter, Some(incrementalFilterSql)),
+    QueryDef("q_hydat_merge", hydatMerge, Some(hydatMergeSql)),
+    QueryDef("q_rls_filter", rlsFilter, Some(rlsFilterSql)),
+    QueryDef("q_topk_context", topkContext, Some(topkContextSql)),
+    QueryDef("q_set_ops", setOps, Some(setOpsSql)),
+    QueryDef("q_donor_offsets", donorOffsets, Some(donorOffsetsSql), headline = true)
+  )
+}

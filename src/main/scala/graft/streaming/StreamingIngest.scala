@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming face of the incremental ingest: the reference
+  * is batch-polling (daily cron, `R/dailyUpdate.R:5`), so streams run
+  * with `Trigger.AvailableNow` — drain whatever landed, then stop;
+  * late/changed data is the synchronize path's job, not event-time
+  * watermarking (SURVEY §1.3/§2.10). A watermarked tumbling-window
+  * aggregation is provided for the streaming-native daily rollup.
+  */
+object StreamingIngest {
+
+  /** File-watch ingest: new files under `srcDir` stream through the
+    * canonical projection into parquet under `sinkDir`, exactly-once
+    * via the checkpoint. Returns the started query (AvailableNow:
+    * terminates once the backlog drains).
+    */
+  def ingestAvailableNow(
+      spark: SparkSession,
+      srcDir: String,
+      schema: StructType,
+      sinkDir: String,
+      checkpointDir: String,
+      transform: DataFrame => DataFrame = identity
+  ): StreamingQuery = {
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    transform(stream).writeStream
+      .format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .start()
+  }
+
+  /** Watermarked tumbling daily mean per series over a streaming
+    * frame with (timeseries_id, datetime, value).
+    */
+  def windowedDaily(stream: DataFrame, watermark: String = "2 days"): DataFrame =
+    stream
+      .withWatermark("datetime", watermark)
+      .groupBy(col("timeseries_id"), window(col("datetime"), "1 day").as("day"))
+      .agg(avg(col("value")).as("value"), count(lit(1)).as("n"))
+      .select(
+        col("timeseries_id"),
+        col("day.start").as("date_start"),
+        col("value"),
+        col("n")
+      )
+}

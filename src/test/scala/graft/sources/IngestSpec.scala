@@ -1,0 +1,92 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.operators.{DailyAggregate, IncrementalDaily}
+import org.apache.spark.sql.functions._
+
+class IngestSpec extends SparkSpec {
+
+  private val synthCfg = SeriesConfig(
+    timeseriesId = 1L,
+    sourceFx = "downloadSynthetic",
+    args = Map(
+      "series" -> "water_level",
+      "step_seconds" -> "3600",
+      "from" -> "2023-01-01 00:00:00",
+      "to" -> "2023-01-03 00:00:00"
+    ),
+    defaultGrade = Some("A"),
+    recordRateSeconds = Some(3600L)
+  )
+
+  test("SyntheticAdapter reproduces the reference fixture formula") {
+    val df = SyntheticAdapter
+      .fetch(spark, synthCfg, java.sql.Timestamp.valueOf("2023-01-01 00:00:00"))
+    assert(df.count() == 48)
+    val first = df.orderBy("datetime").select("value").head().getDouble(0)
+    val epoch = java.sql.Timestamp.valueOf("2023-01-01 00:00:00").getTime / 1000.0
+    val expected = BigDecimal(10.0 + math.sin(epoch / 86400.0) * 0.25)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(first - expected) < 1e-9)
+  }
+
+  test("IncrementalIngest appends only rows after each series' last point, with defaults") {
+    import spark.implicits._
+    val existing = Seq(
+      (1L, java.sql.Timestamp.valueOf("2023-01-02 00:00:00"), 10.0)
+    ).toDF("timeseries_id", "datetime", "value")
+    val out = IncrementalIngest
+      .getNewContinuous(spark, Seq(synthCfg), existing, Adapters.default)
+    val dts = out.select(min("datetime"), max("datetime"), count(lit(1))).head()
+    assert(dts.getTimestamp(0).toString == "2023-01-02 01:00:00.0") // strictly after last
+    assert(dts.getLong(2) == 23L)
+    assert(out.select("grade").distinct().collect().map(_.getString(0)).toList == List("A"))
+    // a fresh series (no rows yet) backfills from the adapter's start
+    val fresh = IncrementalIngest.getNewContinuous(
+      spark, Seq(synthCfg), existing.filter(lit(false)), Adapters.default)
+    assert(fresh.count() == 48)
+  }
+
+  test("CsvStationAdapter maps WSC-style qualifier and bilingual approval codes") {
+    val dir = java.nio.file.Files.createTempDirectory("csvadapter").toString
+    val csv = new java.io.PrintWriter(s"$dir/station.csv")
+    csv.println("datetime,value,qualifier_code,approval_label")
+    csv.println("2023-01-01 00:00:00,1.5,10,Final")
+    csv.println("2023-01-01 01:00:00,2.5,20,Provisoire")
+    csv.println("2023-01-01 02:00:00,,30,Final") // NA value dropped
+    csv.close()
+    val cfg = SeriesConfig(2L, "downloadCsvStation", Map("path" -> s"$dir/station.csv"))
+    val out = CsvStationAdapter
+      .fetch(spark, cfg, java.sql.Timestamp.valueOf("2023-01-01 00:00:00"))
+      .orderBy("datetime")
+      .collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[String]("qualifier") == "ICE")
+    assert(out(0).getAs[String]("approval") == "A")
+    assert(out(1).getAs[String]("qualifier") == "EST")
+    assert(out(1).getAs[String]("approval") == "P")
+  }
+
+  test("IncrementalDaily.refresh equals a full recompute on the touched scope") {
+    import spark.implicits._
+    def m(ts: Long, dt: String, v: Double) =
+      (ts, java.sql.Timestamp.valueOf(dt), v, "mean", 0)
+    val before = Seq(
+      m(1L, "2023-01-01 06:00:00", 1.0), m(1L, "2023-01-02 06:00:00", 2.0),
+      m(2L, "2023-01-01 06:00:00", 5.0)
+    ).toDF("timeseries_id", "datetime", "value", "agg_type", "offset_hours")
+    val newRows = Seq(m(1L, "2023-01-02 18:00:00", 4.0))
+      .toDF("timeseries_id", "datetime", "value", "agg_type", "offset_hours")
+    val after = before.unionByName(newRows)
+
+    val dailyBefore = DailyAggregate(before)
+    val changes = IncrementalIngest.changedRanges(newRows)
+    val refreshed = IncrementalDaily.refresh(after, dailyBefore, changes)
+    val full = DailyAggregate(after)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getDate(1).toString, r.getDouble(3), r.getLong(4))
+    assert(refreshed.collect().map(key).toSet == full.collect().map(key).toSet)
+    // series 2 untouched: its daily row must be the original object
+    assert(refreshed.filter($"timeseries_id" === 2L).count() == 1)
+  }
+}
