@@ -1,0 +1,59 @@
+package graft.jobs
+
+import graft.SparkSpec
+import graft.operators.DailyAggregate
+import graft.sources.{Adapters, SeriesConfig}
+import org.apache.spark.sql.functions._
+
+class DailyUpdateSpec extends SparkSpec {
+
+  test("end-to-end: fetch -> upsert -> correct -> incremental daily refresh") {
+    import spark.implicits._
+    val cfg = SeriesConfig(
+      timeseriesId = 1L,
+      sourceFx = "downloadSynthetic",
+      args = Map(
+        "series" -> "water_level",
+        "step_seconds" -> "3600",
+        "from" -> "2023-01-01 00:00:00",
+        "to" -> "2023-01-05 00:00:00"
+      )
+    )
+    // store already holds the first two days
+    val existing = SeriesConfig(
+      1L, "downloadSynthetic",
+      cfg.args.updated("to", "2023-01-03 00:00:00")
+    )
+    val initial = graft.sources.SyntheticAdapter
+      .fetch(spark, existing, java.sql.Timestamp.valueOf("2023-01-01 00:00:00"))
+      .withColumn("timeseries_id", lit(1L))
+      .select("timeseries_id", "datetime", "value", "period_seconds")
+    val dailyBase = DailyAggregate(
+      initial.withColumn("agg_type", lit("mean")).withColumn("offset_hours", lit(0))
+    )
+    val corrections = Seq.empty[(Long, Long, java.sql.Timestamp, java.sql.Timestamp, String, Option[Double], Option[Double], Option[Long], Option[String], Int)]
+      .toDF("correction_id", "timeseries_id", "start_dt", "end_dt", "ctype", "value1", "value2", "window_seconds", "equation", "priority")
+
+    val result = DailyUpdate.run(
+      spark,
+      Seq(cfg),
+      initial,
+      dailyBase,
+      corrections,
+      Adapters.default,
+      aggTypes = Map(1L -> ("mean", 0))
+    )
+    assert(result.appended.count() == 48L) // Jan 3 + Jan 4
+    assert(result.measurements.count() == 96L)
+    assert(result.daily.count() == 4L)
+    // refreshed daily equals a from-scratch daily over the full store
+    val full = DailyAggregate(
+      result.measurements.withColumn("agg_type", lit("mean")).withColumn("offset_hours", lit(0))
+    )
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getDate(1).toString, r.getDouble(3))
+    assert(result.daily.collect().map(key).toSet == full.collect().map(key).toSet)
+    // DOY stats over the touched scope runs and returns the changed days
+    val doy = DailyUpdate.refreshDoyStats(result.daily, result.changedRanges)
+    assert(doy.count() >= 2L)
+  }
+}
