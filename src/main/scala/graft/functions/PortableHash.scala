@@ -22,4 +22,22 @@ object PortableHash {
   /** DuckDB-side fragment for oracle SQL (same value). */
   def md5num56Sql(inner: String): String =
     s"('0x' || substr(md5($inner), 1, 14))::BIGINT"
+
+  /** 28-bit variant: small enough that affine permutations
+    * `(a*h + b) mod p` stay exact in signed 64-bit on both engines
+    * (a < 2^24, h < 2^28 -> product < 2^52).
+    */
+  def md5num28(c: Column): Column =
+    conv(substring(md5(c), 1, 7), 16, 10).cast("long")
+
+  def md5num28Sql(inner: String): String =
+    s"('0x' || substr(md5($inner), 1, 7))::BIGINT"
+
+  /** MinHash permutation constants: deterministic odd multipliers and
+    * offsets below 2^24, prime modulus 2^31-1. Shared by the Spark
+    * implementation and generated oracle SQL.
+    */
+  val MinHashP: Long = 2147483647L
+  def minHashA(i: Int): Long = (2654435761L * (i + 1) + 1) % 16777213L | 1L
+  def minHashB(i: Int): Long = (40503L * (i + 7) * (i + 7) + 17L) % 16777213L
 }

@@ -23,15 +23,20 @@ object Dedup {
 
   /** Hash family for MinHash permutations. */
   sealed trait HashFamily
-  /** md5-derived 56-bit — bit-identical in DuckDB (oracle checks). */
+  /** One md5-derived 28-bit base hash per shingle + affine
+    * permutations `(a_i*h + b_i) mod p` — bit-identical in DuckDB
+    * (oracle checks) and 8x cheaper than salted re-hashing.
+    */
   case object PortableMd5 extends HashFamily
   /** xxhash64(seed=i) — Spark-native codegen path for production. */
   case object Xx64 extends HashFamily
 
   private def permHash(family: HashFamily, perm: Int, shingle: Column): Column =
     family match {
-      case PortableMd5 => PortableHash.md5num56(concat(lit(s"$perm|"), shingle))
-      case Xx64        => xxhash64(lit(perm), shingle)
+      case PortableMd5 =>
+        (PortableHash.md5num28(shingle) * PortableHash.minHashA(perm) +
+          PortableHash.minHashB(perm)) % PortableHash.MinHashP
+      case Xx64 => xxhash64(lit(perm), shingle)
     }
 
   /** Distinct word n-gram shingles per doc: (idCol, shingle). */

@@ -241,11 +241,17 @@ object TextMlQueries {
       .orderBy(col("d1"), col("d2"))
 
   private val minHashLshSql = {
-    val mhHash = PortableHash.md5num56Sql("i::VARCHAR || '|' || shingle")
+    val permValues = (0 until MinHashPerms)
+      .map(i => s"(${i}, ${PortableHash.minHashA(i)}, ${PortableHash.minHashB(i)})")
+      .mkString(", ")
     s"""WITH $tokCte, $shCte,
+       |perms(i, a, b) AS (VALUES $permValues),
+       |base AS (
+       |  SELECT doc_id, ${PortableHash.md5num28Sql("shingle")} AS h FROM sh
+       |),
        |mh AS (
-       |  SELECT doc_id, i, min($mhHash) AS mh
-       |  FROM sh CROSS JOIN range(0, $MinHashPerms) r(i)
+       |  SELECT doc_id, i, min((h * a + b) % ${PortableHash.MinHashP}) AS mh
+       |  FROM base CROSS JOIN perms
        |  GROUP BY doc_id, i
        |), banded AS (
        |  SELECT doc_id, i // ${MinHashPerms / MinHashBands} AS band,
