@@ -173,4 +173,17 @@ object Dedup {
 
   /** Hamming distance between two 56-bit SimHashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Production SimHash: the native one-pass Catalyst expression
+    * (`graft.functions.SimHash64`) — whole signature at scan time, no
+    * explode/shuffle. Semantics match [[simHash]] (different hash
+    * family, same near-dup behavior).
+    */
+  def simHashNative(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.SimHash64.register(docs.sparkSession)
+    docs.select(
+      col(idCol),
+      graft.functions.SimHash64.simhash64(TextStats.tokens(col(textCol))).as("simhash")
+    )
+  }
 }
