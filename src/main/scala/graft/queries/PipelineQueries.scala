@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.PortableHash
+import graft.ml.TextStats
+import graft.tables.TestTables
+
+/** Composite training-data-pipeline queries: corpus selection
+  * (dedup + quality + language gates in one pass) and event
+  * sessionization.
+  */
+object PipelineQueries {
+
+  // ---- corpus selection --------------------------------------------
+
+  /** Select the training corpus: normalization-invariant dedup keeps
+    * the lowest doc_id per fingerprint, quality score must clear the
+    * bar, and the stopword language-ID must agree with the labeled
+    * language. Output: per-language kept/dropped accounting.
+    */
+  private def corpusSelect(s: SparkSession, d: String): DataFrame = {
+    val toks = TextStats.tokens(col("text"))
+    val metrics = TextStats.qualityMetrics(TestTables.documents(s, d), "text")
+      .withColumn("fingerprint", PortableHash.md5num56(array_join(toks, " ")))
+      .withColumn("predicted", TextStats.predictedLang(toks))
+    val w = Window.partitionBy(col("fingerprint"))
+    val flagged = metrics
+      .withColumn("is_canonical", col("doc_id") === min(col("doc_id")).over(w))
+      .withColumn(
+        "kept",
+        col("is_canonical") && col("quality_score") >= 0.5 && col("predicted") === col("lang")
+      )
+    flagged
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1).otherwise(0)).as("n_kept"),
+        sum(when(!col("is_canonical"), 1).otherwise(0)).as("n_dups"),
+        sum(when(col("predicted") =!= col("lang"), 1).otherwise(0)).as("n_lang_mismatch"),
+        // integer-scaled mean: exact in both engines regardless of
+        // summation order (cross-engine double sums tie at round-half
+        // boundaries otherwise)
+        round(avg(round(col("quality_score") * 10000).cast("long")) / 10000.0, 4).as("avg_quality")
+      )
+      .orderBy(col("lang"))
+  }
+
+  private val corpusSelectSql = {
+    val en = TextStats.StopwordProfiles.toMap.apply("en").map(w => s"'$w'").mkString(", ")
+    val scores = TextStats.StopwordProfiles.map { case (lang, words) =>
+      s"len(list_intersect(toks, [${words.map(w => s"'$w'").mkString(", ")}])) AS s_$lang"
+    }.mkString(",\n         ")
+    val langs = TextStats.StopwordProfiles.map(_._1)
+    val best = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val cases = langs.map(l => s"WHEN s_$l = best AND best > 0 THEN '$l'").mkString(" ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang, text,
+       |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+       |  FROM documents
+       |), m AS (
+       |  SELECT doc_id, lang,
+       |         ${PortableHash.md5num56Sql("array_to_string(toks, ' ')")} AS fingerprint,
+       |         least(1.0, len(toks) / 50.0) * 0.4
+       |           + least(1.0, len(list_intersect(toks, [$en])) / 5.0) * 0.3
+       |           + (1.0 - least(1.0, ((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE
+       |                                / greatest(length(text), 1)) * 10.0)) * 0.3 AS quality_score,
+       |         $scores
+       |  FROM tok
+       |), p AS (
+       |  SELECT *, $best AS best,
+       |         CASE $cases ELSE 'und' END AS predicted,
+       |         doc_id = min(doc_id) OVER (PARTITION BY fingerprint) AS is_canonical
+       |  FROM m
+       |)
+       |SELECT lang, count(*) AS n_docs,
+       |       sum(CASE WHEN is_canonical AND quality_score >= 0.5 AND predicted = lang THEN 1 ELSE 0 END) AS n_kept,
+       |       sum(CASE WHEN NOT is_canonical THEN 1 ELSE 0 END) AS n_dups,
+       |       sum(CASE WHEN predicted <> lang THEN 1 ELSE 0 END) AS n_lang_mismatch,
+       |       round(avg(CAST(round(quality_score * 10000) AS BIGINT)) / 10000.0, 4) AS avg_quality
+       |FROM p
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+  }
+
+  // ---- sessionization ----------------------------------------------
+
+  /** Gap-based sessions (30-minute inactivity): classic
+    * gaps-and-islands over the event stream; per-session bounds,
+    * event count and value sum.
+    */
+  private def sessionize(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    TestTables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn(
+        "new_session",
+        when(col("prev_ts").isNull || unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1)
+          .otherwise(0)
+      )
+      .withColumn("session_no", sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(
+        unix_micros(min(col("ts"))).as("start_us"),
+        unix_micros(max(col("ts"))).as("end_us"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value")
+      )
+      .orderBy(col("user_id"), col("session_no"))
+  }
+
+  private val sessionizeSql =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, ts, value,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1
+      |              ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), grouped AS (
+      |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                   ROWS UNBOUNDED PRECEDING) AS session_no
+      |  FROM marked
+      |)
+      |SELECT user_id, session_no, epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+      |       count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM grouped
+      |GROUP BY 1, 2
+      |ORDER BY user_id, session_no""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_corpus_select", corpusSelect, Some(corpusSelectSql), headline = true),
+    QueryDef("q_sessionize", sessionize, Some(sessionizeSql))
+  )
+}

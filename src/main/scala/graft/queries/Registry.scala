@@ -19,7 +19,7 @@ object Registry {
   lazy val all: Seq[QueryDef] =
     CoreQueries.defs ++ TimeseriesQueries.defs ++ DerivedQueries.defs ++
       StatsQueries.defs ++ SyncQueries.defs ++ LifecycleQueries.defs ++
-      IngestQueries.defs ++ TextMlQueries.defs
+      IngestQueries.defs ++ TextMlQueries.defs ++ PipelineQueries.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 

@@ -93,5 +93,6 @@ object CsvStationAdapter extends SourceAdapter {
 }
 
 object Adapters {
-  def default: AdapterRegistry = new AdapterRegistry(Seq(SyntheticAdapter, CsvStationAdapter))
+  def default: AdapterRegistry =
+    new AdapterRegistry(Seq(SyntheticAdapter, CsvStationAdapter, SwobXmlAdapter))
 }

@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SWOB-ML minute-observation adapter: ECCC point-observation XML
+  * parsed into (datetime, parameter, value) rows and filtered to one
+  * parameter per series — the shape of `R/downloadECCCwxMinute.R:35`
+  * (YukonWRB/AquaCache), whose test fixtures
+  * (`tests/testthat/fixtures/swob-minute-*.xml`) this parser reads.
+  *
+  * No external XML library: each file is one observation document, so
+  * `wholetext` read + regexp extraction of the `gml:timePosition` and
+  * `<element name=… value=…>` pairs is a plain codegen'd projection.
+  * `args`: "path" (glob of XML files), "element" (e.g. "air_temp").
+  */
+object SwobXmlAdapter extends SourceAdapter {
+  override val name = "downloadSwobMinute"
+
+  override def fetch(spark: SparkSession, cfg: SeriesConfig, startTs: java.sql.Timestamp): DataFrame = {
+    val path = cfg.args.getOrElse("path", throw new IllegalArgumentException("path required"))
+    val element = cfg.args.getOrElse("element", "air_temp")
+    val raw = spark.read.option("wholetext", "true").text(path)
+    val ts = to_timestamp(
+      regexp_extract(col("value"), "<gml:timePosition>([^<]+)</gml:timePosition>", 1),
+      "yyyy-MM-dd'T'HH:mm:ss.SSSX"
+    )
+    val elements = expr(
+      """regexp_extract_all(value, '<element name="([^"]+)" uom="[^"]*" value="([^"]*)"', 0)"""
+    )
+    val parsed = raw
+      .select(ts.as("datetime"), explode(elements).as("el"))
+      .select(
+        col("datetime"),
+        regexp_extract(col("el"), "name=\"([^\"]+)\"", 1).as("parameter"),
+        regexp_extract(col("el"), "value=\"([^\"]*)\"", 1).cast("double").as("value")
+      )
+      .filter(col("parameter") === element)
+      .dropDuplicates("datetime", "parameter") // fixture repeats elements
+      .filter(col("datetime") >= lit(startTs))
+      .select(col("datetime"), col("value"))
+    SourceAdapter.normalize(parsed)
+  }
+}

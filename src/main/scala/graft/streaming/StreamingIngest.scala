@@ -37,6 +37,30 @@ object StreamingIngest {
       .start()
   }
 
+  /** One canonical streaming measurement row. */
+  final case class Meas(timeseries_id: Long, datetime: java.sql.Timestamp, value: Double)
+
+  /** Cross-batch stateful dedupe: the per-series last-point watermark
+    * held as STREAM state (`flatMapGroupsWithState`) — rows at or
+    * before the last emitted datetime of their series are dropped,
+    * the streaming twin of the batch ingest's strictly-after-last
+    * guard (SURVEY §2.10). State per series is a single long.
+    */
+  def dedupeByLastPoint(stream: DataFrame): org.apache.spark.sql.Dataset[Meas] = {
+    import stream.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    stream
+      .as[Meas]
+      .groupByKey(_.timeseries_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[Meas], state: GroupState[Long]) =>
+          val last = state.getOption.getOrElse(Long.MinValue)
+          val fresh = rows.filter(_.datetime.getTime > last).toSeq.sortBy(_.datetime.getTime)
+          if (fresh.nonEmpty) state.update(fresh.map(_.datetime.getTime).max.max(last))
+          fresh.iterator
+      }
+  }
+
   /** Watermarked tumbling daily mean per series over a streaming
     * frame with (timeseries_id, datetime, value).
     */

@@ -32,6 +32,44 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(sink).count() == 3)
   }
 
+  test("dedupeByLastPoint keeps per-series state across micro-batches") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("stream3").toString
+    val src = s"$base/src"; val cp = s"$base/cp"
+    new java.io.File(src).mkdirs()
+    val schema = StructType(Seq(
+      StructField("timeseries_id", LongType),
+      StructField("datetime", TimestampType),
+      StructField("value", DoubleType)
+    ))
+    val sink = s"$base/sink"
+    def run(): Unit = {
+      val q = StreamingIngest
+        .dedupeByLastPoint(spark.readStream.schema(schema).parquet(src))
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2023-01-01 00:00:00"), 1.0),
+      (1L, java.sql.Timestamp.valueOf("2023-01-01 02:00:00"), 2.0)
+    ).toDF("timeseries_id", "datetime", "value").write.mode("append").parquet(src)
+    run()
+    assert(spark.read.parquet(sink).count() == 2)
+    // second file REPLAYS 02:00 and adds 03:00: only 03:00 passes
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2023-01-01 02:00:00"), 2.0),
+      (1L, java.sql.Timestamp.valueOf("2023-01-01 03:00:00"), 3.0)
+    ).toDF("timeseries_id", "datetime", "value").write.mode("append").parquet(src)
+    run()
+    val vals = spark.read.parquet(sink).select("value").collect().map(_.getDouble(0)).sorted.toList
+    assert(vals == List(1.0, 2.0, 3.0)) // the replayed 02:00 was dropped
+  }
+
   test("windowedDaily aggregates a stream into daily means") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("stream2").toString
