@@ -129,8 +129,46 @@ object PipelineQueries {
       |GROUP BY 1, 2
       |ORDER BY user_id, session_no""".stripMargin
 
+  // ---- censored-result statistics ----------------------------------
+
+  /** events reinterpreted as lab results with a detection limit of 10:
+    * values below it are non-detects (`result NULL, condition '<',
+    * condition_value 10`) — the reference's censored-result shape
+    * (`discrete.results`, patch_11). DL/2 substitution summary.
+    */
+  private def censoredStats(s: SparkSession, d: String): DataFrame = {
+    val e = TestTables.events(s, d)
+      .withColumn("result", when(col("value") < 10.0, lit(null)).otherwise(col("value")))
+      .withColumn("condition", when(col("value") < 10.0, lit("<")))
+      .withColumn("condition_value", when(col("value") < 10.0, lit(10.0)))
+    graft.operators.CensoredStats
+      .summarize(e, keys = Seq("event_type"))
+      .select(
+        col("event_type"),
+        col("n"),
+        col("n_censored"),
+        round(col("mean_sub"), 4).as("mean_sub"),
+        col("min_detected"),
+        col("max_detected"),
+        col("max_dl")
+      )
+      .orderBy(col("event_type"))
+  }
+
+  private val censoredStatsSql =
+    """SELECT event_type, count(*) AS n,
+      |       sum(CASE WHEN value < 10.0 THEN 1 ELSE 0 END) AS n_censored,
+      |       round(avg(CASE WHEN value < 10.0 THEN 5.0 ELSE value END), 4) AS mean_sub,
+      |       min(CASE WHEN value < 10.0 THEN NULL ELSE value END) AS min_detected,
+      |       max(CASE WHEN value < 10.0 THEN NULL ELSE value END) AS max_detected,
+      |       max(CASE WHEN value < 10.0 THEN 10.0 ELSE NULL END) AS max_dl
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_corpus_select", corpusSelect, Some(corpusSelectSql), headline = true),
-    QueryDef("q_sessionize", sessionize, Some(sessionizeSql))
+    QueryDef("q_sessionize", sessionize, Some(sessionizeSql)),
+    QueryDef("q_censored_stats", censoredStats, Some(censoredStatsSql))
   )
 }
