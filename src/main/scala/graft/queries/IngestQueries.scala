@@ -267,8 +267,77 @@ object IngestQueries {
        |ORDER BY target, rank""".stripMargin
   }
 
+  // ---- discrete samples/results ingest -----------------------------
+
+  /** Discrete ingest contract (`R/getNewDiscrete.R:50` in the
+    * reference): the adapter returns samples + per-parameter results
+    * with censored non-detects; incremental from startTs like the
+    * continuous path. Per-parameter summary with DL/2 substitution for
+    * censored values.
+    */
+  private def discreteIngest(s: SparkSession, d: String): DataFrame = {
+    val batch = graft.sources.SyntheticDiscreteAdapter.fetch(
+      s,
+      graft.sources.SeriesConfig(1L, "downloadSyntheticDiscrete", Map("n_samples" -> "24")),
+      java.sql.Timestamp.valueOf("2023-03-01 00:00:00")
+    )
+    batch.results
+      .join(batch.samples.select(col("sample_id"), col("datetime")), Seq("sample_id"))
+      .groupBy(col("parameter"))
+      .agg(
+        count(lit(1)).as("n_results"),
+        sum(when(col("condition").isNotNull, 1).otherwise(0)).as("n_censored"),
+        // integer-scaled mean: exact across engines independent of
+        // summation order
+        round(
+          avg(round(coalesce(col("result"), col("condition_value") / 2) * 1000000).cast("long")) / 1000000.0,
+          4
+        ).as("mean_sub"),
+        round(min(col("result")), 4).as("min_detected"),
+        round(max(col("result")), 4).as("max_detected"),
+        unix_micros(min(col("datetime"))).as("first_us"),
+        unix_micros(max(col("datetime"))).as("last_us")
+      )
+      .orderBy(col("parameter"))
+  }
+
+  private val discreteIngestSql =
+    """WITH s AS (
+      |  SELECT * FROM (
+      |    SELECT i AS sample_id,
+      |           TIMESTAMP '2023-01-01 10:00:00' + to_days(CAST((i - 1) * 30 AS INT)) AS datetime
+      |    FROM generate_series(1, 24) AS t(i)
+      |  ) WHERE datetime >= TIMESTAMP '2023-03-01 00:00:00'
+      |), r AS (
+      |  SELECT sample_id, datetime, 'pH' AS parameter,
+      |         6.7 + (sample_id % 5) * 0.1 AS result,
+      |         CAST(NULL AS VARCHAR) AS condition, CAST(NULL AS DOUBLE) AS condition_value
+      |  FROM s
+      |  UNION ALL
+      |  SELECT sample_id, datetime, 'specific_conductance',
+      |         118.0 + sample_id * 1.45, NULL, NULL
+      |  FROM s
+      |  UNION ALL
+      |  SELECT sample_id, datetime, 'dissolved_zinc',
+      |         CASE WHEN sample_id % 3 = 0 THEN NULL ELSE 0.004 + sample_id * 0.001 END,
+      |         CASE WHEN sample_id % 3 = 0 THEN '< DL' END,
+      |         CASE WHEN sample_id % 3 = 0 THEN 0.005 END
+      |  FROM s
+      |)
+      |SELECT parameter, count(*) AS n_results,
+      |       sum(CASE WHEN condition IS NOT NULL THEN 1 ELSE 0 END) AS n_censored,
+      |       round(avg(CAST(round(coalesce(result, condition_value / 2) * 1000000) AS BIGINT)) / 1000000.0, 4) AS mean_sub,
+      |       round(min(result), 4) AS min_detected,
+      |       round(max(result), 4) AS max_detected,
+      |       epoch_us(min(datetime)) AS first_us,
+      |       epoch_us(max(datetime)) AS last_us
+      |FROM r
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_incremental_filter", incrementalFilter, Some(incrementalFilterSql)),
+    QueryDef("q_discrete_ingest", discreteIngest, Some(discreteIngestSql)),
     QueryDef("q_hydat_merge", hydatMerge, Some(hydatMergeSql)),
     QueryDef("q_rls_filter", rlsFilter, Some(rlsFilterSql)),
     QueryDef("q_topk_context", topkContext, Some(topkContextSql)),

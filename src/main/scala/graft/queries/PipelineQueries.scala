@@ -166,9 +166,47 @@ object PipelineQueries {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  // ---- deterministic content-hash splits ---------------------------
+
+  /** Reproducible train/eval/test assignment: the split is a pure
+    * function of the document key's hash bucket — stable across runs,
+    * partitionings and engines, unlike `df.sample()` (the same
+    * document always lands in the same split).
+    */
+  private def deterministicSplit(s: SparkSession, d: String): DataFrame = {
+    val keyed = TestTables.documents(s, d)
+      .withColumn("k", col("doc_id").cast("string"))
+    graft.ml.Sampling
+      .splits(keyed, "k", Seq(("train", 8), ("eval", 1), ("test", 1)))
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"),
+        sum(col("doc_id")).as("id_sum")
+      )
+      .orderBy(col("split"))
+  }
+
+  private val deterministicSplitSql =
+    s"""WITH b AS (
+       |  SELECT doc_id,
+       |         ${PortableHash.md5num56Sql("CAST(doc_id AS VARCHAR)")} % 10 AS bucket
+       |  FROM documents
+       |)
+       |SELECT CASE WHEN bucket < 8 THEN 'train'
+       |            WHEN bucket < 9 THEN 'eval'
+       |            ELSE 'test' END AS split,
+       |       count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id,
+       |       sum(doc_id) AS id_sum
+       |FROM b
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_corpus_select", corpusSelect, Some(corpusSelectSql), headline = true),
     QueryDef("q_sessionize", sessionize, Some(sessionizeSql)),
-    QueryDef("q_censored_stats", censoredStats, Some(censoredStatsSql))
+    QueryDef("q_censored_stats", censoredStats, Some(censoredStatsSql)),
+    QueryDef("q_deterministic_split", deterministicSplit, Some(deterministicSplitSql))
   )
 }
