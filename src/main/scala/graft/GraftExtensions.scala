@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.SimHash64
+import graft.functions.{SimHash64, VecDot, VectorOps}
 
 /** Session extension wiring — `SparkSession.builder()
   * .withExtensions(new GraftExtensions)` (or
@@ -18,6 +18,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier(SimHash64.FunctionName),
         new ExpressionInfo(classOf[SimHash64].getName, SimHash64.FunctionName),
         (children: Seq[Expression]) => SimHash64(children.head, seed = 42L)
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier(VectorOps.DotName),
+        new ExpressionInfo(classOf[VecDot].getName, VectorOps.DotName),
+        (children: Seq[Expression]) => VecDot(children(0), children(1))
       )
     )
   }

@@ -2,6 +2,7 @@ package graft.ml
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
 
 /** Similarity search over embedding columns (`Array[Float]`):
   * brute-force cosine top-k as the exact baseline, and a
@@ -17,14 +18,20 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity between two double-array columns (dot/norms),
-    * via zip_with + aggregate — codegen'd, no UDF.
+  /** Cosine similarity between two double-array columns (dot/norms).
+    * Session-free portable form via zip_with + aggregate; the DataFrame
+    * entry points below use the codegen'd `vec_dot` native expression
+    * instead (same sequential summation → bit-identical results).
     */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
-  }
+  def cosine(a: Column, b: Column): Column =
+    hofDot(a, b) / sqrt(hofDot(a, a) * hofDot(b, b))
+
+  private def hofDot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+
+  /** Native-expression cosine (requires VectorOps.register on the session). */
+  private def nativeCosine(a: Column, b: Column): Column =
+    VectorOps.dot(a, b) / sqrt(VectorOps.dot(a, a) * VectorOps.dot(b, b))
 
   private def toDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
@@ -41,17 +48,87 @@ object Similarity {
       k: Int
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    VectorOps.register(emb.sparkSession)
     val corpus = emb.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("v"))
     val queries = emb.filter(queryPred).select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("q"))
     val scored = corpus
       .join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("q"), col("v")))
+      .withColumn("cos", nativeCosine(col("q"), col("v")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cos")
   }
+
+  /** Embedding-cosine near-duplicate pairs: all (a, b), a < b, with
+    * cosine >= threshold. Vectors are L2-normalized ONCE up front so
+    * each candidate pair costs a single dot product instead of three.
+    *
+    * This is the exact O(n^2) baseline — at 100 TB use
+    * [[nearDupPairsBlocked]], which restricts candidates to LSH
+    * buckets (same recall/throughput trade as MinHash banding).
+    */
+  def nearDupPairs(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double
+  ): DataFrame = {
+    VectorOps.register(emb.sparkSession)
+    val e = normalizedVecs(emb, idCol, vecCol)
+    val a = e.select(col("id").as("a_id"), col("nv").as("va"))
+    val b = e.select(col("id").as("b_id"), col("nv").as("vb"))
+    a.join(broadcast(b), col("a_id") < col("b_id"))
+      .withColumn("cos", VectorOps.dot(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select("a_id", "b_id", "cos")
+  }
+
+  /** LSH-blocked near-dup pairs: candidates limited to vector pairs
+    * sharing a hyperplane-signature bucket (optionally probing 1-bit
+    * neighbor buckets). Subset of [[nearDupPairs]] — the scale path.
+    */
+  def nearDupPairsBlocked(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nPlanes: Int = 8,
+      multiprobeBits: Int = 1,
+      seed: Long = 42L,
+      dim: Int = 64
+  ): DataFrame = {
+    VectorOps.register(emb.sparkSession)
+    val planes = hyperplanes(nPlanes, dim, seed)
+    val e = normalizedVecs(emb, idCol, vecCol)
+      .withColumn("bucket", lshBucket(col("nv"), planes, nativeDot = true))
+    val probes = (0 until (if (multiprobeBits >= 1) nPlanes else 0))
+      .map(i => col("bucket").bitwiseXOR(shiftleft(lit(1L), i)))
+    val a = e.select(
+      col("id").as("a_id"),
+      col("nv").as("va"),
+      explode(array((col("bucket") +: probes): _*)).as("bucket")
+    )
+    val b = e.select(col("id").as("b_id"), col("nv").as("vb"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("va"), col("vb"))
+      .distinct() // a pair may collide in several probed buckets
+      .withColumn("cos", VectorOps.dot(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select("a_id", "b_id", "cos")
+  }
+
+  /** id + L2-normalized double vector; the norm is materialized as its
+    * own column so it is computed once per row, not once per element.
+    */
+  private def normalizedVecs(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb
+      .select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("norm", sqrt(VectorOps.dot(col("v"), col("v"))))
+      .withColumn("nv", transform(col("v"), x => x / col("norm")))
+      .select("id", "nv")
 
   /** Deterministic pseudo-random hyperplanes: component (i, j) is a
     * fixed rational derived from a splitmix-style integer mix of the
@@ -67,11 +144,16 @@ object Similarity {
       (z >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
     }
 
-  /** LSH signature bucket: sign bits of the vector against each plane. */
-  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
+  /** LSH signature bucket: sign bits of the vector against each plane.
+    * `nativeDot` uses the codegen'd vec_dot expression (requires
+    * VectorOps.register on the session).
+    */
+  def lshBucket(vec: Column, planes: Array[Array[Double]], nativeDot: Boolean = false): Column = {
     val bits = planes.zipWithIndex.map { case (plane, i) =>
       val planeCol = array(plane.map(lit): _*)
-      val dot = aggregate(zip_with(vec, planeCol, (x, p) => x * p), lit(0.0), (a, v) => a + v)
+      val dot =
+        if (nativeDot) VectorOps.dot(vec, planeCol)
+        else aggregate(zip_with(vec, planeCol, (x, p) => x * p), lit(0.0), (a, v) => a + v)
       when(dot >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
@@ -91,12 +173,13 @@ object Similarity {
       seed: Long = 42L
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    VectorOps.register(emb.sparkSession)
     val dim = 64 // testdata embedding dimensionality
     val planes = hyperplanes(nPlanes, dim, seed)
     val withBucket = emb.select(
       col(idCol),
       toDouble(col(vecCol)).as("v"),
-      lshBucket(toDouble(col(vecCol)), planes).as("bucket")
+      lshBucket(toDouble(col(vecCol)), planes, nativeDot = true).as("bucket")
     )
     val corpus = withBucket.select(col(idCol).as("neighbor_id"), col("v"), col("bucket"))
     // multiprobe: query also probes buckets at Hamming distance 1
@@ -112,7 +195,7 @@ object Similarity {
     val scored = corpus
       .join(queryBuckets, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("q"), col("v")))
+      .withColumn("cos", nativeCosine(col("q"), col("v")))
       .select("query_id", "neighbor_id", "cos")
       .distinct() // a neighbor may be reached via several probes
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))

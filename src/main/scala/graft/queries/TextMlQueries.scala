@@ -341,6 +341,44 @@ object TextMlQueries {
       |WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+  /** Embedding-cosine near-duplicate pairs at threshold 0.35 (the
+    * testdata has no true dups — this captures same-cluster near
+    * neighbors). Exact baseline; `nearDupPairsBlocked` is the LSH
+    * scale path (recall asserted in MlSpec).
+    */
+  private def embedNearDup(s: SparkSession, d: String): DataFrame = {
+    val e = TestTables.embeddings(s, d)
+    val labels = e.select(col("vec_id"), col("label"))
+    Similarity
+      .nearDupPairs(e, "vec_id", "embedding", threshold = 0.35)
+      .join(broadcast(labels.withColumnRenamed("vec_id", "a_id").withColumnRenamed("label", "a_label")), Seq("a_id"))
+      .join(broadcast(labels.withColumnRenamed("vec_id", "b_id").withColumnRenamed("label", "b_label")), Seq("b_id"))
+      .select(
+        col("a_id"),
+        col("b_id"),
+        round(col("cos"), 4).as("cos"),
+        (col("a_label") === col("b_label")).as("same_label")
+      )
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private val embedNearDupSql =
+    """WITH e AS (
+      |  SELECT vec_id, label,
+      |         list_transform(embedding, x -> x::DOUBLE) AS v
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, label,
+      |         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+      |  FROM e
+      |)
+      |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |       round(list_dot_product(a.nv, b.nv), 4) AS cos,
+      |       a.label = b.label AS same_label
+      |FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |WHERE list_dot_product(a.nv, b.nv) >= 0.35
+      |ORDER BY a_id, b_id""".stripMargin
+
   /** Approximate ANN via random-hyperplane LSH buckets + 1-bit
     * multiprobe — deterministic planes, but not SQL-expressible
     * (plane constants from an integer mix): rows-only check.
@@ -386,6 +424,7 @@ object TextMlQueries {
     QueryDef("q_minhash_lsh", minHashLsh, Some(minHashLshSql), headline = true),
     QueryDef("q_simhash", simHash, Some(simHashSql), headline = true),
     QueryDef("q_cosine_topk", cosineTopK, Some(cosineTopKSql), headline = true),
+    QueryDef("q_embed_neardup", embedNearDup, Some(embedNearDupSql)),
     QueryDef("q_ann_lsh", annLsh, None, headline = true),
     QueryDef("q_multimodal_features", multimodalFeatures, Some(multimodalFeaturesSql))
   )

@@ -124,6 +124,32 @@ class MlSpec extends SparkSpec {
     assert(a.forall { case (q, _, n) => q != n })
   }
 
+  test("Similarity.nearDupPairs finds planted near-dup pairs; blocked path is a high-recall subset") {
+    import spark.implicits._
+    // 40 iid-uniform base vectors (near-orthogonal in 64-dim) + 10
+    // jittered copies of the first 10 (the planted true near-dups)
+    val raw = Similarity.hyperplanes(40, 64, seed = 7L)
+    val base = raw.zipWithIndex.map { case (v, i) => i.toLong -> v.map(_.toFloat) }.toSeq
+    val dups = (0 until 10).map { i =>
+      (100L + i) -> raw(i).zipWithIndex.map { case (x, j) => (x + 0.01 * math.cos(j.toDouble)).toFloat }
+    }
+    val emb = (base ++ dups).toDF("vec_id", "embedding")
+    val exact = Similarity
+      .nearDupPairs(emb, "vec_id", "embedding", threshold = 0.95)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert((0L until 10L).forall(i => exact.contains((i, 100L + i))), s"planted dups found: $exact")
+    assert(exact.size == 10, "no spurious pairs above 0.95 between distinct base vectors")
+    val blocked = Similarity
+      .nearDupPairsBlocked(emb, "vec_id", "embedding", threshold = 0.95, nPlanes = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(blocked.subsetOf(exact), "blocking only drops candidates, never invents them")
+    assert(blocked.size >= 8, s"recall >= 0.8 at 8 planes + 1-bit multiprobe, got ${blocked.size}/10")
+  }
+
   test("Multimodal.extractFeatures computes real byte-level features") {
     import spark.implicits._
     val df = Seq((1L, "abc"), (2L, "")).toDF("doc_id", "text")
