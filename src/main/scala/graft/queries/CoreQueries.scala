@@ -32,6 +32,43 @@ object CoreQueries {
       .orderBy(col("region_name"), col("return_flag"))
   }
 
+  /** Hot-key-aware salted join (SURVEY §4 skew handling): the events
+    * table is heavily skewed by event_type (a few types dominate), so
+    * the hot types are salted 8 ways while cold types join unsalted.
+    * Result identical to the plain join — the oracle IS the plain
+    * join; `SkewJoinSpec` asserts the salt distribution.
+    */
+  private def saltedJoin(s: SparkSession, d: String) = {
+    val e = TestTables.events(s, d)
+    val dim = e
+      .select(col("event_type"))
+      .distinct()
+      .withColumn("type_weight", (length(col("event_type")) * 10).cast("double"))
+    graft.operators.SkewJoin
+      .skewAwareJoin(e, dim, Seq("event_type"), numSalts = 8, hotThreshold = 1000L)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"),
+        any_value(col("type_weight")).as("type_weight")
+      )
+      .withColumn("weighted", round(col("sum_cents") * col("type_weight") / 100.0, 2))
+      .orderBy(col("event_type"))
+  }
+
+  private val saltedJoinSql =
+    """WITH dim AS (
+      |  SELECT DISTINCT event_type, length(event_type) * 10.0 AS type_weight
+      |  FROM events
+      |)
+      |SELECT e.event_type, count(*) AS n_events,
+      |       sum(CAST(round(e.value * 100) AS BIGINT)) AS sum_cents,
+      |       any_value(d.type_weight) AS type_weight,
+      |       round(sum(CAST(round(e.value * 100) AS BIGINT)) * any_value(d.type_weight) / 100.0, 2) AS weighted
+      |FROM events e JOIN dim d ON e.event_type = d.event_type
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   private val catalogEnrichSql =
     """SELECT r_name AS region_name, l_returnflag AS return_flag,
       |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
@@ -77,6 +114,7 @@ object CoreQueries {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_catalog_enrich", catalogEnrich, Some(catalogEnrichSql), headline = true),
-    QueryDef("q_last_point", lastPoint, Some(lastPointSql))
+    QueryDef("q_last_point", lastPoint, Some(lastPointSql)),
+    QueryDef("q_salted_join", saltedJoin, Some(saltedJoinSql))
   )
 }
