@@ -65,16 +65,21 @@ object Dedup {
       candidates: Option[DataFrame] = None,
       maxShingleDocFreq: Option[Int] = None
   ): DataFrame = {
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    // materialization barrier (the reference's AS MATERIALIZED, SURVEY
+    // §4): the shingle frame feeds BOTH join sides and the size
+    // aggregate — without it the tokenize/shingle projection (regex +
+    // interpreted higher-order functions) is recomputed three times.
+    val shM = sh.localCheckpoint(false)
+    val sizes = shM.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val filtered = maxShingleDocFreq match {
       case Some(maxDf) =>
-        val rare = sh
+        val rare = shM
           .groupBy(col("shingle"))
           .agg(count(lit(1)).as("df"))
           .filter(col("df") <= maxDf)
           .select("shingle")
-        sh.join(rare, Seq("shingle"), "left_semi")
-      case None => sh
+        shM.join(rare, Seq("shingle"), "left_semi")
+      case None => shM
     }
     val a = filtered.select(col(idCol).as("d1"), col("shingle"))
     val b = filtered.select(col(idCol).as("d2"), col("shingle"))
