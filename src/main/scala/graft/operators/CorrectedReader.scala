@@ -72,6 +72,44 @@ object CorrectedReader {
     }
   }
 
+  /** Corrected-as-of (`apply_corrections_at`,
+    * `inst/patches/patch_38.R:1287-1420`): the same correction fold
+    * over audit-reconstructed snapshots of BOTH the measurements and
+    * the corrections as of `asOfTs` — a correction added or edited
+    * after T plays no part; a measurement updated/deleted after T
+    * contributes its state at T.
+    *
+    * Expected columns: `measurements*` carry `measurement_row_id` +
+    * (timeseries_id, datetime, value) + created (+ action_ts on the
+    * log); `corrections*` carry `correction_id` + the
+    * [[Corrections]] schema + created (+ action_ts on the log).
+    */
+  def correctedSnapshotAt(
+      measurementsCurrent: DataFrame,
+      measurementsLog: DataFrame,
+      correctionsCurrent: DataFrame,
+      correctionsLog: DataFrame,
+      asOfTs: String
+  ): DataFrame = {
+    val m = AuditAsOf
+      .snapshotAt(
+        measurementsCurrent,
+        measurementsLog,
+        "measurement_row_id",
+        Seq("timeseries_id", "datetime", "value"),
+        asOfTs
+      )
+      .select("timeseries_id", "datetime", "value")
+    val c = AuditAsOf.snapshotAt(
+      correctionsCurrent,
+      correctionsLog,
+      "correction_id",
+      Seq("timeseries_id", "start_dt", "end_dt", "ctype", "value1", "value2", "window_seconds", "equation", "priority"),
+      asOfTs
+    )
+    Corrections(m, c)
+  }
+
   /** One series' (datetime, value) frame with corrections applied;
     * compounds resolved recursively.
     */

@@ -53,6 +53,105 @@ object LifecycleQueries {
       |WHERE rn = 1
       |ORDER BY user_id""".stripMargin
 
+  // ---- corrected-as-of composition ---------------------------------
+
+  /** `apply_corrections_at` (patch_38): corrections AND measurements
+    * reconstructed as of T, then the correction fold. Events become
+    * measurements (row id = event_id); every 11th row was deleted 5
+    * days after its timestamp, every 7th updated (+1) 20 days after;
+    * each series has an offset correction whose value1 was edited
+    * AFTER T (old 1.0 applies) plus a scale correction created after
+    * T (absent at T).
+    */
+  private def correctedAsOf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val asOf = "2024-01-20 00:00:00"
+    val e = TestTables.events(s, d).filter(col("user_id").between(1, 5))
+    val deleted = col("event_id") % 11 === 0
+    val updated = col("event_id") % 7 === 0
+    val mCur = e
+      .filter(!deleted)
+      .select(
+        col("event_id").as("measurement_row_id"),
+        col("user_id").cast("long").as("timeseries_id"),
+        col("ts").as("datetime"),
+        col("value"),
+        col("ts").as("created")
+      )
+    val mLog = e
+      .filter(deleted || updated)
+      .select(
+        col("event_id").as("measurement_row_id"),
+        col("user_id").cast("long").as("timeseries_id"),
+        col("ts").as("datetime"),
+        when(deleted, col("value")).otherwise(col("value") + 1).as("value"),
+        col("ts").as("created"),
+        when(deleted, col("ts") + expr("INTERVAL 5 DAYS"))
+          .otherwise(col("ts") + expr("INTERVAL 20 DAYS")).as("action_ts"),
+        when(deleted, lit("D")).otherwise(lit("U")).as("action")
+      )
+    def corrFrame(rows: Seq[(Long, Long, String, Double, Int, String)]) =
+      rows
+        .toDF("correction_id", "timeseries_id", "ctype", "value1", "priority", "created_s")
+        .withColumn("start_dt", lit("2024-01-10 00:00:00").cast("timestamp"))
+        .withColumn("end_dt", lit("2024-02-01 00:00:00").cast("timestamp"))
+        .withColumn("value2", lit(null).cast("double"))
+        .withColumn("window_seconds", lit(null).cast("long"))
+        .withColumn("equation", lit(null).cast("string"))
+        .withColumn("created", col("created_s").cast("timestamp"))
+        .drop("created_s")
+    val cCur = corrFrame(
+      (1 to 5).map(t => (100L + t, t.toLong, "offset_linear", 0.5, 1, "2024-01-01 00:00:00")) ++
+        (1 to 5).map(t => (200L + t, t.toLong, "scale", 200.0, 2, "2024-01-25 00:00:00"))
+    )
+    val cLog = corrFrame(
+      (1 to 5).map(t => (100L + t, t.toLong, "offset_linear", 1.0, 1, "2024-01-01 00:00:00"))
+    ).withColumn("action_ts", lit("2024-01-30 00:00:00").cast("timestamp"))
+      .withColumn("action", lit("U"))
+    graft.operators.CorrectedReader
+      .correctedSnapshotAt(mCur, mLog, cCur, cLog, asOf)
+      .groupBy(col("timeseries_id"), to_date(col("datetime")).as("date"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(col("corrected") * 100).cast("long")).as("sum_cents")
+      )
+      .orderBy(col("timeseries_id"), col("date"))
+  }
+
+  private val correctedAsOfSql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, ts, value FROM events WHERE user_id BETWEEN 1 AND 5
+      |), cur AS (
+      |  SELECT event_id AS rid, CAST(user_id AS BIGINT) AS tsid, ts AS datetime, value,
+      |         ts AS created, 9223372036854775807 AS ord_us
+      |  FROM e WHERE event_id % 11 <> 0
+      |), lg AS (
+      |  SELECT event_id AS rid, CAST(user_id AS BIGINT) AS tsid, ts AS datetime,
+      |         CASE WHEN event_id % 11 = 0 THEN value ELSE value + 1 END AS value,
+      |         ts AS created,
+      |         epoch_us(ts + CASE WHEN event_id % 11 = 0 THEN INTERVAL 5 DAY
+      |                            ELSE INTERVAL 20 DAY END) AS ord_us
+      |  FROM e WHERE event_id % 11 = 0 OR event_id % 7 = 0
+      |), snap AS (
+      |  SELECT tsid, datetime, value FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY rid ORDER BY ord_us) AS rn
+      |    FROM (SELECT * FROM cur
+      |          UNION ALL
+      |          SELECT * FROM lg WHERE ord_us > epoch_us(TIMESTAMP '2024-01-20 00:00:00'))
+      |  ) WHERE rn = 1 AND created <= TIMESTAMP '2024-01-20 00:00:00'
+      |), corrected AS (
+      |  SELECT tsid, datetime,
+      |         CASE WHEN datetime >= TIMESTAMP '2024-01-10 00:00:00'
+      |                   AND datetime < TIMESTAMP '2024-02-01 00:00:00'
+      |              THEN value + 1.0 ELSE value END AS corrected
+      |  FROM snap
+      |)
+      |SELECT tsid AS timeseries_id, CAST(datetime AS DATE) AS date,
+      |       count(*) AS n, sum(CAST(round(corrected * 100) AS BIGINT)) AS sum_cents
+      |FROM corrected
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   // ---- guideline evaluation ----------------------------------------
 
   /** (rule_id, algorithm, target, input, b0, b1, cap_min, cap_max,
@@ -159,6 +258,7 @@ object LifecycleQueries {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_asof_snapshot", asOfSnapshot, Some(asOfSnapshotSql)),
+    QueryDef("q_corrected_asof", correctedAsOf, Some(correctedAsOfSql)),
     QueryDef("q_guidelines", guidelines, Some(guidelinesSql)),
     QueryDef("q_increments", increments, None, headline = true),
     QueryDef("q_period_infer", periodInfer, None)

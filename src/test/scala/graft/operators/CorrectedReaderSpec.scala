@@ -113,4 +113,60 @@ class CorrectedReaderSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("cycle"))
   }
+
+  test("correctedSnapshotAt: post-T correction edits and measurement updates are rolled back") {
+    import spark.implicits._
+    val mCur = Seq(
+      (1L, 1L, "2023-01-01 06:00:00", 10.0, "2023-01-01 06:00:00"), // updated after T: log holds old 9.0
+      (2L, 1L, "2023-01-01 07:00:00", 20.0, "2023-01-01 07:00:00") // untouched
+      // row 3 deleted after T -> only in the log
+    ).toDF("measurement_row_id", "timeseries_id", "dt_s", "value", "created_s")
+      .withColumn("datetime", to_timestamp(col("dt_s")))
+      .withColumn("created", to_timestamp(col("created_s")))
+      .drop("dt_s", "created_s")
+    val mLog = Seq(
+      (1L, 1L, "2023-01-01 06:00:00", 9.0, "2023-01-01 06:00:00", "2023-01-03 00:00:00", "U"),
+      (3L, 1L, "2023-01-01 08:00:00", 30.0, "2023-01-01 08:00:00", "2023-01-03 00:00:00", "D")
+    ).toDF("measurement_row_id", "timeseries_id", "dt_s", "value", "created_s", "action_s", "action")
+      .withColumn("datetime", to_timestamp(col("dt_s")))
+      .withColumn("created", to_timestamp(col("created_s")))
+      .withColumn("action_ts", to_timestamp(col("action_s")))
+      .drop("dt_s", "created_s", "action_s")
+    // current correction offset +5 (edited after T from +2); a second
+    // correction created after T must not apply at T
+    val cCur = Seq(
+      (10L, 1L, "offset_linear", 5.0, 1, "2023-01-01 00:00:00"),
+      (11L, 1L, "scale", 200.0, 2, "2023-01-05 00:00:00")
+    ).toDF("correction_id", "timeseries_id", "ctype", "value1", "priority", "created_s")
+      .withColumn("start_dt", to_timestamp(lit("2023-01-01 00:00:00")))
+      .withColumn("end_dt", to_timestamp(lit("2023-01-02 00:00:00")))
+      .withColumn("value2", lit(null).cast("double"))
+      .withColumn("window_seconds", lit(null).cast("long"))
+      .withColumn("equation", lit(null).cast("string"))
+      .withColumn("created", to_timestamp(col("created_s")))
+      .drop("created_s")
+    val cLog = Seq((10L, 1L, "offset_linear", 2.0, 1, "2023-01-01 00:00:00", "2023-01-04 00:00:00"))
+      .toDF("correction_id", "timeseries_id", "ctype", "value1", "priority", "created_s", "action_s")
+      .withColumn("start_dt", to_timestamp(lit("2023-01-01 00:00:00")))
+      .withColumn("end_dt", to_timestamp(lit("2023-01-02 00:00:00")))
+      .withColumn("value2", lit(null).cast("double"))
+      .withColumn("window_seconds", lit(null).cast("long"))
+      .withColumn("equation", lit(null).cast("string"))
+      .withColumn("created", to_timestamp(col("created_s")))
+      .withColumn("action_ts", to_timestamp(col("action_s")))
+      .drop("created_s", "action_s")
+    val out = CorrectedReader
+      .correctedSnapshotAt(mCur, mLog, cCur, cLog, "2023-01-02 12:00:00")
+      .orderBy("datetime")
+      .collect()
+      .map(r => r.getTimestamp(r.fieldIndex("datetime")).toString -> r.getDouble(r.fieldIndex("corrected")))
+      .toMap
+    // at T: offset was +2 (not +5), scale didn't exist, row1 was 9.0,
+    // row3 not yet deleted
+    assert(out == Map(
+      "2023-01-01 06:00:00.0" -> 11.0, // 9 + 2
+      "2023-01-01 07:00:00.0" -> 22.0, // 20 + 2
+      "2023-01-01 08:00:00.0" -> 32.0 // 30 + 2 (delete happened after T)
+    ))
+  }
 }
