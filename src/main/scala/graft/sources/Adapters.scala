@@ -94,5 +94,5 @@ object CsvStationAdapter extends SourceAdapter {
 
 object Adapters {
   def default: AdapterRegistry =
-    new AdapterRegistry(Seq(SyntheticAdapter, CsvStationAdapter, SwobXmlAdapter))
+    new AdapterRegistry(Seq(SyntheticAdapter, CsvStationAdapter, SwobXmlAdapter, StationWeatherAdapter))
 }

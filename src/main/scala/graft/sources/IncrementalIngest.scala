@@ -36,13 +36,14 @@ object IncrementalIngest {
       .collect()
       .toMap
 
-    val frames = catalog.filter(c => registry.contains(c.sourceFx)).map { cfg =>
-      val last = lastPoints.get(cfg.timeseriesId)
-      val start = last
+    def startOf(cfg: SeriesConfig): java.sql.Timestamp =
+      lastPoints
+        .get(cfg.timeseriesId)
         .map(t => new java.sql.Timestamp(t.getTime + 1000L))
         .getOrElse(java.sql.Timestamp.valueOf("1970-01-01 00:00:00"))
-      val fetched = registry(cfg.sourceFx).fetch(spark, cfg, start)
-      val guarded = last match {
+
+    def guard(fetched: DataFrame, cfg: SeriesConfig): DataFrame = {
+      val guarded = lastPoints.get(cfg.timeseriesId) match {
         // re-check under the "lock": never re-append the last point
         case Some(t) => fetched.filter(col("datetime") > lit(t))
         case None    => fetched
@@ -55,6 +56,26 @@ object IncrementalIngest {
           "period_seconds",
           coalesce(col("period_seconds"), lit(cfg.recordRateSeconds.map(Long.box).orNull))
         )
+    }
+
+    // cache-sharing task groups (`R/getNewContinuous.R:286-316`):
+    // series of a SharedFetchAdapter with equal cache keys share ONE
+    // fetch from the earliest start; everything else fetches per series
+    val known = catalog.filter(c => registry.contains(c.sourceFx))
+    val frames = known.groupBy(_.sourceFx).toSeq.sortBy(_._1).flatMap {
+      case (fx, cfgs) =>
+        registry(fx) match {
+          case sa: SharedFetchAdapter =>
+            cfgs.groupBy(sa.cacheKey).toSeq.sortBy(_._1).flatMap { case (_, group) =>
+              val earliest = group.map(startOf).minBy(_.getTime)
+              val shared0 = sa.fetchShared(spark, group, earliest)
+              // barrier: N extracts must not re-run the fetch
+              val shared = if (group.size > 1) shared0.localCheckpoint(false) else shared0
+              group.map(cfg => guard(sa.extract(shared, cfg), cfg))
+            }
+          case adapter =>
+            cfgs.map(cfg => guard(adapter.fetch(spark, cfg, startOf(cfg)), cfg))
+        }
     }
     if (frames.isEmpty)
       spark.emptyDataFrame

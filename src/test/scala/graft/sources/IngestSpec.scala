@@ -47,6 +47,41 @@ class IngestSpec extends SparkSpec {
     assert(fresh.count() == 48)
   }
 
+  test("SharedFetchAdapter: one fetch per cache group, per-series extraction") {
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    object CountingWeather extends SharedFetchAdapter {
+      override val name = "downloadStationWeather"
+      override def cacheKey(cfg: SeriesConfig) = StationWeatherAdapter.cacheKey(cfg)
+      override def fetchShared(s: org.apache.spark.sql.SparkSession, g: Seq[SeriesConfig], t: java.sql.Timestamp) = {
+        counter.incrementAndGet()
+        StationWeatherAdapter.fetchShared(s, g, t)
+      }
+      override def extract(shared: org.apache.spark.sql.DataFrame, cfg: SeriesConfig) =
+        StationWeatherAdapter.extract(shared, cfg)
+    }
+    def cfg(id: Long, station: String, param: String) = SeriesConfig(
+      id, "downloadStationWeather",
+      Map("station" -> station, "parameter" -> param,
+        "from" -> "2023-01-01 00:00:00", "to" -> "2023-01-02 00:00:00")
+    )
+    // 3 parameters of station A + 1 of station B = 2 cache groups
+    val catalog = Seq(
+      cfg(11L, "A", "temp_c"), cfg(12L, "A", "rh_pct"), cfg(13L, "A", "wind_kmh"),
+      cfg(14L, "B", "temp_c")
+    )
+    val out = IncrementalIngest.getNewContinuous(
+      spark, catalog, spark.emptyDataFrame.withColumn("timeseries_id", lit(0L))
+        .withColumn("datetime", lit(null).cast("timestamp")).limit(0),
+      new AdapterRegistry(Seq(CountingWeather))
+    )
+    assert(out.select("timeseries_id").distinct().count() == 4)
+    assert(out.count() == 4 * 24)
+    assert(counter.get() == 2, s"one fetchShared per cache group, got ${counter.get()}")
+    // station A's three series carry the same datetimes, different values
+    val a = out.filter(col("timeseries_id").isin(11L, 12L, 13L))
+    assert(a.select("datetime").distinct().count() == 24)
+  }
+
   test("CsvStationAdapter maps WSC-style qualifier and bilingual approval codes") {
     val dir = java.nio.file.Files.createTempDirectory("csvadapter").toString
     val csv = new java.io.PrintWriter(s"$dir/station.csv")
