@@ -37,6 +37,43 @@ object Imputation {
     df.withColumn(outCol, filled)
   }
 
+  /** Donor-based gap fill (`R/imputeMissing.R:543-606,886-901`): a
+    * missing point takes the best-ranked donor's co-timestamped value
+    * plus that donor's fitted mean offset, falling back through the
+    * donor ranking when a donor lacks the timestamp. Donor discovery /
+    * offset fitting / ranking is the q_donor_offsets pipeline — this
+    * operator consumes its output.
+    *
+    * @param donors (target, rank, donor, avg_offset) — per-series
+    *               metadata, broadcast
+    */
+  def fillFromDonors(
+      df: DataFrame,
+      keyCol: String,
+      dtCol: String,
+      valueCol: String,
+      donors: DataFrame,
+      outCol: String = "filled"
+  ): DataFrame = {
+    val missing = df.filter(col(valueCol).isNull).select(col(keyCol).as("target"), col(dtCol))
+    val donorVals = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(keyCol).as("donor"), col(dtCol), col(valueCol).as("donor_value"))
+    val candidates = missing
+      .join(broadcast(donors), Seq("target"))
+      .join(donorVals, Seq("donor", dtCol)) // co-timestamped donor points
+      .withColumn("fill", col("donor_value") + col("avg_offset"))
+    val w = Window.partitionBy(col("target"), col(dtCol)).orderBy(col("rank"), col("donor"))
+    val best = candidates
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("target").as(keyCol), col(dtCol), col("fill"), col("donor").as("fill_donor"))
+    df.join(best, Seq(keyCol, dtCol), "left")
+      .withColumn(outCol, coalesce(col(valueCol).cast("double"), col("fill")))
+      .withColumn("imputed", col(valueCol).isNull && col("fill").isNotNull)
+      .drop("fill")
+  }
+
   /** Linear interpolation of NULL runs between observed anchors,
     * bounded by `maxGapSeconds` (NULL stays NULL when the bracketing
     * anchors are too far apart or a side is missing). `imputed` marks

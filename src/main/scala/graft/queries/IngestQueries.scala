@@ -335,9 +335,87 @@ object IngestQueries {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  // ---- donor-based gap fill ----------------------------------------
+
+  /** `imputeMissing` donor path end-to-end shape: hourly series, the
+    * morning hours of every 5th user knocked out, filled from a
+    * 2-deep donor ranking (donor value + fitted offset, fallback to
+    * rank 2 when rank 1 lacks the hour).
+    */
+  private def donorFill(s: SparkSession, d: String): DataFrame = {
+    val hourly = TestTables.events(s, d)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    val isTarget = col("user_id") % 5 === 0
+    val holed = hourly.withColumn(
+      "v",
+      when(isTarget && hour(col("hour_ts")).between(6, 9), lit(null))
+        .otherwise(col("cents"))
+        .cast("double")
+    )
+    val targets = hourly.select(col("user_id")).distinct().filter(isTarget)
+    val donors = targets
+      .select(col("user_id").as("target"), lit(1).as("rank"), (col("user_id") + 1).as("donor"), lit(100.0).as("avg_offset"))
+      .unionByName(
+        targets.select(col("user_id").as("target"), lit(2).as("rank"), (col("user_id") + 2).as("donor"), lit(-50.0).as("avg_offset"))
+      )
+    graft.operators.Imputation
+      .fillFromDonors(holed.drop("cents"), "user_id", "hour_ts", "v", donors)
+      .filter(col("user_id") % 5 === 0)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_hours"),
+        sum(when(col("v").isNull, 1).otherwise(0)).as("n_missing"),
+        sum(when(col("imputed"), 1).otherwise(0)).as("n_filled"),
+        sum(col("filled").cast("long")).as("sum_filled")
+      )
+      .orderBy(col("user_id"))
+  }
+
+  private val donorFillSql =
+    """WITH hourly AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS hour_ts,
+      |         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      |  FROM events GROUP BY 1, 2
+      |), holed AS (
+      |  SELECT user_id, hour_ts,
+      |         CASE WHEN user_id % 5 = 0 AND hour(hour_ts) BETWEEN 6 AND 9
+      |              THEN NULL ELSE cents END::DOUBLE AS v
+      |  FROM hourly
+      |), donors AS (
+      |  SELECT user_id AS target, 1 AS rank, user_id + 1 AS donor, 100.0 AS avg_offset
+      |  FROM (SELECT DISTINCT user_id FROM hourly WHERE user_id % 5 = 0)
+      |  UNION ALL
+      |  SELECT user_id, 2, user_id + 2, -50.0
+      |  FROM (SELECT DISTINCT user_id FROM hourly WHERE user_id % 5 = 0)
+      |), best AS (
+      |  SELECT * FROM (
+      |    SELECT m.user_id, m.hour_ts, dv.v + d.avg_offset AS fill,
+      |           row_number() OVER (PARTITION BY m.user_id, m.hour_ts
+      |                              ORDER BY d.rank, d.donor) AS rn
+      |    FROM holed m
+      |    JOIN donors d ON d.target = m.user_id
+      |    JOIN holed dv ON dv.user_id = d.donor AND dv.hour_ts = m.hour_ts AND dv.v IS NOT NULL
+      |    WHERE m.v IS NULL
+      |  ) WHERE rn = 1
+      |), filled AS (
+      |  SELECT h.user_id, h.v, coalesce(h.v, b.fill) AS filled,
+      |         h.v IS NULL AND b.fill IS NOT NULL AS imputed
+      |  FROM holed h LEFT JOIN best b ON b.user_id = h.user_id AND b.hour_ts = h.hour_ts
+      |)
+      |SELECT user_id, count(*) AS n_hours,
+      |       sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS n_missing,
+      |       sum(CASE WHEN imputed THEN 1 ELSE 0 END) AS n_filled,
+      |       sum(CAST(filled AS BIGINT)) AS sum_filled
+      |FROM filled
+      |WHERE user_id % 5 = 0
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_incremental_filter", incrementalFilter, Some(incrementalFilterSql)),
     QueryDef("q_discrete_ingest", discreteIngest, Some(discreteIngestSql)),
+    QueryDef("q_donor_fill", donorFill, Some(donorFillSql)),
     QueryDef("q_hydat_merge", hydatMerge, Some(hydatMergeSql)),
     QueryDef("q_rls_filter", rlsFilter, Some(rlsFilterSql)),
     QueryDef("q_topk_context", topkContext, Some(topkContextSql)),

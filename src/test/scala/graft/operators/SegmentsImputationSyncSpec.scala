@@ -122,4 +122,27 @@ class SegmentsImputationSyncSpec extends SparkSpec {
     // 4 keeps local 4.0; 2 takes remote 2.5; 6 inserted
     assert(out == Map(2L -> 2.5, 4L -> 4.0, 5L -> 5.0, 6L -> 6.0))
   }
+
+  test("Imputation.fillFromDonors: best-ranked co-timestamped donor + offset, rank fallback") {
+    import spark.implicits._
+    def t(h: Int) = java.sql.Timestamp.valueOf(f"2023-01-01 $h%02d:00:00")
+    // target 1: missing at hours 1 and 2. donor 2 (rank 1, offset +10)
+    // has hour 1 only; donor 3 (rank 2, offset -5) has both.
+    val df = Seq(
+      (1L, t(0), Some(100.0)), (1L, t(1), None), (1L, t(2), None),
+      (2L, t(0), Some(90.0)), (2L, t(1), Some(95.0)),
+      (3L, t(0), Some(80.0)), (3L, t(1), Some(85.0)), (3L, t(2), Some(88.0))
+    ).toDF("k", "dt", "v")
+    val donors = Seq((1L, 1, 2L, 10.0), (1L, 2, 3L, -5.0))
+      .toDF("target", "rank", "donor", "avg_offset")
+    val out = Imputation
+      .fillFromDonors(df, "k", "dt", "v", donors)
+      .filter(col("k") === 1L)
+      .collect()
+      .map(r => r.getTimestamp(1).toString -> ((Option(r.get(r.fieldIndex("filled"))), r.getBoolean(r.fieldIndex("imputed")))))
+      .toMap
+    assert(out("2023-01-01 00:00:00.0") == ((Some(100.0), false)))
+    assert(out("2023-01-01 01:00:00.0") == ((Some(105.0), true))) // 95 + 10, rank 1
+    assert(out("2023-01-01 02:00:00.0") == ((Some(83.0), true))) // 88 - 5, rank-2 fallback
+  }
 }
