@@ -75,7 +75,56 @@ object StatsQueries {
        |GROUP BY t.series_key, t.date, t.value
        |ORDER BY t.series_key, t.date""".stripMargin
 
+  // ---- survey offset: mean of per-survey ratios of means -----------
+
+  /** Snow-course old-vs-new-location offset
+    * (`R/downloadSnowCourse.R:271-300`): for overlapping surveys, the
+    * percent offset is the MEAN OF per-survey RATIOS of means, not the
+    * ratio of overall means. Daily (user, click-vs-view) pairs stand
+    * in for (survey, old-vs-new location).
+    */
+  private def surveyOffset(s: SparkSession, d: String): DataFrame = {
+    val daily = TestTables.events(s, d)
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy(col("user_id"), to_date(col("ts")).as("date"), col("event_type"))
+      .agg(avg(round(col("value") * 100).cast("long")).as("m"))
+    val c = daily.filter(col("event_type") === "click").select(col("user_id"), col("date"), col("m").as("m_old"))
+    val v = daily.filter(col("event_type") === "view").select(col("user_id"), col("date"), col("m").as("m_new"))
+    c.join(v, Seq("user_id", "date"))
+      .filter(col("m_old") =!= 0.0)
+      .withColumn("ratio_ppm", round(col("m_new") / col("m_old") * 1e6).cast("long"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_surveys"),
+        round(avg(col("ratio_ppm")) / 1e6, 6).as("offset_ratio")
+      )
+      .filter(col("n_surveys") >= 5)
+      .orderBy(col("user_id"))
+  }
+
+  private val surveyOffsetSql =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS date, event_type,
+      |         avg(CAST(round(value * 100) AS BIGINT)) AS m
+      |  FROM events
+      |  WHERE event_type IN ('click', 'view')
+      |  GROUP BY 1, 2, 3
+      |), paired AS (
+      |  SELECT c.user_id, c.date,
+      |         CAST(round(v.m / c.m * 1e6) AS BIGINT) AS ratio_ppm
+      |  FROM daily c
+      |  JOIN daily v ON v.user_id = c.user_id AND v.date = c.date AND v.event_type = 'view'
+      |  WHERE c.event_type = 'click' AND c.m <> 0.0
+      |)
+      |SELECT user_id, count(*) AS n_surveys,
+      |       round(avg(ratio_ppm) / 1e6, 6) AS offset_ratio
+      |FROM paired
+      |GROUP BY 1
+      |HAVING count(*) >= 5
+      |ORDER BY 1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_survey_offset", surveyOffset, Some(surveyOffsetSql)),
     QueryDef("q_doy_stats", doyStats(None), Some(doySql("")), headline = true),
     QueryDef(
       "q_doy_stats_rolling",
