@@ -47,6 +47,27 @@ object TableLayout {
       .mode(mode)
       .parquet(path)
 
+  /** Catalog-registered BUCKETED table (`bucketBy` + `sortBy` +
+    * `saveAsTable`): two tables bucketed identically on the join key
+    * sort-merge-join with NO shuffle and NO sort — the co-located
+    * join (SURVEY §4). Directory partitioning (above) prunes scans;
+    * bucketing additionally pins the shuffle layout, which is what a
+    * repeated fact ⋈ fact join on `timeseries_id` needs at 100 TB.
+    */
+  def writeBucketedTable(
+      df: DataFrame,
+      tableName: String,
+      keyCol: String,
+      nBuckets: Int,
+      mode: SaveMode = SaveMode.Overwrite
+  ): Unit =
+    df.write
+      .format("parquet")
+      .bucketBy(nBuckets, keyCol)
+      .sortBy(keyCol)
+      .mode(mode)
+      .saveAsTable(tableName)
+
   /** Windowed per-series read — partition-pruned by month and bucket. */
   def readSeriesWindow(
       spark: org.apache.spark.sql.SparkSession,

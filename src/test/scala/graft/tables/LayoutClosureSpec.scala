@@ -44,4 +44,40 @@ class LayoutClosureSpec extends SparkSpec {
     assert(pf.contains("event_month") && pf.contains("series_bucket"), pf)
     assert(scan.inputRDDs().head.getNumPartitions >= 0) // plan materializes
   }
+
+  test("identically bucketed tables sort-merge-join with no shuffle and no sort") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val facts = (1 to 2000)
+      .map(i => (i.toLong % 40, i.toLong, i * 0.5))
+      .toDF("timeseries_id", "row_id", "value")
+    val daily = (0L until 40L).map(t => (t, t * 100.0)).toDF("timeseries_id", "daily_mean")
+    TableLayout.writeBucketedTable(facts, "m_bucketed", "timeseries_id", 8)
+    TableLayout.writeBucketedTable(daily, "d_bucketed", "timeseries_id", 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = spark
+        .table("m_bucketed")
+        .join(spark.table("d_bucketed"), Seq("timeseries_id"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() == 2000)
+      // the bucket pruning path: an equality filter on the bucket key
+      // selects 1 of 8 buckets (the aggregate makes the bucketed
+      // distribution useful, so the planner keeps the bucketed scan)
+      val pruned = spark
+        .table("m_bucketed")
+        .filter(col("timeseries_id") === 7L)
+        .groupBy(col("timeseries_id"))
+        .agg(count(lit(1)))
+      val prunedPlan = pruned.queryExecution.executedPlan.toString
+      assert(prunedPlan.contains("SelectedBucketsCount: 1 out of 8"), prunedPlan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS m_bucketed")
+      spark.sql("DROP TABLE IF EXISTS d_bucketed")
+    }
+  }
 }
