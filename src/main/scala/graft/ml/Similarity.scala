@@ -189,15 +189,23 @@ object Similarity {
       .filter(queryPred)
       .select(
         col(idCol).as("query_id"),
-        col("v").as("q"),
         explode(array((col("bucket") +: probes): _*)).as("bucket")
       )
-    val scored = corpus
+    // dedupe candidate IDs first (a neighbor is reachable via several
+    // probes), THEN attach vectors and score once per pair — the
+    // shuffle moves 16-byte id pairs, not scored vectors
+    val candidates = corpus
+      .select(col("neighbor_id"), col("bucket"))
       .join(queryBuckets, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .distinct()
+    val queryVecs = withBucket.filter(queryPred).select(col(idCol).as("query_id"), col("v").as("q"))
+    val scored = candidates
+      .join(broadcast(queryVecs), Seq("query_id"))
+      .join(corpus.select(col("neighbor_id"), col("v")), Seq("neighbor_id"))
       .withColumn("cos", nativeCosine(col("q"), col("v")))
       .select("query_id", "neighbor_id", "cos")
-      .distinct() // a neighbor may be reached via several probes
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w))

@@ -150,6 +150,23 @@ class MlSpec extends SparkSpec {
     assert(blocked.size >= 8, s"recall >= 0.8 at 8 planes + 1-bit multiprobe, got ${blocked.size}/10")
   }
 
+  test("native vec_dot is bit-identical to the interpreted HOF dot") {
+    import spark.implicits._
+    graft.functions.VectorOps.register(spark)
+    val vecs = Similarity.hyperplanes(50, 64, seed = 99L)
+    val df = vecs.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toSeq) }
+      .toSeq
+      .toDF("id", "v")
+      .withColumn("w", expr("reverse(v)"))
+    val mismatches = df
+      .withColumn("hof", aggregate(zip_with(col("v"), col("w"), (p, q) => p * q), lit(0.0), (a, x) => a + x))
+      .withColumn("native", graft.functions.VectorOps.dot(col("v"), col("w")))
+      .filter(col("hof") =!= col("native")) // exact double equality
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("Multimodal.extractFeatures computes real byte-level features") {
     import spark.implicits._
     val df = Seq((1L, "abc"), (2L, "")).toDF("doc_id", "text")
