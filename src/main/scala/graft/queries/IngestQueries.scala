@@ -212,7 +212,7 @@ object IngestQueries {
       )
       .filter(col("n") >= 3)
     val scored = offsets
-      .join(nearby, Seq("target", "donor"))
+      .join(broadcast(nearby), Seq("target", "donor"))
       .withColumn("sd_r", round(col("sd"), 6))
     val w = Window.partitionBy(col("target")).orderBy(col("sd_r"), col("donor"))
     scored
