@@ -120,6 +120,67 @@ object Similarity {
       .select("a_id", "b_id", "cos")
   }
 
+  /** IVF (inverted-file) approximate top-k: the corpus is partitioned
+    * into `nCentroids` inverted lists by nearest coarse centroid;
+    * each query scores only the lists of its `nProbe` nearest
+    * centroids. Centroids are deterministic unit vectors (no k-means
+    * fit — at scale you'd fit them offline and broadcast; the
+    * assignment/probe machinery is identical).
+    *
+    * This is the second scale path next to [[annTopK]]'s
+    * hyperplane-LSH: IVF bounds work per query to nProbe/nCentroids
+    * of the corpus and its lists shard naturally (shuffle on
+    * cluster id = the inverted index).
+    */
+  def ivfTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryPred: Column,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      seed: Long = 7L,
+      dim: Int = 64
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    VectorOps.register(emb.sparkSession)
+    val centroids = hyperplanes(nCentroids, dim, seed).map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      c.map(_ / n)
+    }
+    // struct array of (centroid score, centroid id), sorted desc
+    def ranked(vec: Column): Column =
+      sort_array(
+        array(centroids.zipWithIndex.map { case (c, i) =>
+          struct(VectorOps.dot(vec, array(c.map(lit): _*)).as("s"), lit(i).as("c"))
+        }: _*),
+        asc = false
+      )
+    val e = normalizedVecs(emb, idCol, vecCol)
+    val corpus = e
+      .withColumn("cluster", ranked(col("nv")).getItem(0).getField("c"))
+      .select(col("id").as("neighbor_id"), col("nv").as("v"), col("cluster"))
+    val queries = emb
+      .filter(queryPred)
+      .select(col(idCol).as("qid"))
+      .join(e.withColumnRenamed("id", "qid"), Seq("qid"))
+      .withColumn(
+        "cluster",
+        explode(transform(slice(ranked(col("nv")), 1, nProbe), x => x.getField("c")))
+      )
+      .select(col("qid").as("query_id"), col("nv").as("q"), col("cluster"))
+    val scored = corpus
+      .join(broadcast(queries), Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", VectorOps.dot(col("q"), col("v")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
   /** id + L2-normalized double vector; the norm is materialized as its
     * own column so it is computed once per row, not once per element.
     */

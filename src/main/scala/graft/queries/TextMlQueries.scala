@@ -396,6 +396,24 @@ object TextMlQueries {
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
       .orderBy(col("query_id"), col("rank"))
 
+  /** IVF ANN — inverted lists by nearest deterministic coarse
+    * centroid, nProbe-list probing (rows-only: centroid constants not
+    * SQL-expressible).
+    */
+  private def ivfAnn(s: SparkSession, d: String): DataFrame =
+    Similarity
+      .ivfTopK(
+        TestTables.embeddings(s, d),
+        "vec_id",
+        "embedding",
+        queryPred = col("vec_id") % 100 === 0,
+        k = 5,
+        nCentroids = 16,
+        nProbe = 4
+      )
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+
   // ---- multimodal binary plumbing ----------------------------------
 
   private def multimodalFeatures(s: SparkSession, d: String): DataFrame =
@@ -426,6 +444,7 @@ object TextMlQueries {
     QueryDef("q_cosine_topk", cosineTopK, Some(cosineTopKSql), headline = true),
     QueryDef("q_embed_neardup", embedNearDup, Some(embedNearDupSql)),
     QueryDef("q_ann_lsh", annLsh, None, headline = true),
+    QueryDef("q_ivf_ann", ivfAnn, None),
     QueryDef("q_multimodal_features", multimodalFeatures, Some(multimodalFeaturesSql))
   )
 }

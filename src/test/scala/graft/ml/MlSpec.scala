@@ -150,6 +150,27 @@ class MlSpec extends SparkSpec {
     assert(blocked.size >= 8, s"recall >= 0.8 at 8 planes + 1-bit multiprobe, got ${blocked.size}/10")
   }
 
+  test("Similarity.ivfTopK recalls most brute-force neighbors at 4/16 probes") {
+    import spark.implicits._
+    val vecs = Similarity.hyperplanes(200, 64, seed = 3L)
+    val emb = vecs.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.map(_.toFloat).toSeq) }
+      .toSeq
+      .toDF("vec_id", "embedding")
+    val pred = col("vec_id") % 40 === 0
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("query_id")), r.getLong(r.fieldIndex("neighbor_id"))))
+      .toSet
+    val exact = pairs(Similarity.cosineTopK(emb, "vec_id", "embedding", pred, k = 5))
+    val ivf = pairs(Similarity.ivfTopK(emb, "vec_id", "embedding", pred, k = 5))
+    assert(ivf.size == exact.size, "every query returns k results")
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF recall with random data at 4/16 probes, got $recall")
+    // determinism
+    assert(pairs(Similarity.ivfTopK(emb, "vec_id", "embedding", pred, k = 5)) == ivf)
+  }
+
   test("native vec_dot is bit-identical to the interpreted HOF dot") {
     import spark.implicits._
     graft.functions.VectorOps.register(spark)
