@@ -24,7 +24,11 @@ object DailyUpdate {
       measurements: DataFrame,
       corrected: DataFrame,
       daily: DataFrame,
-      changedRanges: DataFrame
+      changedRanges: DataFrame,
+      /** QC segment upserts/deletes from this batch's grade/approval
+        * observations (None when no segment store was passed)
+        */
+      qcChanges: Option[DataFrame] = None
   )
 
   /** @param catalog     active series configs (source_fx dispatch,
@@ -41,22 +45,32 @@ object DailyUpdate {
       dailyBase: DataFrame,
       corrections: DataFrame,
       registry: AdapterRegistry,
-      aggTypes: Map[Long, (String, Int)]
+      aggTypes: Map[Long, (String, Int)],
+      /** existing QC segment store (series_id, stream, id, value,
+        * start_dt, end_dt) — enables the reference's per-batch
+        * `adjust_grade`/`adjust_approval` step
+        */
+      qcSegments: Option[DataFrame] = None
   ): Result = {
     import spark.implicits._
 
     // 1. incremental fetch (last-point watermark per series)
     val appended = IncrementalIngest
       .getNewContinuous(spark, catalog, measurements, registry)
-      .select("timeseries_id", "datetime", "value", "period_seconds")
+      .select("timeseries_id", "datetime", "value", "period_seconds", "grade", "approval")
 
     // 2. upsert into the store (conflict on (series, datetime): new wins)
     val merged = Upsert(
       measurements.select("timeseries_id", "datetime", "value", "period_seconds"),
-      appended,
+      appended.select("timeseries_id", "datetime", "value", "period_seconds"),
       keys = Seq("timeseries_id", "datetime"),
       mode = Upsert.DoUpdate
     )
+
+    // 2b. QC segment adjustment (`R/getNewContinuous.R:577-593`): the
+    // batch's grade/approval observations become RLE segments and
+    // reconcile against the store per (series, stream)
+    val qcChanges = qcSegments.map(store => adjustQcFromBatch(appended, store))
 
     // 3. corrected values (broadcast fold; pass-through when empty)
     val corrected =
@@ -73,7 +87,28 @@ object DailyUpdate {
       .withColumn("value", col("corrected"))
     val daily = IncrementalDaily.refresh(withMeta, dailyBase, changes)
 
-    Result(appended, merged, corrected, daily, changes)
+    Result(appended, merged, corrected, daily, changes, qcChanges)
+  }
+
+  /** Per-QC-dimension RLE segments from the batch's point
+    * observations, reconciled against the existing store. The final
+    * open segment closes one second after its last observation
+    * (half-open `[)` like the reference's exclusion constraints).
+    */
+  def adjustQcFromBatch(appended: DataFrame, existingSegments: DataFrame): DataFrame = {
+    def segmentsOf(dim: String) =
+      Segments
+        .fromPoints(appended.filter(col(dim).isNotNull), Seq("timeseries_id"), "datetime", dim)
+        .select(
+          col("timeseries_id").as("series_id"),
+          lit(dim).as("stream"),
+          lit(null).cast("long").as("id"),
+          col(dim).cast("string").as("value"),
+          col("start_dt"),
+          coalesce(col("end_dt"), col("last_dt") + expr("INTERVAL 1 SECOND")).as("end_dt")
+        )
+    val newSegs = segmentsOf("grade").unionByName(segmentsOf("approval"))
+    SegmentAdjust.adjust(existingSegments, newSegs, streamCol = Some("stream"))
   }
 
   /** DOY historical stats over the refreshed daily frame, recomputed

@@ -56,4 +56,42 @@ class DailyUpdateSpec extends SparkSpec {
     val doy = DailyUpdate.refreshDoyStats(result.daily, result.changedRanges)
     assert(doy.count() >= 2L)
   }
+
+  test("QC adjust step: batch grades become reconciled segments in the store") {
+    import spark.implicits._
+    val cfg = SeriesConfig(
+      timeseriesId = 1L,
+      sourceFx = "downloadSynthetic",
+      args = Map(
+        "series" -> "water_level",
+        "step_seconds" -> "3600",
+        "from" -> "2023-01-01 00:00:00",
+        "to" -> "2023-01-02 00:00:00"
+      ),
+      defaultGrade = Some("B")
+    )
+    val empty = Seq.empty[(Long, java.sql.Timestamp, Double, Long)]
+      .toDF("timeseries_id", "datetime", "value", "period_seconds")
+    val dailyBase = DailyAggregate(
+      empty.withColumn("agg_type", lit("mean")).withColumn("offset_hours", lit(0))
+    )
+    val corrections = Seq.empty[(Long, Long, java.sql.Timestamp, java.sql.Timestamp, String, Option[Double], Option[Double], Option[Long], Option[String], Int)]
+      .toDF("correction_id", "timeseries_id", "start_dt", "end_dt", "ctype", "value1", "value2", "window_seconds", "equation", "priority")
+    // existing store: grade 'A' over the first half of the day
+    val store = Seq(
+      (1L, "grade", 10L, "A", "2023-01-01 00:00:00", "2023-01-01 12:00:00")
+    ).toDF("series_id", "stream", "id", "value", "start_s", "end_s")
+      .withColumn("start_dt", to_timestamp(col("start_s")))
+      .withColumn("end_dt", to_timestamp(col("end_s")))
+      .drop("start_s", "end_s")
+    val result = DailyUpdate.run(
+      spark, Seq(cfg), empty, dailyBase, corrections, Adapters.default,
+      aggTypes = Map(1L -> ("mean", 0)), qcSegments = Some(store)
+    )
+    val qc = result.qcChanges.get.collect()
+    assert(qc.nonEmpty, "default grade B over the batch window must replace/extend grade A")
+    val upserts = qc.filter(_.getString(qc.head.fieldIndex("op")) == "upsert")
+    val grades = upserts.filter(_.getString(1) == "grade").map(r => r.getString(3)).toSet
+    assert(grades == Set("B"), s"new wins over old: $grades")
+  }
 }
