@@ -82,11 +82,15 @@ object CsvStationAdapter extends SourceAdapter {
       )
     val qmap = QualifierMap.toDF("qualifier_code", "qualifier")
     val amap = ApprovalMap.toDF("approval_label", "approval")
+    // optional imperial->metric conversion (the NWIS pattern),
+    // args: "convert" in ft_to_m | cfs_to_cms | f_to_c
+    val converted = UnitConvert.convert(cfg.args.getOrElse("convert", "none"), col("value"))
     SourceAdapter.normalize(
       raw
         .join(broadcast(qmap), Seq("qualifier_code"), "left")
         .join(broadcast(amap), Seq("approval_label"), "left")
         .filter(col("datetime") >= lit(startTs))
+        .withColumn("value", converted)
         .select("datetime", "value", "qualifier", "approval")
     )
   }

@@ -35,6 +35,23 @@ class DiscreteSpec extends SparkSpec {
     assert(detected.filter(col("result").isNull).count() == 0)
   }
 
+  test("UnitConvert: imperial->metric conversions and the inf scrub") {
+    import spark.implicits._
+    val df = Seq(32.0, 212.0, Double.NaN, Double.PositiveInfinity)
+      .toDF("v")
+    val c = df
+      .select(UnitConvert.convert("f_to_c", org.apache.spark.sql.functions.col("v")).as("c"))
+      .collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(c(0).contains(0.0) && c(1).contains(100.0))
+    assert(c(2).isEmpty && c(3).isEmpty, "NaN and Inf scrub to NULL, rows kept")
+    val m = Seq(3.28084).toDF("v")
+      .select(UnitConvert.convert("ft_to_m", org.apache.spark.sql.functions.col("v")))
+      .head().getDouble(0)
+    assert(math.abs(m - 1.0) < 1e-9)
+    intercept[IllegalArgumentException](UnitConvert.convert("furlongs", org.apache.spark.sql.functions.lit(1.0)))
+  }
+
   test("incremental startTs filters samples and their results") {
     val batch = SyntheticDiscreteAdapter
       .fetch(spark, cfg, java.sql.Timestamp.valueOf("2023-06-01 00:00:00"))
