@@ -48,6 +48,71 @@ object Multimodal {
     }
   }
 
+  /** Video-style frame sampling: the binary payload is treated as a
+    * container of fixed-size frames; every `everyNth` frame is
+    * emitted as its own row (id, frame_no, frame BINARY). The byte
+    * slicing is real — a production decoder replaces "fixed-size
+    * slice" with codec-aware frame extraction, keeping this exact
+    * row shape. The trailing partial frame is kept.
+    */
+  def frameSample(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      frameBytes: Int,
+      everyNth: Int = 1
+  ): DataFrame = {
+    require(frameBytes > 0 && everyNth > 0)
+    val schema = StructType(
+      Seq(
+        StructField(idCol, LongType, nullable = false),
+        StructField("frame_no", IntegerType, nullable = false),
+        StructField("frame", BinaryType, nullable = false)
+      )
+    )
+    val prepared = df.select(col(idCol).cast(LongType), col(binCol).cast(BinaryType))
+    prepared.mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val nFrames = (bytes.length + frameBytes - 1) / frameBytes
+        (0 until nFrames).iterator
+          .filter(_ % everyNth == 0)
+          .map { i =>
+            val from = i * frameBytes
+            val until = math.min(from + frameBytes, bytes.length)
+            Row(r.getLong(0), i, java.util.Arrays.copyOfRange(bytes, from, until))
+          }
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Resize stub: normalize every payload to exactly `targetBytes`
+    * (truncate or zero-pad) — the deterministic stand-in for an image
+    * resize, with the real production shape: fixed-size binary out,
+    * batched partition-local processing, no shuffle of payloads.
+    */
+  def resizeStub(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      targetBytes: Int
+  ): DataFrame = {
+    require(targetBytes > 0)
+    val schema = StructType(
+      Seq(
+        StructField(idCol, LongType, nullable = false),
+        StructField("media", BinaryType, nullable = false)
+      )
+    )
+    val prepared = df.select(col(idCol).cast(LongType), col(binCol).cast(BinaryType))
+    prepared.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        Row(r.getLong(0), java.util.Arrays.copyOf(bytes, targetBytes))
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Extract features from a binary column in partition-local batches.
     * Output: idCol + n_bytes + head_byte + checksum.
     */

@@ -432,6 +432,43 @@ object TextMlQueries {
        |FROM documents
        |ORDER BY doc_id""".stripMargin
 
+  /** Frame sampling over binary media: every 2nd 16-byte frame of
+    * each payload becomes a row; the oracle slices the same frames
+    * with BLOB substring.
+    */
+  private def frameSample(s: SparkSession, d: String): DataFrame =
+    Multimodal
+      .frameSample(
+        TestTables.documents(s, d).withColumn("media", col("text").cast("binary")),
+        "doc_id",
+        "media",
+        frameBytes = 16,
+        everyNth = 2
+      )
+      .select(
+        col("doc_id"),
+        col("frame_no"),
+        octet_length(col("frame")).as("n_bytes"),
+        PortableHash.md5num56(col("frame")).as("checksum")
+      )
+      .orderBy(col("doc_id"), col("frame_no"))
+
+  // documents are pure ASCII (octet_length == length holds for every
+  // row of the testdata), so VARCHAR substring equals byte slicing
+  // and md5(varchar frame) equals md5 of the frame's bytes.
+  private val frameSampleSql =
+    s"""WITH frames AS (
+       |  SELECT doc_id, i AS frame_no,
+       |         substring(text, CAST(i * 16 + 1 AS BIGINT), 16) AS frame
+       |  FROM documents,
+       |       LATERAL (SELECT unnest(range(0, CAST(ceil(length(text) / 16.0) AS BIGINT))) AS i)
+       |  WHERE i % 2 = 0
+       |)
+       |SELECT doc_id, frame_no, length(frame) AS n_bytes,
+       |       ${PortableHash.md5num56Sql("frame")} AS checksum
+       |FROM frames
+       |ORDER BY doc_id, frame_no""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("q_token_stats", tokenStats, Some(tokenStatsSql)),
@@ -445,6 +482,7 @@ object TextMlQueries {
     QueryDef("q_embed_neardup", embedNearDup, Some(embedNearDupSql)),
     QueryDef("q_ann_lsh", annLsh, None, headline = true),
     QueryDef("q_ivf_ann", ivfAnn, None),
-    QueryDef("q_multimodal_features", multimodalFeatures, Some(multimodalFeaturesSql))
+    QueryDef("q_multimodal_features", multimodalFeatures, Some(multimodalFeaturesSql)),
+    QueryDef("q_frame_sample", frameSample, Some(frameSampleSql))
   )
 }

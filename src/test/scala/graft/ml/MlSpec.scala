@@ -188,6 +188,28 @@ class MlSpec extends SparkSpec {
     assert(mismatches == 0)
   }
 
+  test("Multimodal.frameSample slices every Nth frame, keeps partial tail; resizeStub fixes size") {
+    import spark.implicits._
+    val payload = (0 until 40).map(_.toByte).toArray // 2.5 frames of 16
+    val df = Seq((1L, payload)).toDF("doc_id", "media")
+    val frames = Multimodal
+      .frameSample(df, "doc_id", "media", frameBytes = 16, everyNth = 2)
+      .orderBy("frame_no")
+      .collect()
+      .map(r => r.getInt(1) -> r.getAs[Array[Byte]](2))
+    assert(frames.map(_._1).toSeq == Seq(0, 2), "frames 0 and 2 sampled, frame 1 skipped")
+    assert(frames(0)._2.toSeq == (0 until 16).map(_.toByte))
+    assert(frames(1)._2.toSeq == (32 until 40).map(_.toByte), "partial tail kept")
+    val resized = Multimodal
+      .resizeStub(df, "doc_id", "media", targetBytes = 8)
+      .head().getAs[Array[Byte]](1)
+    assert(resized.toSeq == (0 until 8).map(_.toByte))
+    val padded = Multimodal
+      .resizeStub(df, "doc_id", "media", targetBytes = 48)
+      .head().getAs[Array[Byte]](1)
+    assert(padded.length == 48 && padded(47) == 0, "zero-padded to target")
+  }
+
   test("Multimodal.extractFeatures computes real byte-level features") {
     import spark.implicits._
     val df = Seq((1L, "abc"), (2L, "")).toDF("doc_id", "text")
