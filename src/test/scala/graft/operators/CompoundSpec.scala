@@ -92,4 +92,60 @@ class CompoundSpec extends SparkSpec {
       .toSet
     assert(out == Set((1L, 11L), (2L, 11L)))
   }
+
+  test("toleranceAsOf matches a direct oracle on randomized instances (SURVEY §7.4 #2)") {
+    import spark.implicits._
+    val tolUs = 900L * 1000000L
+    // direct reimplementation of the reference semantics: rank pairs
+    // per anchor by (|dt|, member dt, member id) and per member by
+    // (|dt|, anchor dt, anchor id); keep rank-1 (both ranks if mutual)
+    def oracle(
+        as: Seq[(Long, Long)], // (id, epochUs)
+        ms: Seq[(Long, Long)],
+        mutual: Boolean
+    ): Set[(Long, Long)] = {
+      val pairs = for {
+        (aid, at) <- as
+        (mid, mt) <- ms
+        d = math.abs(at - mt)
+        if d <= tolUs
+      } yield (aid, at, mid, mt, d)
+      val anchorBest = pairs
+        .groupBy(_._1)
+        .map { case (_, ps) => ps.minBy(p => (p._5, p._4, p._3)) }
+        .toSet
+      if (!mutual) anchorBest.map(p => (p._1, p._3))
+      else {
+        val memberBest = pairs
+          .groupBy(_._3)
+          .map { case (_, ps) => ps.minBy(p => (p._5, p._2, p._1)) }
+          .toSet
+        (anchorBest intersect memberBest).map(p => (p._1, p._3))
+      }
+    }
+    (1 to 8).foreach { seed =>
+      val rng = new scala.util.Random(seed)
+      def gen(n: Int): Seq[(Long, Long)] =
+        (1 to n)
+          .map(i => (i.toLong, rng.nextInt(20000).toLong * 1000000L))
+          .groupBy(_._2).map(_._2.head).toSeq // distinct timestamps
+      val as = gen(15)
+      val ms = gen(15)
+      def df(rows: Seq[(Long, Long)]) =
+        rows.toDF("id", "us")
+          .withColumn("timeseries_id", lit(1L))
+          .withColumn("datetime", timestamp_micros(col("us")))
+          .drop("us")
+      Seq(true, false).foreach { mutual =>
+        val got = Compound
+          .toleranceAsOf(df(as), df(ms), 900L, Seq("timeseries_id"), "datetime", "id", mutual)
+          .select(col("a_id"), col("m_id"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .toSet
+        val want = oracle(as, ms, mutual)
+        assert(got == want, s"seed=$seed mutual=$mutual: got $got want $want")
+      }
+    }
+  }
 }
