@@ -69,6 +69,35 @@ object CoreQueries {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  /** Location-code generation (`R/generateACLocationCode.R:1-9`): a
+    * short prefix from the containing region + a zero-padded
+    * per-prefix sequence — nations standing in for stations, regions
+    * for basins.
+    */
+  private def locationCode(s: SparkSession, d: String) = {
+    import org.apache.spark.sql.expressions.Window
+    val n = TestTables.nation(s, d)
+    val r = TestTables.region(s, d)
+    val w = Window.partitionBy(col("r_regionkey")).orderBy(col("n_name"))
+    n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .withColumn("seq", row_number().over(w))
+      .select(
+        col("n_name").as("name"),
+        concat(upper(substring(col("r_name"), 1, 2)), lpad(col("seq"), 3, "0")).as("code")
+      )
+      .orderBy(col("code"))
+  }
+
+  private val locationCodeSql =
+    """SELECT n_name AS name,
+      |       upper(substr(r_name, 1, 2)) || lpad(CAST(seq AS VARCHAR), 3, '0') AS code
+      |FROM (
+      |  SELECT n_name, r_name,
+      |         row_number() OVER (PARTITION BY r.r_regionkey ORDER BY n_name) AS seq
+      |  FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+      |)
+      |ORDER BY code""".stripMargin
+
   private val catalogEnrichSql =
     """SELECT r_name AS region_name, l_returnflag AS return_flag,
       |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
@@ -115,6 +144,7 @@ object CoreQueries {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_catalog_enrich", catalogEnrich, Some(catalogEnrichSql), headline = true),
     QueryDef("q_last_point", lastPoint, Some(lastPointSql)),
-    QueryDef("q_salted_join", saltedJoin, Some(saltedJoinSql))
+    QueryDef("q_salted_join", saltedJoin, Some(saltedJoinSql)),
+    QueryDef("q_location_code", locationCode, Some(locationCodeSql))
   )
 }
