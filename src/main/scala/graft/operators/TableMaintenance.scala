@@ -8,6 +8,47 @@ import org.apache.spark.sql.functions._
   */
 object TableMaintenance {
 
+  /** Small-file compaction — the OPTIMIZE role of the reference's
+    * maintenance pass (`R/maintain.R:18-25` runs VACUUM/ANALYZE; on a
+    * parquet lake the equivalent debt is thousands of tiny files from
+    * incremental appends). Rewrites a directory into
+    * `ceil(bytes / targetFileBytes)` files, sorted within partitions
+    * on `sortCols` so row-group min/max statistics survive the
+    * rewrite. Returns (filesBefore, filesAfter).
+    */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      sortCols: Seq[String] = Nil
+  ): (Int, Int) = {
+    val dir = new java.io.File(path)
+    def parquetFiles = Option(dir.listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val before = parquetFiles
+    val totalBytes = before.map(_.length()).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val df = spark.read.parquet(path)
+    val arranged =
+      if (sortCols.nonEmpty)
+        df.repartition(nOut).sortWithinPartitions(sortCols.map(col): _*)
+      else df.repartition(nOut)
+    val tmp = path.stripSuffix("/") + "__compacting"
+    arranged.write.mode("overwrite").parquet(tmp)
+    // atomic-ish swap (at scale: write to a new table version / Delta
+    // OPTIMIZE; plain parquet gets a directory swap)
+    val bak = path.stripSuffix("/") + "__old"
+    new java.io.File(path).renameTo(new java.io.File(bak))
+    new java.io.File(tmp).renameTo(new java.io.File(path))
+    def delete(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(delete)
+      f.delete()
+    }
+    delete(new java.io.File(bak))
+    (before.length, parquetFiles.length)
+  }
+
   /** Forecast retention: rows older than `maxAgeSeconds` before `now`
     * are dropped (`inst/patches/patch_55.R:175-213` in
     * YukonWRB/AquaCache deletes forecasts older than 2 weeks).

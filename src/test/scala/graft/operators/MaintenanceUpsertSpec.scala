@@ -19,6 +19,20 @@ class MaintenanceUpsertSpec extends SparkSpec {
     assert(update == Map(1L -> 10.0, 2L -> 98.0, 3L -> 30.0))
   }
 
+  test("compact rewrites many small files into few, preserving rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    val df = (1 to 5000).map(i => (i.toLong, i % 40L, i * 0.5)).toDF("id", "k", "v")
+    df.repartition(40).write.parquet(dir) // 40 tiny files
+    val (before, after) = TableMaintenance
+      .compact(spark, dir, targetFileBytes = 10L * 1024 * 1024, sortCols = Seq("k", "id"))
+    assert(before == 40)
+    assert(after == 1, s"all rows fit one target-size file, got $after")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 5000)
+    assert(back.agg(org.apache.spark.sql.functions.sum("id")).head().getLong(0) == 5000L * 5001 / 2)
+  }
+
   test("retain drops rows older than the window") {
     import spark.implicits._
     val df = Seq(
