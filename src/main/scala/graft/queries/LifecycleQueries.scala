@@ -152,6 +152,46 @@ object LifecycleQueries {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  // ---- compound dependency closure ---------------------------------
+
+  /** Recursive dependency closure (`WITH RECURSIVE`,
+    * `inst/patches/patch_41.R:2516-2537`): which compound series must
+    * recompute when members {2, 5, 10} changed. Spark side is the
+    * driver fixpoint (no recursive CTE); the oracle IS a recursive
+    * CTE over the same edge set.
+    */
+  private val closureEdges: Seq[(Long, Long)] =
+    // member -> compound: basics 0..24 feed compounds 100..124;
+    // every 5th first-level compound feeds a second level; 300 tops
+    // the chain
+    (0L until 25L).map(i => i -> (100L + i)) ++
+      (0L until 25L by 5).map(i => (100L + i) -> (200L + i)) :+ (200L -> 300L)
+
+  private def compoundClosure(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val memberOf = closureEdges.groupBy(_._1).map { case (m, es) => m -> es.map(_._2) }
+    val order = graft.operators.CompoundClosure.affected(memberOf, Set(2L, 5L, 10L))
+    order.zipWithIndex
+      .map { case (id, i) => (i.toLong, id) }
+      .toDF("ord", "series_id")
+      .orderBy(col("ord"))
+  }
+
+  private val compoundClosureSql = {
+    val edges = closureEdges.map { case (m, c) => s"($m, $c)" }.mkString(", ")
+    s"""WITH RECURSIVE edges(member, compound) AS (VALUES $edges),
+       |closure(series_id, depth) AS (
+       |  SELECT unnest([2, 5, 10]), 0
+       |  UNION
+       |  SELECT e.compound, c.depth + 1
+       |  FROM closure c JOIN edges e ON e.member = c.series_id
+       |)
+       |SELECT CAST(row_number() OVER (ORDER BY depth, series_id) - 1 AS BIGINT) AS ord,
+       |       CAST(series_id AS BIGINT) AS series_id
+       |FROM (SELECT series_id, min(depth) AS depth FROM closure GROUP BY 1)
+       |ORDER BY ord""".stripMargin
+  }
+
   // ---- guideline evaluation ----------------------------------------
 
   /** (rule_id, algorithm, target, input, b0, b1, cap_min, cap_max,
@@ -259,6 +299,7 @@ object LifecycleQueries {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_asof_snapshot", asOfSnapshot, Some(asOfSnapshotSql)),
     QueryDef("q_corrected_asof", correctedAsOf, Some(correctedAsOfSql)),
+    QueryDef("q_compound_closure", compoundClosure, Some(compoundClosureSql)),
     QueryDef("q_guidelines", guidelines, Some(guidelinesSql)),
     QueryDef("q_increments", increments, None, headline = true),
     QueryDef("q_period_infer", periodInfer, None)
