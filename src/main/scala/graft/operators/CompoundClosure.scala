@@ -1,6 +1,6 @@
 package graft.operators
 
-import scala.annotation.tailrec
+import scala.collection.mutable
 
 /** Dependency closure over the compound-member DAG: which compound
   * series must recompute when a set of member series changed.
@@ -10,23 +10,39 @@ import scala.annotation.tailrec
   * in YukonWRB/AquaCache); Spark has no recursive CTE, and the edge
   * set is tiny metadata — so this is a driver-side iterate-to-fixpoint
   * (SURVEY §2.3). Compounds can stack on compounds; cycles are
-  * rejected at definition time (CorrectedReader), so the fixpoint
-  * terminates in <= depth iterations.
+  * rejected at definition time (CorrectedReader), and guarded against
+  * here as a backstop.
   */
 object CompoundClosure {
 
   /** @param memberOf edges member -> compounds containing it
-    * @return all series needing recompute, in dependency order
-    *         (changed members first, dependents after)
+    * @return all series needing recompute in TOPOLOGICAL order of the
+    *         induced subgraph: every member precedes every compound
+    *         that (transitively) contains it. Nodes are emitted by
+    *         longest-path level from the changed set (ties by id) —
+    *         min-depth BFS is NOT topological on diamond DAGs (with
+    *         1->{2,3}, 3->2, compound 2 must recompute AFTER 3 even
+    *         though BFS reaches both at depth 1).
     */
   def affected(memberOf: Map[Long, Seq[Long]], changed: Set[Long]): Seq[Long] = {
-    @tailrec
-    def fix(frontier: Set[Long], seen: Set[Long], order: Vector[Long]): Vector[Long] = {
-      val next = frontier.flatMap(id => memberOf.getOrElse(id, Nil)).diff(seen)
-      if (next.isEmpty) order
-      else fix(next, seen ++ next, order ++ next.toSeq.sorted)
+    // longest-path relaxation: level(n) = max over predecessors + 1.
+    // Terminates in <= |affected| rounds on a DAG.
+    val level = mutable.Map[Long, Int](changed.toSeq.map(_ -> 0): _*)
+    var frontier: Set[Long] = changed
+    var rounds = 0
+    while (frontier.nonEmpty) {
+      rounds += 1
+      if (rounds > level.size + memberOf.size + 1)
+        throw new IllegalArgumentException(
+          s"compound dependency cycle reachable from ${changed.mkString(",")}"
+        )
+      val next = mutable.Set[Long]()
+      for (u <- frontier; v <- memberOf.getOrElse(u, Nil)) {
+        val lv = level(u) + 1
+        if (level.getOrElse(v, -1) < lv) { level(v) = lv; next += v }
+      }
+      frontier = next.toSet
     }
-    val start = changed.toSeq.sorted.toVector
-    fix(changed, changed, start)
+    level.toSeq.sortBy { case (id, l) => (l, id) }.map(_._1)
   }
 }

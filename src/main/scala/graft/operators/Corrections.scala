@@ -9,11 +9,16 @@ import graft.functions.ExpressionSandbox
   *
   * Reference semantics (`continuous.apply_corrections`,
   * `inst/patches/patch_22.R:37-133` in YukonWRB/AquaCache):
-  * corrections matching a point's half-open `[start_dt, end_dt)` are
-  * applied in `correction_types.priority` order, folding the value
+  * corrections matching a point inclusively (`start_dt <= dt AND
+  * end_dt >= dt`, patch_22.R:66-67) are applied in
+  * `correction_types.priority` order, folding the value
   * left-to-right and short-circuiting once NULL:
   *
-  *   - `delete` / `trim`       -> NULL
+  *   - `delete`                -> NULL
+  *   - `trim`                  -> NULL only when the folded value falls
+  *                                outside [value1, value2] (either bound
+  *                                may be NULL = unbounded), else unchanged
+  *                                (patch_22.R:75-81)
   *   - `offset_linear`         -> v + value1
   *   - `offset_two_point`      -> v + value1 + (value2-value1) * frac
   *                                (frac = elapsed / segment length)
@@ -112,11 +117,15 @@ object Corrections {
     val segLen = "(CAST(c.end_dt AS DOUBLE) - CAST(c.start_dt AS DOUBLE))"
     val foldSql =
       s"""aggregate(
-         |  filter(corr_arr, c -> `$dtCol` >= c.start_dt AND `$dtCol` < c.end_dt),
+         |  filter(corr_arr, c -> `$dtCol` >= c.start_dt AND `$dtCol` <= c.end_dt),
          |  CAST(`$valueCol` AS DOUBLE),
          |  (acc, c) -> CASE
          |    WHEN acc IS NULL THEN CAST(NULL AS DOUBLE)
-         |    WHEN c.ctype IN ('delete', 'trim') THEN CAST(NULL AS DOUBLE)
+         |    WHEN c.ctype = 'delete' THEN CAST(NULL AS DOUBLE)
+         |    WHEN c.ctype = 'trim' THEN
+         |      CASE WHEN (c.value1 IS NOT NULL AND acc < c.value1)
+         |             OR (c.value2 IS NOT NULL AND acc > c.value2)
+         |           THEN CAST(NULL AS DOUBLE) ELSE acc END
          |    WHEN c.ctype = 'offset_linear' THEN acc + c.value1
          |    WHEN c.ctype = 'offset_two_point'
          |      THEN acc + c.value1 + (c.value2 - c.value1) * $elapsed / $segLen

@@ -36,19 +36,31 @@ object IncrementalDaily {
       changes: DataFrame
   ): DataFrame = {
     val c = changes
-      // widen to whole local days so edge days recompute fully
+      // coarse datetime pre-filter, ±2 days: wide enough to contain
+      // every row of any local day touched by the range for any
+      // |offset_hours| <= 24 (this is what partition pruning sees)
       .select(
         col("timeseries_id"),
+        col("range_start"),
+        col("range_end"),
         (col("range_start") - expr("INTERVAL 2 DAY")).as("scan_start"),
         (col("range_end") + expr("INTERVAL 2 DAY")).as("scan_end")
       )
+    // The recompute unit is the whole LOCAL day (the reference converts
+    // ranges to local dates before refreshing, patch_41.R
+    // refresh_calculated_daily_from_ranges): a range edge at 06:00
+    // must still recompute its edge day from ALL of that day's rows,
+    // and days outside the changed local-date span must not be touched
+    // (a partially scanned day would silently overwrite a correct
+    // daily row with a partial-day aggregate).
     val affected = measurements
-      .join(
-        broadcast(c),
-        Seq("timeseries_id")
-      )
+      .join(broadcast(c), Seq("timeseries_id"))
       .filter(col("datetime") >= col("scan_start") && col("datetime") <= col("scan_end"))
-      .drop("scan_start", "scan_end")
+      .withColumn("local_date", DailyAggregate.localDay(col("datetime"), col("offset_hours")))
+      .withColumn("day_lo", DailyAggregate.localDay(col("range_start"), col("offset_hours")))
+      .withColumn("day_hi", DailyAggregate.localDay(col("range_end"), col("offset_hours")))
+      .filter(col("local_date").between(col("day_lo"), col("day_hi")))
+      .drop("scan_start", "scan_end", "range_start", "range_end", "local_date", "day_lo", "day_hi")
     val recomputed = DailyAggregate(affected)
     // recomputed days win over the existing rows for the same key
     val keys = Seq("timeseries_id", "date")

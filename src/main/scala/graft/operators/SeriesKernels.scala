@@ -71,7 +71,13 @@ object SeriesKernels {
     prepared
       .groupByKey(_.getLong(0))(Encoders.scalaLong)
       .flatMapGroups { (key: Long, it: Iterator[Row]) =>
-        val rows = it.map(r => (r.getTimestamp(1), r.getDouble(2))).toArray.sortBy(_._1.getTime)
+        // NULL measurements are observation gaps, not zeros: dropping
+        // them here lets densification re-insert them as NA points, so
+        // they obey the maxGap rule instead of faking a reset (the
+        // reference treats NA rows as no-increment gaps,
+        // R/compute_increments.R:69-80)
+        val rows = it.filter(!_.isNullAt(2))
+          .map(r => (r.getTimestamp(1), r.getDouble(2))).toArray.sortBy(_._1.getTime)
         if (rows.length < 2) Iterator.empty
         else {
           val epochs = rows.map(r => Math.floorDiv(r._1.getTime, 1000L))

@@ -58,13 +58,13 @@ object CoreQueries {
 
   private val saltedJoinSql =
     """WITH dim AS (
-      |  SELECT DISTINCT event_type, length(event_type) * 10.0 AS type_weight
+      |  SELECT DISTINCT event_type, CAST(length(event_type) * 10.0 AS DOUBLE) AS type_weight
       |  FROM events
       |)
       |SELECT e.event_type, count(*) AS n_events,
-      |       sum(CAST(round(e.value * 100) AS BIGINT)) AS sum_cents,
+      |       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
       |       any_value(d.type_weight) AS type_weight,
-      |       round(sum(CAST(round(e.value * 100) AS BIGINT)) * any_value(d.type_weight) / 100.0, 2) AS weighted
+      |       round(CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) * any_value(d.type_weight) / 100.0, 2) AS weighted
       |FROM events e JOIN dim d ON e.event_type = d.event_type
       |GROUP BY 1
       |ORDER BY 1""".stripMargin

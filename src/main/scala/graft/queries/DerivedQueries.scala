@@ -19,7 +19,9 @@ object DerivedQueries {
     (3L, 1L, "2024-01-03 00:00:00", "2024-01-13 00:00:00", "offset_two_point", Some(0.0), Some(2.0), None, None, 1),
     (4L, 1L, "2024-01-20 00:00:00", "2024-01-22 00:00:00", "delete", None, None, None, None, 1),
     (5L, 2L, "2024-01-10 00:00:00", "2024-01-20 00:00:00", "drift_linear", Some(1.0), None, Some(86400L), None, 1),
-    (6L, 2L, "2024-01-25 00:00:00", "2024-01-28 00:00:00", "drift_equation", None, None, None, Some("$1 + 0.001 * sqrt($2)"), 2)
+    (6L, 2L, "2024-01-25 00:00:00", "2024-01-28 00:00:00", "drift_equation", None, None, None, Some("$1 + 0.001 * sqrt($2)"), 2),
+    // trim NULLs only values outside [value1, value2] (patch_22.R:75-81)
+    (7L, 1L, "2024-01-16 00:00:00", "2024-01-19 00:00:00", "trim", Some(5.0), Some(50.0), None, None, 1)
   )
 
   private def corrections(s: SparkSession, d: String): DataFrame = {
@@ -40,23 +42,26 @@ object DerivedQueries {
       .orderBy(col("event_id"))
   }
 
+  // Inclusive [start_dt, end_dt] matching per patch_22.R:66-67.
   private val correctionsSql =
     """SELECT event_id, user_id, round(value, 4) AS raw_value,
       |  round(CASE user_id % 3
       |    WHEN 0 THEN CASE
-      |      WHEN ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-12' THEN (value + 0.25) * 110.0 / 100.0
+      |      WHEN ts >= TIMESTAMP '2024-01-08' AND ts <= TIMESTAMP '2024-01-12' THEN (value + 0.25) * 110.0 / 100.0
       |      WHEN ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-08' THEN value + 0.25
-      |      WHEN ts >= TIMESTAMP '2024-01-12' AND ts < TIMESTAMP '2024-01-15' THEN value * 110.0 / 100.0
+      |      WHEN ts > TIMESTAMP '2024-01-12' AND ts <= TIMESTAMP '2024-01-15' THEN value * 110.0 / 100.0
       |      ELSE value END
       |    WHEN 1 THEN CASE
-      |      WHEN ts >= TIMESTAMP '2024-01-20' AND ts < TIMESTAMP '2024-01-22' THEN NULL
-      |      WHEN ts >= TIMESTAMP '2024-01-03' AND ts < TIMESTAMP '2024-01-13'
+      |      WHEN ts >= TIMESTAMP '2024-01-20' AND ts <= TIMESTAMP '2024-01-22' THEN NULL
+      |      WHEN ts >= TIMESTAMP '2024-01-03' AND ts <= TIMESTAMP '2024-01-13'
       |        THEN value + 0.0 + (2.0 - 0.0) * epoch(ts - TIMESTAMP '2024-01-03') / 864000.0
+      |      WHEN ts >= TIMESTAMP '2024-01-16' AND ts <= TIMESTAMP '2024-01-19'
+      |        THEN CASE WHEN value < 5.0 OR value > 50.0 THEN NULL ELSE value END
       |      ELSE value END
       |    WHEN 2 THEN CASE
-      |      WHEN ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+      |      WHEN ts >= TIMESTAMP '2024-01-10' AND ts <= TIMESTAMP '2024-01-20'
       |        THEN value + 1.0 * epoch(ts - TIMESTAMP '2024-01-10') / 86400
-      |      WHEN ts >= TIMESTAMP '2024-01-25' AND ts < TIMESTAMP '2024-01-28'
+      |      WHEN ts >= TIMESTAMP '2024-01-25' AND ts <= TIMESTAMP '2024-01-28'
       |        THEN value + 0.001 * sqrt(epoch(ts - TIMESTAMP '2024-01-25'))
       |      ELSE value END
       |  END, 4) AS corrected

@@ -325,10 +325,10 @@ object IngestQueries {
       |  FROM s
       |)
       |SELECT parameter, count(*) AS n_results,
-      |       sum(CASE WHEN condition IS NOT NULL THEN 1 ELSE 0 END) AS n_censored,
+      |       CAST(sum(CASE WHEN condition IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_censored,
       |       round(avg(CAST(round(coalesce(result, condition_value / 2) * 1000000) AS BIGINT)) / 1000000.0, 4) AS mean_sub,
-      |       round(min(result), 4) AS min_detected,
-      |       round(max(result), 4) AS max_detected,
+      |       CAST(round(min(result), 4) AS DOUBLE) AS min_detected,
+      |       CAST(round(max(result), 4) AS DOUBLE) AS max_detected,
       |       epoch_us(min(datetime)) AS first_us,
       |       epoch_us(max(datetime)) AS last_us
       |FROM r
@@ -404,9 +404,9 @@ object IngestQueries {
       |  FROM holed h LEFT JOIN best b ON b.user_id = h.user_id AND b.hour_ts = h.hour_ts
       |)
       |SELECT user_id, count(*) AS n_hours,
-      |       sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS n_missing,
-      |       sum(CASE WHEN imputed THEN 1 ELSE 0 END) AS n_filled,
-      |       sum(CAST(filled AS BIGINT)) AS sum_filled
+      |       CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+      |       CAST(sum(CASE WHEN imputed THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+      |       CAST(sum(CAST(filled AS BIGINT)) AS BIGINT) AS sum_filled
       |FROM filled
       |WHERE user_id % 5 = 0
       |GROUP BY 1

@@ -142,12 +142,12 @@ object LifecycleQueries {
       |), corrected AS (
       |  SELECT tsid, datetime,
       |         CASE WHEN datetime >= TIMESTAMP '2024-01-10 00:00:00'
-      |                   AND datetime < TIMESTAMP '2024-02-01 00:00:00'
+      |                   AND datetime <= TIMESTAMP '2024-02-01 00:00:00'
       |              THEN value + 1.0 ELSE value END AS corrected
       |  FROM snap
       |)
       |SELECT tsid AS timeseries_id, CAST(datetime AS DATE) AS date,
-      |       count(*) AS n, sum(CAST(round(corrected * 100) AS BIGINT)) AS sum_cents
+      |       count(*) AS n, CAST(sum(CAST(round(corrected * 100) AS BIGINT)) AS BIGINT) AS sum_cents
       |FROM corrected
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
@@ -188,7 +188,7 @@ object LifecycleQueries {
        |)
        |SELECT CAST(row_number() OVER (ORDER BY depth, series_id) - 1 AS BIGINT) AS ord,
        |       CAST(series_id AS BIGINT) AS series_id
-       |FROM (SELECT series_id, min(depth) AS depth FROM closure GROUP BY 1)
+       |FROM (SELECT series_id, max(depth) AS depth FROM closure GROUP BY 1)
        |ORDER BY ord""".stripMargin
   }
 

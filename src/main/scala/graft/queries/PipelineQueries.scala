@@ -75,9 +75,9 @@ object PipelineQueries {
        |  FROM m
        |)
        |SELECT lang, count(*) AS n_docs,
-       |       sum(CASE WHEN is_canonical AND quality_score >= 0.5 AND predicted = lang THEN 1 ELSE 0 END) AS n_kept,
-       |       sum(CASE WHEN NOT is_canonical THEN 1 ELSE 0 END) AS n_dups,
-       |       sum(CASE WHEN predicted <> lang THEN 1 ELSE 0 END) AS n_lang_mismatch,
+       |       CAST(sum(CASE WHEN is_canonical AND quality_score >= 0.5 AND predicted = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       CAST(sum(CASE WHEN NOT is_canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+       |       CAST(sum(CASE WHEN predicted <> lang THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_mismatch,
        |       round(avg(CAST(round(quality_score * 10000) AS BIGINT)) / 10000.0, 4) AS avg_quality
        |FROM p
        |GROUP BY 1
@@ -105,7 +105,9 @@ object PipelineQueries {
         unix_micros(min(col("ts"))).as("start_us"),
         unix_micros(max(col("ts"))).as("end_us"),
         count(lit(1)).as("n_events"),
-        round(sum(col("value")), 4).as("sum_value")
+        // integer-scaled sum: order-invariant across partitionings and
+        // engines (a raw double sum can differ in the last ulp)
+        round(sum(round(col("value") * 10000).cast("long")) / 10000.0, 4).as("sum_value")
       )
       .orderBy(col("user_id"), col("session_no"))
   }
@@ -123,8 +125,8 @@ object PipelineQueries {
       |                                   ROWS UNBOUNDED PRECEDING) AS session_no
       |  FROM marked
       |)
-      |SELECT user_id, session_no, epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
-      |       count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |SELECT user_id, CAST(session_no AS BIGINT) AS session_no, epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+      |       count(*) AS n_events, round(sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0, 4) AS sum_value
       |FROM grouped
       |GROUP BY 1, 2
       |ORDER BY user_id, session_no""".stripMargin
@@ -142,7 +144,7 @@ object PipelineQueries {
       .withColumn("condition", when(col("value") < 10.0, lit("<")))
       .withColumn("condition_value", when(col("value") < 10.0, lit(10.0)))
     graft.operators.CensoredStats
-      .summarize(e, keys = Seq("event_type"))
+      .summarize(e, keys = Seq("event_type"), meanScale = Some(10000L))
       .select(
         col("event_type"),
         col("n"),
@@ -157,11 +159,11 @@ object PipelineQueries {
 
   private val censoredStatsSql =
     """SELECT event_type, count(*) AS n,
-      |       sum(CASE WHEN value < 10.0 THEN 1 ELSE 0 END) AS n_censored,
-      |       round(avg(CASE WHEN value < 10.0 THEN 5.0 ELSE value END), 4) AS mean_sub,
+      |       CAST(sum(CASE WHEN value < 10.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_censored,
+      |       round(avg(CAST(round((CASE WHEN value < 10.0 THEN 5.0 ELSE value END) * 10000) AS BIGINT)) / 10000.0, 4) AS mean_sub,
       |       min(CASE WHEN value < 10.0 THEN NULL ELSE value END) AS min_detected,
       |       max(CASE WHEN value < 10.0 THEN NULL ELSE value END) AS max_detected,
-      |       max(CASE WHEN value < 10.0 THEN 10.0 ELSE NULL END) AS max_dl
+      |       CAST(max(CASE WHEN value < 10.0 THEN 10.0 ELSE NULL END) AS DOUBLE) AS max_dl
       |FROM events
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
@@ -198,7 +200,7 @@ object PipelineQueries {
        |            WHEN bucket < 9 THEN 'eval'
        |            ELSE 'test' END AS split,
        |       count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id,
-       |       sum(doc_id) AS id_sum
+       |       CAST(sum(doc_id) AS BIGINT) AS id_sum
        |FROM b
        |GROUP BY 1
        |ORDER BY 1""".stripMargin

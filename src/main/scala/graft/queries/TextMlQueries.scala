@@ -178,10 +178,27 @@ object TextMlQueries {
 
   // ---- n-gram Jaccard near-dup pairs -------------------------------
 
+  /** Shingles occurring in more docs than this are dropped before the
+    * pair join — the guard that keeps the inverted-index join linear
+    * in corpus size instead of quadratic within hot-shingle groups.
+    */
+  private val JaccardMaxDf = 50
+
   private def ngramJaccard(s: SparkSession, d: String): DataFrame = {
     val sh = Dedup.shingles(TestTables.documents(s, d), "doc_id", "text", 3)
+    // the REGISTERED form runs fully guarded (df cap + LSH candidate
+    // restriction) — the scale path; the exhaustive unguarded join is
+    // kept as the spec-only recall baseline (MlSpec)
+    val sig = Dedup.minHashSignatures(sh, "doc_id", MinHashPerms, Dedup.PortableMd5)
+    val cand = Dedup.lshCandidates(sig, "doc_id", MinHashPerms, MinHashBands)
     Dedup
-      .jaccardPairs(sh, "doc_id", threshold = 0.6)
+      .jaccardPairs(
+        sh,
+        "doc_id",
+        threshold = 0.6,
+        candidates = Some(cand),
+        maxShingleDocFreq = Some(JaccardMaxDf)
+      )
       .select(
         col("d1"),
         col("d2"),
@@ -192,23 +209,31 @@ object TextMlQueries {
       .orderBy(col("d1"), col("d2"))
   }
 
-  private val jaccardVerifySql =
-    """pair AS (
-      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2
-      |), sizes AS (
-      |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
-      |), jac AS (
-      |  SELECT d1, d2, inter, s1.n_sh + s2.n_sh - inter AS union_sh,
-      |         inter::DOUBLE / (s1.n_sh + s2.n_sh - inter) AS jaccard
-      |  FROM pair
-      |  JOIN sizes s1 ON s1.doc_id = d1
-      |  JOIN sizes s2 ON s2.doc_id = d2
-      |)""".stripMargin
-
-  private val ngramJaccardSql =
-    s"""WITH $tokCte, $shCte, $jaccardVerifySql
+  // mirrors the guarded Spark pipeline: LSH banding restricts the
+  // candidate pair space AND a doc-frequency cap drops hot shingles
+  // from the intersection join (sizes stay uncapped, as in
+  // Dedup.jaccardPairs)
+  private lazy val ngramJaccardSql =
+    s"""WITH $tokCte, $shCte,
+       |$minHashCandCtes,
+       |rare AS (
+       |  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= $JaccardMaxDf
+       |), shf AS (
+       |  SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)
+       |), pair AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+       |  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  JOIN cand c ON c.d1 = a.doc_id AND c.d2 = b.doc_id
+       |  GROUP BY 1, 2
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+       |), jac AS (
+       |  SELECT d1, d2, inter, s1.n_sh + s2.n_sh - inter AS union_sh,
+       |         inter::DOUBLE / (s1.n_sh + s2.n_sh - inter) AS jaccard
+       |  FROM pair
+       |  JOIN sizes s1 ON s1.doc_id = d1
+       |  JOIN sizes s2 ON s2.doc_id = d2
+       |)
        |SELECT d1, d2, inter, union_sh, round(jaccard, 6) AS jaccard
        |FROM jac
        |WHERE jaccard >= 0.6
@@ -218,6 +243,33 @@ object TextMlQueries {
 
   private val MinHashPerms = 8
   private val MinHashBands = 4
+
+  /** Shared oracle fragment: MinHash signatures -> banding -> distinct
+    * candidate pairs `cand(d1, d2)`. Mirrors Dedup.minHashSignatures /
+    * lshCandidates with the PortableMd5 family. Expects `sh` in scope.
+    */
+  private lazy val minHashCandCtes = {
+    val permValues = (0 until MinHashPerms)
+      .map(i => s"(${i}, ${PortableHash.minHashA(i)}, ${PortableHash.minHashB(i)})")
+      .mkString(", ")
+    s"""perms(i, a, b) AS (VALUES $permValues),
+       |base AS (
+       |  SELECT doc_id, ${PortableHash.md5num28Sql("shingle")} AS h FROM sh
+       |),
+       |mh AS (
+       |  SELECT doc_id, i, min((h * a + b) % ${PortableHash.MinHashP}) AS mh
+       |  FROM base CROSS JOIN perms
+       |  GROUP BY doc_id, i
+       |), banded AS (
+       |  SELECT doc_id, i // ${MinHashPerms / MinHashBands} AS band,
+       |         string_agg(mh::VARCHAR, '|' ORDER BY i) AS band_key
+       |  FROM mh GROUP BY doc_id, i // ${MinHashPerms / MinHashBands}
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM banded a
+       |  JOIN banded b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |)""".stripMargin
+  }
 
   private def minHashLsh(s: SparkSession, d: String): DataFrame =
     Dedup
@@ -240,28 +292,9 @@ object TextMlQueries {
       )
       .orderBy(col("d1"), col("d2"))
 
-  private val minHashLshSql = {
-    val permValues = (0 until MinHashPerms)
-      .map(i => s"(${i}, ${PortableHash.minHashA(i)}, ${PortableHash.minHashB(i)})")
-      .mkString(", ")
+  private lazy val minHashLshSql = {
     s"""WITH $tokCte, $shCte,
-       |perms(i, a, b) AS (VALUES $permValues),
-       |base AS (
-       |  SELECT doc_id, ${PortableHash.md5num28Sql("shingle")} AS h FROM sh
-       |),
-       |mh AS (
-       |  SELECT doc_id, i, min((h * a + b) % ${PortableHash.MinHashP}) AS mh
-       |  FROM base CROSS JOIN perms
-       |  GROUP BY doc_id, i
-       |), banded AS (
-       |  SELECT doc_id, i // ${MinHashPerms / MinHashBands} AS band,
-       |         string_agg(mh::VARCHAR, '|' ORDER BY i) AS band_key
-       |  FROM mh GROUP BY doc_id, i // ${MinHashPerms / MinHashBands}
-       |), cand AS (
-       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-       |  FROM banded a
-       |  JOIN banded b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-       |), pair AS (
+       |$minHashCandCtes, pair AS (
        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |  JOIN cand c ON c.d1 = a.doc_id AND c.d2 = b.doc_id

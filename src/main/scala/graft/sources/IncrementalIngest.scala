@@ -21,6 +21,16 @@ object IncrementalIngest {
 
   /** @return the new measurement rows to append (canonical schema +
     *         timeseries_id), strictly after each series' last point
+    *
+    * Scale notes: adapter fetches are parameterized by a per-series
+    * start timestamp, which MUST exist at driver time — but the
+    * collection is explicitly bounded to the WORKLIST (the catalog
+    * passed in, already driver-resident metadata), never O(all series
+    * in the fact table): the last-point aggregate is semi-joined to
+    * the catalog ids first. The correctness-critical "never re-append
+    * at-or-before the last point" guard is NOT the driver map — it is
+    * a distributed broadcast join against the last-point frame, so a
+    * fetched batch of any size is filtered executor-side.
     */
   def getNewContinuous(
       spark: SparkSession,
@@ -29,9 +39,15 @@ object IncrementalIngest {
       registry: AdapterRegistry
   ): DataFrame = {
     import spark.implicits._
-    val lastPoints: Map[Long, java.sql.Timestamp] = measurements
+    val known = catalog.filter(c => registry.contains(c.sourceFx))
+    val catalogIds = known.map(_.timeseriesId)
+    // bounded by |worklist|: prune the fact scan to cataloged series
+    // (partition/bucket-pruned under TableLayout) before aggregating
+    val lastPointsDf = measurements
+      .filter(col("timeseries_id").isin(catalogIds: _*))
       .groupBy(col("timeseries_id"))
       .agg(max(col("datetime")).as("last_dt"))
+    val lastPoints: Map[Long, java.sql.Timestamp] = lastPointsDf
       .as[(Long, java.sql.Timestamp)]
       .collect()
       .toMap
@@ -42,13 +58,8 @@ object IncrementalIngest {
         .map(t => new java.sql.Timestamp(t.getTime + 1000L))
         .getOrElse(java.sql.Timestamp.valueOf("1970-01-01 00:00:00"))
 
-    def guard(fetched: DataFrame, cfg: SeriesConfig): DataFrame = {
-      val guarded = lastPoints.get(cfg.timeseriesId) match {
-        // re-check under the "lock": never re-append the last point
-        case Some(t) => fetched.filter(col("datetime") > lit(t))
-        case None    => fetched
-      }
-      guarded
+    def normalize(fetched: DataFrame, cfg: SeriesConfig): DataFrame =
+      fetched
         .withColumn("timeseries_id", lit(cfg.timeseriesId))
         .withColumn("grade", coalesce(col("grade"), lit(cfg.defaultGrade.orNull)))
         .withColumn("approval", coalesce(col("approval"), lit(cfg.defaultApproval.orNull)))
@@ -56,12 +67,10 @@ object IncrementalIngest {
           "period_seconds",
           coalesce(col("period_seconds"), lit(cfg.recordRateSeconds.map(Long.box).orNull))
         )
-    }
 
     // cache-sharing task groups (`R/getNewContinuous.R:286-316`):
     // series of a SharedFetchAdapter with equal cache keys share ONE
     // fetch from the earliest start; everything else fetches per series
-    val known = catalog.filter(c => registry.contains(c.sourceFx))
     val frames = known.groupBy(_.sourceFx).toSeq.sortBy(_._1).flatMap {
       case (fx, cfgs) =>
         registry(fx) match {
@@ -71,15 +80,23 @@ object IncrementalIngest {
               val shared0 = sa.fetchShared(spark, group, earliest)
               // barrier: N extracts must not re-run the fetch
               val shared = if (group.size > 1) shared0.localCheckpoint(false) else shared0
-              group.map(cfg => guard(sa.extract(shared, cfg), cfg))
+              group.map(cfg => normalize(sa.extract(shared, cfg), cfg))
             }
           case adapter =>
-            cfgs.map(cfg => guard(adapter.fetch(spark, cfg, startOf(cfg)), cfg))
+            cfgs.map(cfg => normalize(adapter.fetch(spark, cfg, startOf(cfg)), cfg))
         }
     }
     if (frames.isEmpty)
       spark.emptyDataFrame
-    else frames.reduce(_.unionByName(_))
+    else {
+      // re-check under the "lock" as a distributed join: never
+      // re-append a row at-or-before the series' stored last point
+      frames
+        .reduce(_.unionByName(_))
+        .join(broadcast(lastPointsDf), Seq("timeseries_id"), "left")
+        .filter(col("last_dt").isNull || col("datetime") > col("last_dt"))
+        .drop("last_dt")
+    }
   }
 
   /** Changed ranges per series from an appended batch — the input of

@@ -78,6 +78,38 @@ class CorrectionsSpec extends SparkSpec {
     assert(e.getMessage.contains("unsafe"))
   }
 
+  test("trim NULLs only values outside [value1, value2]; bounds may be open") {
+    // patch_22.R:75-81: in-range data inside a trim window is KEPT
+    val corr = corrDf(Seq(
+      (1L, 1L, "2023-01-01 00:00:00", "2023-01-02 00:00:00", "trim", Some(5.0), Some(50.0), None, None, 1),
+      (2L, 2L, "2023-01-01 00:00:00", "2023-01-02 00:00:00", "trim", None, Some(50.0), None, None, 1)
+    ))
+    val out = Corrections(
+      pts(
+        (1L, "2023-01-01 06:00:00", 10.0),  // in range -> kept
+        (1L, "2023-01-01 07:00:00", 3.0),   // below value1 -> NULL
+        (1L, "2023-01-01 08:00:00", 60.0),  // above value2 -> NULL
+        (2L, "2023-01-01 06:00:00", -99.0), // no lower bound -> kept
+        (2L, "2023-01-01 07:00:00", 60.0)   // above value2 -> NULL
+      ),
+      corr
+    ).orderBy("timeseries_id", "datetime").select("corrected").collect()
+    assert(out(0).getDouble(0) == 10.0)
+    assert(out(1).isNullAt(0))
+    assert(out(2).isNullAt(0))
+    assert(out(3).getDouble(0) == -99.0)
+    assert(out(4).isNullAt(0))
+  }
+
+  test("matching is inclusive of end_dt (patch_22.R:66-67)") {
+    val corr = corrDf(Seq((1L, 1L, "2023-01-03 00:00:00", "2023-01-04 00:00:00", "offset_linear", Some(0.25), None, None, None, 1)))
+    val out = Corrections(
+      pts((1L, "2023-01-04 00:00:00", 10.0), (1L, "2023-01-04 00:00:01", 10.0)),
+      corr
+    ).orderBy("datetime").select("corrected").collect().map(_.getDouble(0)).toList
+    assert(out == List(10.25, 10.0)) // end instant corrected, one past it not
+  }
+
   test("points in uncorrected series/windows pass through") {
     val corr = corrDf(Seq((1L, 1L, "2023-01-03 00:00:00", "2023-01-04 00:00:00", "offset_linear", Some(0.25), None, None, None, 1)))
     val out = Corrections(pts((2L, "2023-01-03 12:00:00", 7.5)), corr)

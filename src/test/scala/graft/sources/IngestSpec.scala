@@ -124,4 +124,29 @@ class IngestSpec extends SparkSpec {
     // series 2 untouched: its daily row must be the original object
     assert(refreshed.filter($"timeseries_id" === 2L).count() == 1)
   }
+
+  test("IncrementalDaily.refresh recomputes whole local days only (non-midnight ranges)") {
+    import spark.implicits._
+    def m(ts: Long, dt: String, v: Double) =
+      (ts, java.sql.Timestamp.valueOf(dt), v, "mean", 0)
+    // day 2022-12-31 has rows at 03:00 and 23:00 (daily mean 15); the
+    // new batch lands mid-day on 2023-01-02. A timestamp-widened scan
+    // would clip 12-31 to [06:30, 24:00) and overwrite its daily row
+    // with mean(20) — whole-local-day scoping must leave it at 15.
+    val before = Seq(
+      m(1L, "2022-12-31 03:00:00", 10.0), m(1L, "2022-12-31 23:00:00", 20.0),
+      m(1L, "2023-01-02 02:00:00", 2.0)
+    ).toDF("timeseries_id", "datetime", "value", "agg_type", "offset_hours")
+    val newRows = Seq(m(1L, "2023-01-02 06:30:00", 4.0))
+      .toDF("timeseries_id", "datetime", "value", "agg_type", "offset_hours")
+    val after = before.unionByName(newRows)
+    val refreshed = IncrementalDaily.refresh(
+      after, DailyAggregate(before), IncrementalIngest.changedRanges(newRows))
+    val full = DailyAggregate(after)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getDate(1).toString, r.getDouble(3), r.getLong(4))
+    assert(refreshed.collect().map(key).toSet == full.collect().map(key).toSet)
+    val d31 = refreshed.filter($"date" === "2022-12-31").select("value").head().getDouble(0)
+    assert(d31 == 15.0, s"edge day must keep its full-day mean, got $d31")
+  }
 }

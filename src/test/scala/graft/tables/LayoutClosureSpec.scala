@@ -15,6 +15,20 @@ class LayoutClosureSpec extends SparkSpec {
     assert(CompoundClosure.affected(memberOf, Set(1L, 2L)) == Seq(1L, 2L, 6L, 10L, 12L))
   }
 
+  test("CompoundClosure.affected is topological on diamond DAGs") {
+    // 1 feeds compounds 2 and 3, and compound 3 also feeds compound 2:
+    // 2 must come AFTER 3 (min-depth BFS would emit [1, 2, 3])
+    val memberOf = Map(1L -> Seq(2L, 3L), 3L -> Seq(2L))
+    assert(CompoundClosure.affected(memberOf, Set(1L)) == Seq(1L, 3L, 2L))
+  }
+
+  test("CompoundClosure.affected rejects cycles instead of hanging") {
+    val memberOf = Map(1L -> Seq(2L), 2L -> Seq(3L), 3L -> Seq(1L))
+    intercept[IllegalArgumentException] {
+      CompoundClosure.affected(memberOf, Set(1L))
+    }
+  }
+
   test("TableLayout round-trips and prunes the per-series window read") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("layout").toString + "/meas"

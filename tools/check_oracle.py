@@ -2,16 +2,24 @@
 """Dev-only oracle pre-checker (mirrors the driver's t2 gate).
 
 Runs `graft.Verify` output against DuckDB executing oracle_sql.json on
-the same parquet tables, compares row-by-row after sorting columns by
-name. NOT part of the shipped engine — pure test harness.
+the same parquet tables and compares:
+  - arrow TYPES: a DuckDB DECIMAL against a Spark BIGINT/DOUBLE is a
+    FAIL — the driver hashes typed values, so Decimal(5) != int64(5)
+    even when numerically equal (this was every round-1 hash-fail).
+    Wrap oracle aggregates in CAST(... AS BIGINT/DOUBLE).
+  - VALUES at full precision (repr, not 10 sig digits) after sorting
+    columns by name, mirroring the driver's hash.
+NOT part of the shipped engine — pure test harness.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [query ...]
 """
+import glob
 import json
 import math
 import sys
 
 import duckdb
+import pyarrow.parquet as pq
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -20,14 +28,41 @@ TABLES = [
 
 
 def norm(v):
+    if v is None:
+        return "NaN"  # pandas surfaces SQL NULL as None or NaN
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.10g}"
-    return str(v)
+        return repr(v)
+    # pandas renders date32 as midnight Timestamp via arrow but as
+    # datetime.date via the parquet reader — same arrow type (already
+    # checked), so normalize the rendering
+    s = str(v)
+    if s.endswith(" 00:00:00"):
+        return s[:-9]
+    return s
 
 
-def main(sf_dir, out_dir):
+def type_diffs(out_dir, name, duck_arrow):
+    """Hash-breaking arrow type differences (decimal / date-vs-ts)."""
+    spark_types = {}
+    for f in glob.glob(f"{out_dir}/{name}/*.parquet"):
+        for fld in pq.read_schema(f):
+            spark_types[fld.name] = str(fld.type)
+    bad = []
+    for fld in duck_arrow.schema:
+        st = spark_types.get(fld.name)
+        dt = str(fld.type)
+        if st is None:
+            continue
+        if ("decimal" in dt) != ("decimal" in st):
+            bad.append(f"{fld.name}: spark={st} oracle={dt}")
+        elif dt.startswith("date") != st.startswith("date"):
+            bad.append(f"{fld.name}: spark={st} oracle={dt}")
+    return bad
+
+
+def main(sf_dir, out_dir, only):
     con = duckdb.connect()
     for t in TABLES:
         con.sql(
@@ -36,8 +71,12 @@ def main(sf_dir, out_dir):
         oracles = json.load(f)
     n_bad = 0
     for name, sql in sorted(oracles.items()):
+        if only and name not in only:
+            continue
         try:
-            want = con.sql(sql).df()
+            rel = con.sql(sql)
+            arrow = rel.arrow()
+            want = arrow.to_pandas()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_bad += 1
@@ -47,6 +86,11 @@ def main(sf_dir, out_dir):
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
         except Exception as e:
             print(f"FAIL {name}: spark output missing: {e}")
+            n_bad += 1
+            continue
+        tbad = type_diffs(out_dir, name, arrow)
+        if tbad:
+            print(f"FAIL {name}: hash-breaking oracle types: {'; '.join(tbad)}")
             n_bad += 1
             continue
         wc, gc = sorted(want.columns), sorted(got.columns)
@@ -77,4 +121,4 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main(sys.argv[1], sys.argv[2], set(sys.argv[3:]))
