@@ -61,13 +61,22 @@ object SegmentAdjust {
       )
       .flatMapGroups { (key: (Long, String), it: Iterator[Row]) =>
         val rows = it.toArray
+        // full-microsecond round-trip: getTime is millis-only, the
+        // sub-milli part lives in getNanos
+        def toMicros(t: java.sql.Timestamp): Long =
+          t.getTime / 1000L * 1000000L + t.getNanos / 1000L
         def toSeg(r: Row) = Seg(
           id = if (r.isNullAt(2)) None else Some(r.getLong(2)),
           seriesId = r.getLong(0),
           value = Option(r.getString(3)),
-          startDt = r.getTimestamp(4).getTime * 1000L,
-          endDt = r.getTimestamp(5).getTime * 1000L
+          startDt = toMicros(r.getTimestamp(4)),
+          endDt = toMicros(r.getTimestamp(5))
         )
+        def toTs(micros: Long): java.sql.Timestamp = {
+          val t = new java.sql.Timestamp(micros / 1000000L * 1000L)
+          t.setNanos((micros % 1000000L).toInt * 1000)
+          t
+        }
         val exist = rows.filter(_.getString(6) == "E").map(toSeg).toSeq
         val news = rows.filter(_.getString(6) == "N").map(toSeg).toSeq
         val stream = if (key._2.isEmpty) null else key._2
@@ -80,8 +89,8 @@ object SegmentAdjust {
                 stream,
                 s.id.map(Long.box).orNull,
                 s.value.orNull,
-                new java.sql.Timestamp(s.startDt / 1000L),
-                new java.sql.Timestamp(s.endDt / 1000L),
+                toTs(s.startDt),
+                toTs(s.endDt),
                 "upsert"
               )
             }

@@ -35,7 +35,9 @@ object SeriesKernels {
     prepared
       .groupByKey(_.getLong(0))(Encoders.scalaLong)
       .flatMapGroups { (key: Long, it: Iterator[Row]) =>
-        val ts = it.map(_.getTimestamp(1)).toArray.sortBy(_.getTime)
+        // sort on full micros: millis-only ordering is nondeterministic
+        // across shuffles for sub-milli timestamps
+        val ts = it.map(_.getTimestamp(1)).toArray.sortBy(t => (t.getTime, t.getNanos))
         val epochs = ts.map(t => Math.floorDiv(t.getTime, 1000L))
         val periods = PeriodKernel.inferPeriods(epochs)
         ts.iterator.zip(periods.iterator).map { case (t, p) =>
@@ -60,7 +62,10 @@ object SeriesKernels {
       Seq(
         StructField(keyCol, LongType, nullable = false),
         StructField(dtCol, TimestampType, nullable = true),
-        StructField("increment", DoubleType, nullable = true)
+        StructField("increment", DoubleType, nullable = true),
+        // densified position within the series: a deterministic sort
+        // key even when second-truncated timestamps collide
+        StructField("seq", LongType, nullable = false)
       )
     )
     val prepared = df.select(
@@ -77,7 +82,8 @@ object SeriesKernels {
         // reference treats NA rows as no-increment gaps,
         // R/compute_increments.R:69-80)
         val rows = it.filter(!_.isNullAt(2))
-          .map(r => (r.getTimestamp(1), r.getDouble(2))).toArray.sortBy(_._1.getTime)
+          .map(r => (r.getTimestamp(1), r.getDouble(2)))
+          .toArray.sortBy(r => (r._1.getTime, r._1.getNanos))
         if (rows.length < 2) Iterator.empty
         else {
           val epochs = rows.map(r => Math.floorDiv(r._1.getTime, 1000L))
@@ -88,8 +94,8 @@ object SeriesKernels {
             minPos,
             maxGap
           )
-          dts.iterator.zip(incs.iterator).map { case (e, inc) =>
-            Row(key, new java.sql.Timestamp(e * 1000L), inc.map(Double.box).orNull)
+          dts.iterator.zip(incs.iterator).zipWithIndex.map { case ((e, inc), i) =>
+            Row(key, new java.sql.Timestamp(e * 1000L), inc.map(Double.box).orNull, (i + 1).toLong)
           }
         }
       }(Encoders.row(schema))

@@ -284,10 +284,133 @@ object LifecycleQueries {
       .increments(gauge, "user_id", "ts", "gauge", resetDrop = 20.0, minPos = 0.1, maxGap = 2)
       .select(
         col("user_id"),
+        col("seq"),
         unix_micros(col("ts")).as("ts_us"),
         round(col("increment"), 4).as("increment")
       )
-      .orderBy(col("user_id"), col("ts_us"))
+      .orderBy(col("user_id"), col("seq"))
+  }
+
+  /** Oracle for the increment state machine: the cadence scan (same
+    * recursive CTE as q_period_infer, collapsed to period SECONDS),
+    * LOCF, densification of gaps via correlated range(), NA-run
+    * lengths via gaps-and-islands, then the reset/baseline scan as a
+    * second recursive CTE carrying last_max.
+    */
+  private val incrementsSql = {
+    val changed = "(s.s IS NOT NULL AND s.s <> p.last_diff)"
+    val accept = s"($changed AND p.consec + 1 = 3)"
+    // PeriodFormat.fromHours -> toSeconds composition, directly in secs
+    val hrs = "acc_val"
+    val psecExpr =
+      s"""CAST(floor($hrs / 24) AS BIGINT) * 86400
+         | + CAST(floor($hrs % 24) AS BIGINT) * 3600
+         | + CAST(floor((($hrs % 24) - floor($hrs % 24)) * 60) AS BIGINT) * 60
+         | + CAST(round_even(((($hrs % 24) - floor($hrs % 24)) * 60
+         |     - floor((($hrs % 24) - floor($hrs % 24)) * 60)) * 60, 0) AS BIGINT)""".stripMargin
+    s"""WITH RECURSIVE rows0 AS (
+       |  SELECT * FROM (
+       |    SELECT CAST(user_id AS BIGINT) AS user_id, ts,
+       |           epoch_us(ts) // 1000000 AS sec,
+       |           sum(abs(value)) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                                 ROWS UNBOUNDED PRECEDING) % 50.0 AS gauge,
+       |           row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+       |           count(*) OVER (PARTITION BY user_id) AS n_rows
+       |    FROM events
+       |  ) WHERE n_rows >= 2
+       |), d AS (
+       |  SELECT * FROM (
+       |    SELECT user_id, rn AS dj,
+       |           (lead(sec) OVER (PARTITION BY user_id ORDER BY rn) - sec) / 3600.0 AS dh
+       |    FROM rows0
+       |  ) WHERE dh IS NOT NULL
+       |), sm AS (
+       |  SELECT user_id, dj,
+       |         CASE WHEN lag(dh) OVER w IS NOT NULL AND lead(dh) OVER w IS NOT NULL THEN
+       |           greatest(least(lag(dh) OVER w, dh),
+       |                    least(greatest(lag(dh) OVER w, dh), lead(dh) OVER w))
+       |         END AS s
+       |  FROM d WINDOW w AS (PARTITION BY user_id ORDER BY dj)
+       |), scan(user_id, dj, consec, last_diff, acc_rn, acc_val) AS (
+       |  SELECT user_id, dj,
+       |         CASE WHEN s IS NOT NULL AND s <> 0.0 THEN 1 ELSE 0 END,
+       |         CAST(0.0 AS DOUBLE), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+       |  FROM sm WHERE dj = 1
+       |  UNION ALL
+       |  SELECT s.user_id, s.dj,
+       |         CASE WHEN $accept THEN 0
+       |              WHEN $changed THEN p.consec + 1 ELSE 0 END,
+       |         CASE WHEN $accept THEN s.s ELSE p.last_diff END,
+       |         CASE WHEN $accept THEN s.dj - 2 END,
+       |         CASE WHEN $accept THEN s.s END
+       |  FROM scan p JOIN sm s ON s.user_id = p.user_id AND s.dj = p.dj + 1
+       |), psec0 AS (
+       |  SELECT user_id, acc_rn, $psecExpr AS psec
+       |  FROM scan WHERE acc_rn IS NOT NULL
+       |), rwp AS (
+       |  SELECT r.user_id, r.sec, r.rn, r.gauge,
+       |         lead(r.sec) OVER (PARTITION BY r.user_id ORDER BY r.rn) AS next_sec,
+       |         coalesce(
+       |           last_value(f.psec IGNORE NULLS) OVER (PARTITION BY r.user_id ORDER BY r.rn
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |           first_value(f.psec IGNORE NULLS) OVER (PARTITION BY r.user_id ORDER BY r.rn
+       |             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+       |         ) AS p_sec
+       |  FROM rows0 r LEFT JOIN psec0 f ON f.user_id = r.user_id AND f.acc_rn = r.rn
+       |), na_rows AS (
+       |  SELECT user_id, sec + k * p_sec AS sec
+       |  FROM (
+       |    SELECT user_id, sec, p_sec,
+       |           unnest(range(1, (next_sec - sec) // p_sec)) AS k
+       |    FROM rwp
+       |    WHERE p_sec IS NOT NULL AND p_sec > 0 AND next_sec IS NOT NULL
+       |      AND sec + p_sec < next_sec
+       |  )
+       |), densr AS (
+       |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY sec, us) AS rn
+       |  FROM (
+       |    SELECT user_id, sec, epoch_us(ts) AS us, gauge AS v FROM rows0
+       |    UNION ALL
+       |    SELECT user_id, sec, sec * 1000000, CAST(NULL AS DOUBLE) FROM na_rows
+       |  )
+       |), curr AS (
+       |  SELECT *,
+       |         lag(v) OVER w2 AS prev_v,
+       |         lag(v) OVER w2 IS NULL AND rn > 1 AS prev_is_na,
+       |         lag(na_run) OVER w2 AS prev_na_run
+       |  FROM (
+       |    SELECT *, CASE WHEN v IS NULL
+       |                   THEN count(*) OVER (PARTITION BY user_id, vgrp) - 1
+       |                   ELSE 0 END AS na_run
+       |    FROM (
+       |      SELECT *, sum(CASE WHEN v IS NULL THEN 0 ELSE 1 END)
+       |                  OVER (PARTITION BY user_id ORDER BY rn) AS vgrp
+       |      FROM densr
+       |    )
+       |  ) WINDOW w2 AS (PARTITION BY user_id ORDER BY rn)
+       |), scan2(user_id, rn, sec, last_max, inc) AS (
+       |  SELECT user_id, rn, sec, v, CAST(NULL AS DOUBLE)
+       |  FROM curr WHERE rn = 1
+       |  UNION ALL
+       |  SELECT c.user_id, c.rn, c.sec,
+       |         CASE
+       |           WHEN c.prev_is_na AND c.prev_na_run > 2 THEN coalesce(c.v, p.last_max)
+       |           WHEN c.v IS NULL OR c.prev_is_na THEN p.last_max
+       |           WHEN c.v - c.prev_v <= -20.0 THEN c.v
+       |           WHEN c.v - greatest(p.last_max, c.prev_v) >= 0.1 THEN c.v
+       |           ELSE p.last_max END,
+       |         CASE
+       |           WHEN c.prev_is_na AND c.prev_na_run > 2 THEN CAST(NULL AS DOUBLE)
+       |           WHEN c.v IS NULL OR c.prev_is_na THEN CAST(NULL AS DOUBLE)
+       |           WHEN c.v - c.prev_v <= -20.0 THEN 0.0
+       |           WHEN c.v - greatest(p.last_max, c.prev_v) >= 0.1
+       |             THEN c.v - greatest(p.last_max, c.prev_v)
+       |           ELSE 0.0 END
+       |  FROM scan2 p JOIN curr c ON c.user_id = p.user_id AND c.rn = p.rn + 1
+       |)
+       |SELECT user_id, rn AS seq, sec * 1000000 AS ts_us, round(inc, 4) AS increment
+       |FROM scan2
+       |ORDER BY user_id, seq""".stripMargin
   }
 
   private def periodInfer(s: SparkSession, d: String): DataFrame =
@@ -296,12 +419,77 @@ object LifecycleQueries {
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("period"))
       .orderBy(col("user_id"), col("ts_us"))
 
+  /** Oracle for the cadence state machine: rolling median-of-3 via
+    * lag/lead min/max algebra, the 3-consecutive-changes scan as a
+    * recursive CTE carrying (consecutive, last_diff), ISO-8601
+    * formatting replicating PeriodFormat.fromHours (half-even seconds
+    * rounding), then LOCF both directions.
+    */
+  private val periodInferSql = {
+    // advance(state, smoothed): shared transition predicates
+    val changed = "(s.s IS NOT NULL AND s.s <> p.last_diff)"
+    val accept = s"($changed AND p.consec + 1 = 3)"
+    s"""WITH RECURSIVE rows0 AS (
+       |  SELECT CAST(user_id AS BIGINT) AS user_id, ts,
+       |         epoch_us(ts) // 1000000 AS sec,
+       |         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+       |  FROM events
+       |), d AS (
+       |  SELECT * FROM (
+       |    SELECT user_id, rn AS dj,
+       |           (lead(sec) OVER (PARTITION BY user_id ORDER BY rn) - sec) / 3600.0 AS dh
+       |    FROM rows0
+       |  ) WHERE dh IS NOT NULL
+       |), sm AS (
+       |  SELECT user_id, dj,
+       |         CASE WHEN lag(dh) OVER w IS NOT NULL AND lead(dh) OVER w IS NOT NULL THEN
+       |           greatest(least(lag(dh) OVER w, dh),
+       |                    least(greatest(lag(dh) OVER w, dh), lead(dh) OVER w))
+       |         END AS s
+       |  FROM d WINDOW w AS (PARTITION BY user_id ORDER BY dj)
+       |), scan(user_id, dj, consec, last_diff, acc_rn, acc_val) AS (
+       |  SELECT user_id, dj,
+       |         CASE WHEN s IS NOT NULL AND s <> 0.0 THEN 1 ELSE 0 END,
+       |         CAST(0.0 AS DOUBLE), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+       |  FROM sm WHERE dj = 1
+       |  UNION ALL
+       |  SELECT s.user_id, s.dj,
+       |         CASE WHEN $accept THEN 0
+       |              WHEN $changed THEN p.consec + 1 ELSE 0 END,
+       |         CASE WHEN $accept THEN s.s ELSE p.last_diff END,
+       |         CASE WHEN $accept THEN s.dj - 2 END,
+       |         CASE WHEN $accept THEN s.s END
+       |  FROM scan p JOIN sm s ON s.user_id = p.user_id AND s.dj = p.dj + 1
+       |), fmt AS (
+       |  SELECT user_id, acc_rn,
+       |         'P' || CAST(floor(acc_val / 24) AS BIGINT) || 'DT'
+       |             || CAST(floor(acc_val % 24) AS BIGINT) || 'H'
+       |             || CAST(floor(((acc_val % 24) - floor(acc_val % 24)) * 60) AS BIGINT) || 'M'
+       |             || CAST(round_even((((acc_val % 24) - floor(acc_val % 24)) * 60
+       |                  - floor(((acc_val % 24) - floor(acc_val % 24)) * 60)) * 60, 0) AS BIGINT) || 'S'
+       |           AS period
+       |  FROM scan WHERE acc_rn IS NOT NULL
+       |), wp AS (
+       |  SELECT r.user_id, r.ts, r.rn, f.period AS p0
+       |  FROM rows0 r LEFT JOIN fmt f ON f.user_id = r.user_id AND f.acc_rn = r.rn
+       |)
+       |SELECT user_id, epoch_us(ts) AS ts_us,
+       |       coalesce(
+       |         last_value(p0 IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY rn
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |         first_value(p0 IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY rn
+       |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+       |       ) AS period
+       |FROM wp
+       |ORDER BY user_id, ts_us""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_asof_snapshot", asOfSnapshot, Some(asOfSnapshotSql)),
     QueryDef("q_corrected_asof", correctedAsOf, Some(correctedAsOfSql)),
     QueryDef("q_compound_closure", compoundClosure, Some(compoundClosureSql)),
     QueryDef("q_guidelines", guidelines, Some(guidelinesSql)),
-    QueryDef("q_increments", increments, None, headline = true),
-    QueryDef("q_period_infer", periodInfer, None)
+    QueryDef("q_increments", increments, Some(incrementsSql), headline = true),
+    QueryDef("q_period_infer", periodInfer, Some(periodInferSql))
   )
 }

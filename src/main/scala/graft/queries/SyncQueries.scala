@@ -160,7 +160,11 @@ object SyncQueries {
   /** Existing QC segments = RLE over the first half of the month; new
     * segments = RLE over the second half; adjusted per user with
     * bridge-latest-extension (the getNew append path, SURVEY §2.9).
-    * Order-dependent interval algebra — rows-only check.
+    * The oracle re-implements the whole interval algebra relationally
+    * (boundary union -> unit intervals -> new-wins value resolution ->
+    * adjacent merge -> positional id reuse -> surplus deletes ->
+    * idempotence short-circuit), so the hash check covers the full
+    * adjust semantics.
     */
   private def segmentAdjust(s: SparkSession, d: String): DataFrame = {
     import graft.operators.SegmentAdjust
@@ -209,9 +213,120 @@ object SyncQueries {
       .orderBy(col("series_id"), col("op"), col("start_us"), col("id"))
   }
 
+  private val segmentAdjustSql = {
+    def rleCte(tag: String, from: String, to: String) =
+      s"""p$tag AS (
+         |  SELECT user_id, ts, event_id, event_type,
+         |         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+         |  FROM events
+         |  WHERE ts >= TIMESTAMP '$from' AND ts < TIMESTAMP '$to'
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |), g$tag AS (
+         |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                           ROWS UNBOUNDED PRECEDING) AS g
+         |  FROM p$tag
+         |), s$tag AS (
+         |  SELECT user_id, g, min(ts) AS start_dt, max(ts) AS last_dt, min(event_type) AS value
+         |  FROM g$tag GROUP BY 1, 2
+         |)""".stripMargin
+    s"""WITH ${rleCte("1", "2024-01-01 00:00:00", "2024-01-16 00:00:00")},
+       |${rleCte("2", "2024-01-16 00:00:00", "2024-02-01 00:00:00")},
+       |e0 AS (
+       |  SELECT user_id, value, start_dt,
+       |         coalesce(lead(start_dt) OVER (PARTITION BY user_id ORDER BY start_dt),
+       |                  last_dt + INTERVAL 1 HOUR) AS end_dt,
+       |         CAST(row_number() OVER (PARTITION BY user_id ORDER BY start_dt) AS BIGINT) AS id
+       |  FROM s1
+       |), n0 AS (
+       |  SELECT user_id, value, start_dt,
+       |         coalesce(lead(start_dt) OVER (PARTITION BY user_id ORDER BY start_dt),
+       |                  last_dt + INTERVAL 1 HOUR) AS end_dt
+       |  FROM s2
+       |), firstnew AS (
+       |  SELECT user_id, min(start_dt) AS n_start, arg_min(value, start_dt) AS n_value
+       |  FROM n0 GROUP BY 1
+       |), eb AS (
+       |  -- bridge-latest-extension: stretch the latest existing segment
+       |  -- to the first new one when values match across the gap
+       |  SELECT e.user_id, e.id, e.value, e.start_dt,
+       |         CASE WHEN e.end_dt = me.max_end AND e.end_dt < fn.n_start AND e.value = fn.n_value
+       |              THEN fn.n_start ELSE e.end_dt END AS end_dt
+       |  FROM e0 e
+       |  LEFT JOIN (SELECT user_id, max(end_dt) AS max_end FROM e0 GROUP BY 1) me USING (user_id)
+       |  LEFT JOIN firstnew fn USING (user_id)
+       |), bnd AS (
+       |  SELECT DISTINCT user_id, bd FROM (
+       |    SELECT user_id, start_dt AS bd FROM eb
+       |    UNION ALL SELECT user_id, end_dt FROM eb
+       |    UNION ALL SELECT user_id, start_dt FROM n0
+       |    UNION ALL SELECT user_id, end_dt FROM n0)
+       |), units AS (
+       |  SELECT * FROM (
+       |    SELECT user_id, bd AS u_start,
+       |           lead(bd) OVER (PARTITION BY user_id ORDER BY bd) AS u_end
+       |    FROM bnd
+       |  ) WHERE u_end IS NOT NULL
+       |), valued AS (
+       |  SELECT u.user_id, u.u_start, u.u_end, coalesce(n.value, e.value) AS value
+       |  FROM units u
+       |  LEFT JOIN n0 n ON n.user_id = u.user_id AND n.start_dt <= u.u_start AND n.end_dt >= u.u_end
+       |  LEFT JOIN eb e ON e.user_id = u.user_id AND e.start_dt <= u.u_start AND e.end_dt >= u.u_end
+       |  WHERE coalesce(n.value, e.value) IS NOT NULL
+       |), m0 AS (
+       |  SELECT *, CASE WHEN lag(value) OVER w IS DISTINCT FROM value
+       |                   OR lag(u_end) OVER w IS DISTINCT FROM u_start THEN 1 ELSE 0 END AS chg
+       |  FROM valued WINDOW w AS (PARTITION BY user_id ORDER BY u_start)
+       |), m1 AS (
+       |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY u_start
+       |                           ROWS UNBOUNDED PRECEDING) AS g
+       |  FROM m0
+       |), merged AS (
+       |  SELECT user_id, min(u_start) AS start_dt, max(u_end) AS end_dt, min(value) AS value,
+       |         CAST(row_number() OVER (PARTITION BY user_id ORDER BY min(u_start)) AS BIGINT) AS pos
+       |  FROM m1 GROUP BY user_id, g
+       |), withid AS (
+       |  -- positional id reuse: existing ids ARE 1..n in start order
+       |  SELECT m.user_id, CASE WHEN m.pos <= coalesce(ne.n, 0) THEN m.pos END AS id,
+       |         m.value, m.start_dt, m.end_dt
+       |  FROM merged m
+       |  LEFT JOIN (SELECT user_id, count(*) AS n FROM e0 GROUP BY 1) ne USING (user_id)
+       |), deletes AS (
+       |  SELECT e.user_id, e.id FROM e0 e
+       |  JOIN (SELECT user_id, count(*) AS m FROM merged GROUP BY 1) mc USING (user_id)
+       |  WHERE e.id > mc.m
+       |), sk_e AS (
+       |  SELECT user_id, string_agg(coalesce(id::VARCHAR, 'NA') || '|' || value || '|'
+       |           || epoch_us(start_dt) || '|' || epoch_us(end_dt), ';'
+       |           ORDER BY start_dt, end_dt) AS sk
+       |  FROM e0 GROUP BY 1
+       |), sk_m AS (
+       |  SELECT user_id, string_agg(coalesce(id::VARCHAR, 'NA') || '|' || value || '|'
+       |           || epoch_us(start_dt) || '|' || epoch_us(end_dt), ';'
+       |           ORDER BY start_dt, end_dt) AS sk
+       |  FROM withid GROUP BY 1
+       |), changed AS (
+       |  -- idempotence short-circuit: only series whose canonical state
+       |  -- differs (or with deletes) emit rows
+       |  SELECT coalesce(m.user_id, e.user_id) AS user_id
+       |  FROM sk_m m FULL JOIN sk_e e USING (user_id)
+       |  WHERE m.sk IS DISTINCT FROM e.sk
+       |  UNION SELECT user_id FROM deletes
+       |)
+       |SELECT * FROM (
+       |  SELECT user_id AS series_id, id, value,
+       |         epoch_us(start_dt) AS start_us, epoch_us(end_dt) AS end_us,
+       |         'upsert' AS op
+       |  FROM withid WHERE user_id IN (SELECT user_id FROM changed)
+       |  UNION ALL
+       |  SELECT user_id, id, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), 'delete'
+       |  FROM deletes WHERE user_id IN (SELECT user_id FROM changed)
+       |)
+       |ORDER BY series_id, op, start_us NULLS FIRST, id""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_rle_segments", rleSegments, Some(rleSegmentsSql)),
-    QueryDef("q_segment_adjust", segmentAdjust, None),
+    QueryDef("q_segment_adjust", segmentAdjust, Some(segmentAdjustSql)),
     QueryDef("q_locf", locf, Some(locfSql)),
     QueryDef("q_json_extract", jsonExtract, Some(jsonExtractSql)),
     QueryDef("q_sync_diff", syncDiff, Some(syncDiffSql), headline = true)
