@@ -74,6 +74,81 @@ object Imputation {
       .drop("fill")
   }
 
+  /** Spline self-interpolation of NULL runs
+    * (`R/imputeMissing.R:1104-1169`): an NA run is filled only when
+    * its length is within [minGap, maxGap] and it does not touch the
+    * series tail; the spline is fit over the +-20-row context window
+    * around the run (valid rows only) at ROW positions — the
+    * reference fits on row indices, not timestamps — and evaluated at
+    * the gap positions. Per-series `flatMapGroups` after one shuffle
+    * on the key: gap state is sequential, groups are bounded.
+    */
+  def splineFill(
+      df: DataFrame,
+      keyCol: String,
+      orderCol: String,
+      valueCol: String,
+      minGap: Int = 1,
+      maxGap: Int = 10,
+      contextRows: Int = 20
+  ): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val schema = StructType(
+      Seq(
+        StructField(keyCol, LongType, nullable = false),
+        StructField(orderCol, TimestampType, nullable = true),
+        StructField("filled", DoubleType, nullable = true),
+        StructField("imputed", BooleanType, nullable = false)
+      )
+    )
+    df.select(
+      col(keyCol).cast("long"),
+      col(orderCol).cast("timestamp"),
+      col(valueCol).cast("double")
+    ).groupByKey(_.getLong(0))(Encoders.scalaLong)
+      .flatMapGroups { (key: Long, it: Iterator[Row]) =>
+        val rows = it
+          .map(r => (r.getTimestamp(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+          .toArray
+          .sortBy(r => (r._1.getTime, r._1.getNanos))
+        val n = rows.length
+        val filled: Array[Option[Double]] = rows.map(_._2)
+        val imputed = Array.fill(n)(false)
+        var i = 0
+        while (i < n) {
+          if (rows(i)._2.isEmpty) {
+            var j = i
+            while (j < n && rows(j)._2.isEmpty) j += 1
+            val len = j - i
+            // fill only interior runs within the gap bounds
+            // (imputeMissing.R:1110-1125: end_pos < nrow guard)
+            if (len >= minGap && len <= maxGap && j < n && i > 0) {
+              val lo = math.max(0, i - contextRows)
+              val hi = math.min(n - 1, j - 1 + contextRows)
+              val ctx = (lo to hi).filter(k => rows(k)._2.isDefined)
+              if (ctx.size >= 2) {
+                val xs = ctx.map(_.toDouble + 1.0).toArray // 1-based row positions
+                val ys = ctx.map(k => rows(k)._2.get).toArray
+                val xout = (i until j).map(_.toDouble + 1.0).toArray
+                val fit = graft.kernels.SplineKernel.naturalSpline(xs, ys, xout)
+                var k = i
+                while (k < j) {
+                  filled(k) = Some(fit(k - i))
+                  imputed(k) = true
+                  k += 1
+                }
+              }
+            }
+            i = j
+          } else i += 1
+        }
+        rows.iterator.zipWithIndex.map { case ((t, _), idx) =>
+          Row(key, t, filled(idx).map(Double.box).orNull, imputed(idx))
+        }
+      }(Encoders.row(schema))
+  }
+
   /** Linear interpolation of NULL runs between observed anchors,
     * bounded by `maxGapSeconds` (NULL stays NULL when the bracketing
     * anchors are too far apart or a side is missing). `imputed` marks

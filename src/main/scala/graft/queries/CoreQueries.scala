@@ -141,10 +141,84 @@ object CoreQueries {
       |WHERE rn = 1
       |ORDER BY user_id""".stripMargin
 
+  /** Polygon-derived location codes (`R/generateACLocationCode.R:1-9`):
+    * stations fall into basin polygons by even-odd ray cast over WKT
+    * rings (native HOFs, no UDF — `graft.functions.Spatial`); the code
+    * is the containing basin's prefix + a zero-padded per-prefix
+    * sequence, 'XX' for stations outside every basin. The oracle
+    * re-implements the ray cast relationally (edge table + crossing
+    * count parity).
+    */
+  private def pointInPolygon(s: SparkSession, d: String) = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Spatial
+    val pts = TestTables.events(s, d)
+      .select(col("user_id").cast("long").as("user_id"))
+      .distinct()
+      .withColumn("px", lit(-135.0) + col("user_id") % 7 * 0.5 + 0.1)
+      .withColumn("py", lit(60.0) + col("user_id") % 10 * 0.5 + 0.1)
+    val polys = Seq(
+      ("BA", "POLYGON ((-135.05 59.85, -133.65 59.85, -133.65 63.15, -135.05 63.15, -135.05 59.85))"),
+      ("TR", "POLYGON ((-133.65 59.85, -131.55 59.85, -131.55 65.05, -133.65 59.85))")
+    ).toDF("prefix", "wkt")
+      .withColumn("verts", Spatial.wktPolygonVertices(col("wkt")))
+    val hits = pts
+      .crossJoin(broadcast(polys))
+      .filter(Spatial.pointInPolygon(col("px"), col("py"), col("verts")))
+      .select(col("user_id"), col("prefix"))
+    pts
+      .join(hits, Seq("user_id"), "left")
+      .withColumn("prefix", coalesce(col("prefix"), lit("XX")))
+      .withColumn(
+        "code",
+        concat(
+          col("prefix"),
+          lpad(row_number().over(Window.partitionBy(col("prefix")).orderBy(col("user_id"))), 3, "0")
+        )
+      )
+      .select(col("user_id"), round(col("px"), 4).as("px"), round(col("py"), 4).as("py"), col("prefix"), col("code"))
+      .orderBy(col("user_id"))
+  }
+
+  private val pointInPolygonSql =
+    """WITH pts AS (
+      |  SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id,
+      |         -135.0::DOUBLE + (user_id % 7) * 0.5::DOUBLE + 0.1::DOUBLE AS px,
+      |         60.0::DOUBLE + (user_id % 10) * 0.5::DOUBLE + 0.1::DOUBLE AS py
+      |  FROM events
+      |), edges0(prefix, x1, y1, x2, y2) AS (VALUES
+      |  ('BA', -135.05, 59.85, -133.65, 59.85),
+      |  ('BA', -133.65, 59.85, -133.65, 63.15),
+      |  ('BA', -133.65, 63.15, -135.05, 63.15),
+      |  ('BA', -135.05, 63.15, -135.05, 59.85),
+      |  ('TR', -133.65, 59.85, -131.55, 59.85),
+      |  ('TR', -131.55, 59.85, -131.55, 65.05),
+      |  ('TR', -131.55, 65.05, -133.65, 59.85)
+      |), edges AS (
+      |  SELECT prefix, x1::DOUBLE AS x1, y1::DOUBLE AS y1, x2::DOUBLE AS x2, y2::DOUBLE AS y2
+      |  FROM edges0
+      |), hits AS (
+      |  SELECT p.user_id, e.prefix
+      |  FROM pts p CROSS JOIN edges e
+      |  GROUP BY 1, 2
+      |  HAVING sum(CASE WHEN (e.y1 > p.py) <> (e.y2 > p.py)
+      |                    AND p.px < (e.x2 - e.x1) * (p.py - e.y1) / (e.y2 - e.y1) + e.x1
+      |                  THEN 1 ELSE 0 END) % 2 = 1
+      |), coded AS (
+      |  SELECT p.user_id, p.px, p.py, coalesce(h.prefix, 'XX') AS prefix
+      |  FROM pts p LEFT JOIN hits h USING (user_id)
+      |)
+      |SELECT user_id, round(px, 4) AS px, round(py, 4) AS py, prefix,
+      |       prefix || lpad(CAST(row_number() OVER (PARTITION BY prefix ORDER BY user_id) AS VARCHAR), 3, '0') AS code
+      |FROM coded
+      |ORDER BY user_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_catalog_enrich", catalogEnrich, Some(catalogEnrichSql), headline = true),
     QueryDef("q_last_point", lastPoint, Some(lastPointSql)),
     QueryDef("q_salted_join", saltedJoin, Some(saltedJoinSql)),
-    QueryDef("q_location_code", locationCode, Some(locationCodeSql))
+    QueryDef("q_location_code", locationCode, Some(locationCodeSql)),
+    QueryDef("q_point_in_polygon", pointInPolygon, Some(pointInPolygonSql))
   )
 }

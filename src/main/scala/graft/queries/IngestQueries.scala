@@ -335,6 +335,101 @@ object IngestQueries {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  // ---- ECCC-wq import-key mapping ----------------------------------
+
+  /** Import-key mapping over an ECCC-shaped result file derived from
+    * events (`R/downloadECCCwq.R:23` + `inst/import_keys/
+    * downloadECCCeq1.csv`): broadcast mapping join on
+    * (variable, unit), unit conversion + offset, '<'/'>' flags to
+    * censored conditions, unmapped/unparameterized/odd-flag rows
+    * skipped. Per-parameter summary with the cross-engine type/float
+    * discipline.
+    */
+  private def importMapping(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = TestTables.events(s, d)
+    val av = abs(col("value"))
+    val raw = e.select(
+      col("ts").as("datetime"),
+      concat(lit("S"), col("event_id")).as("source_sample_id"),
+      upper(col("event_type")).as("variable"),
+      when(col("user_id") % 2 === 0, lit("MG/L")).otherwise(lit("UG/L")).as("unit"),
+      av.as("value"),
+      when(col("event_id") % 97 === 0, lit("X"))
+        .when(av < 1.0, lit("<"))
+        .when(av > 90.0, lit(">"))
+        .otherwise(lit(""))
+        .as("flag")
+    )
+    val key = Seq(
+      ("CLICK", "MG/L", Some(101L), 1.0, 0.0),
+      ("CLICK", "UG/L", Some(101L), 0.001, 0.0),
+      ("VIEW", "MG/L", Some(102L), 1.0, 0.0), // VIEW/UG-L left unmapped
+      ("PURCHASE", "MG/L", None, 1.0, 0.0), // no parameter_id -> skipped
+      ("PURCHASE", "UG/L", None, 1.0, 0.0),
+      ("ERROR", "MG/L", Some(104L), 2.0, 0.5),
+      ("ERROR", "UG/L", Some(104L), 0.002, 0.0),
+      ("SIGNUP", "MG/L", Some(105L), 1.0, -1.0),
+      ("SIGNUP", "UG/L", Some(105L), 0.01, 0.0)
+    ).toDF("input_param", "input_unit", "parameter_id", "conversion", "result_offset")
+      .withColumn("result_type", lit(2L))
+      .withColumn("sample_fraction", lit(19L))
+      .withColumn("result_value_type", lit(1L))
+      .withColumn("result_speciation_id", lit(null).cast("long"))
+      .withColumn("matrix_state", lit("liquid"))
+    graft.sources.EcccWq
+      .mapResults(raw, key)
+      .groupBy(col("parameter_id"))
+      .agg(
+        count(lit(1)).as("n_results"),
+        sum(when(col("condition") === "below detection", 1).otherwise(0)).as("n_below"),
+        sum(when(col("condition") === "above detection", 1).otherwise(0)).as("n_above"),
+        round(avg(round(col("result") * 1000000).cast("long")) / 1000000.0, 4).as("mean_result"),
+        round(max(col("condition_value")), 4).as("max_cond")
+      )
+      .orderBy(col("parameter_id"))
+  }
+
+  private val importMappingSql =
+    """WITH raw AS (
+      |  SELECT ts AS datetime, 'S' || event_id AS source_sample_id,
+      |         upper(event_type) AS variable,
+      |         CASE WHEN user_id % 2 = 0 THEN 'MG/L' ELSE 'UG/L' END AS unit,
+      |         abs(value) AS value,
+      |         CASE WHEN event_id % 97 = 0 THEN 'X'
+      |              WHEN abs(value) < 1.0 THEN '<'
+      |              WHEN abs(value) > 90.0 THEN '>'
+      |              ELSE '' END AS flag
+      |  FROM events
+      |), key AS (
+      |  SELECT * FROM (VALUES
+      |    ('CLICK',    'MG/L', 101, 1.0::DOUBLE,   0.0::DOUBLE),
+      |    ('CLICK',    'UG/L', 101, 0.001::DOUBLE, 0.0::DOUBLE),
+      |    ('VIEW',     'MG/L', 102, 1.0::DOUBLE,   0.0::DOUBLE),
+      |    ('PURCHASE', 'MG/L', NULL, 1.0::DOUBLE,  0.0::DOUBLE),
+      |    ('PURCHASE', 'UG/L', NULL, 1.0::DOUBLE,  0.0::DOUBLE),
+      |    ('ERROR',    'MG/L', 104, 2.0::DOUBLE,   0.5::DOUBLE),
+      |    ('ERROR',    'UG/L', 104, 0.002::DOUBLE, 0.0::DOUBLE),
+      |    ('SIGNUP',   'MG/L', 105, 1.0::DOUBLE,  -1.0::DOUBLE),
+      |    ('SIGNUP',   'UG/L', 105, 0.01::DOUBLE,  0.0::DOUBLE)
+      |  ) t(input_param, input_unit, parameter_id, conversion, result_offset)
+      |), mapped AS (
+      |  SELECT CAST(k.parameter_id AS BIGINT) AS parameter_id,
+      |         r.value * k.conversion + k.result_offset AS converted,
+      |         r.flag
+      |  FROM raw r
+      |  JOIN key k ON r.variable = k.input_param AND r.unit = k.input_unit
+      |  WHERE k.parameter_id IS NOT NULL AND r.flag IN ('', '<', '>')
+      |)
+      |SELECT parameter_id, count(*) AS n_results,
+      |       CAST(sum(CASE WHEN flag = '<' THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+      |       CAST(sum(CASE WHEN flag = '>' THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+      |       round(avg(CAST(round((CASE WHEN flag = '' THEN converted END) * 1000000) AS BIGINT)) / 1000000.0, 4) AS mean_result,
+      |       CAST(round(max(CASE WHEN flag IN ('<', '>') THEN converted END), 4) AS DOUBLE) AS max_cond
+      |FROM mapped
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   // ---- donor-based gap fill ----------------------------------------
 
   /** `imputeMissing` donor path end-to-end shape: hourly series, the
@@ -415,6 +510,7 @@ object IngestQueries {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_incremental_filter", incrementalFilter, Some(incrementalFilterSql)),
     QueryDef("q_discrete_ingest", discreteIngest, Some(discreteIngestSql)),
+    QueryDef("q_import_mapping", importMapping, Some(importMappingSql)),
     QueryDef("q_donor_fill", donorFill, Some(donorFillSql)),
     QueryDef("q_hydat_merge", hydatMerge, Some(hydatMergeSql)),
     QueryDef("q_rls_filter", rlsFilter, Some(rlsFilterSql)),

@@ -1,0 +1,104 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Aquarius corrected-data ingest — the reference's largest single
+  * source (`R/downloadAquarius.R:30`, 574 LoC in YukonWRB/AquaCache).
+  * The HTTP client is out of scope (zero egress); this adapter owns
+  * everything after the response arrives, which is where all the
+  * logic lives:
+  *
+  *   - `Points[].Timestamp` carry a `±HH:MM` UTC offset suffix parsed
+  *     to UTC (`:141-156`); `Points[].Value.Numeric` NA rows dropped
+  *     (`:137`); duplicate points dropped, sorted (`:158-159`);
+  *   - `Grades[] / Approvals[] / Qualifiers[]` are INTERVAL metadata
+  *     (`[StartTime, EndTime)`) stamped onto points by range join
+  *     (`:195-345`) — the point-in-interval join of SURVEY §2.3;
+  *   - `difference = true` runs the cumulative->increment kernel over
+  *     the points (`:163-183`, `compute_increments`).
+  */
+object AquariusAdapter extends SourceAdapter {
+  override val name = "downloadAquarius"
+
+  /** `2023-01-02T00:30:00.0000000-07:00` -> UTC timestamp. */
+  private def parseAqTs(c: org.apache.spark.sql.Column) =
+    to_timestamp(regexp_replace(c, "\\.\\d+", ""), "yyyy-MM-dd'T'HH:mm:ssXXX")
+
+  /** args: file (JSON response), optional difference/reset_drop/
+    * min_pos/max_gap.
+    */
+  override def fetch(spark: SparkSession, cfg: SeriesConfig, startTs: java.sql.Timestamp): DataFrame = {
+    val raw = spark.read.option("multiLine", "true").json(cfg.args("file"))
+    val hasCol = (n: String) => raw.columns.contains(n)
+
+    val points = raw
+      .select(explode(col("Points")).as("p"))
+      .select(
+        parseAqTs(col("p.Timestamp")).as("datetime"),
+        col("p.Value.Numeric").cast("double").as("value")
+      )
+      .filter(col("value").isNotNull)
+      .dropDuplicates("datetime", "value")
+
+    def segs(arrayCol: String, codeField: String, outCol: String): Option[DataFrame] =
+      if (!hasCol(arrayCol)) None
+      else
+        Some(
+          raw
+            .select(explode(col(arrayCol)).as("s"))
+            .select(
+              col(s"s.$codeField").cast("string").as(outCol),
+              parseAqTs(col("s.StartTime")).as("start_dt"),
+              parseAqTs(col("s.EndTime")).as("end_dt")
+            )
+        )
+
+    def stamp(df: DataFrame, seg: Option[DataFrame], outCol: String): DataFrame = seg match {
+      case None => df.withColumn(outCol, lit(null).cast("string"))
+      case Some(s) =>
+        df.join(
+          broadcast(s),
+          df("datetime") >= s("start_dt") && df("datetime") < s("end_dt"),
+          "left"
+        ).drop("start_dt", "end_dt")
+    }
+
+    val stamped = stamp(
+      stamp(
+        stamp(points, segs("Grades", "GradeCode", "grade"), "grade"),
+        segs("Approvals", "ApprovalLevel", "approval"),
+        "approval"
+      ),
+      segs("Qualifiers", "Identifier", "qualifier"),
+      "qualifier"
+    )
+
+    val result =
+      if (cfg.args.get("difference").contains("true")) {
+        val incs = SeriesKernelsBridge.increments(
+          stamped.withColumn("k", lit(cfg.timeseriesId)),
+          cfg.args.getOrElse("reset_drop", "20.0").toDouble,
+          cfg.args.getOrElse("min_pos", "0.0").toDouble,
+          cfg.args.getOrElse("max_gap", "0").toInt
+        )
+        stamped
+          .join(incs, Seq("datetime"), "inner")
+          .drop("value")
+          .withColumnRenamed("increment", "value")
+          .filter(col("value").isNotNull)
+      } else stamped
+
+    SourceAdapter.normalize(result.filter(col("datetime") >= lit(startTs)))
+  }
+}
+
+/** Thin indirection so the adapter reuses the increment kernel without
+  * a package cycle.
+  */
+private[sources] object SeriesKernelsBridge {
+  def increments(df: DataFrame, resetDrop: Double, minPos: Double, maxGap: Int): DataFrame =
+    graft.operators.SeriesKernels
+      .increments(df, "k", "datetime", "value", resetDrop, minPos, maxGap)
+      .select(col("datetime"), col("increment"))
+}
