@@ -308,7 +308,11 @@ object LifecycleQueries {
          | + CAST(floor((($hrs % 24) - floor($hrs % 24)) * 60) AS BIGINT) * 60
          | + CAST(round_even(((($hrs % 24) - floor($hrs % 24)) * 60
          |     - floor((($hrs % 24) - floor($hrs % 24)) * 60)) * 60, 0) AS BIGINT)""".stripMargin
-    s"""WITH RECURSIVE rows0 AS (
+    // MATERIALIZED on every CTE the recursive scans join: DuckDB
+    // otherwise re-inlines (and re-evaluates) the full window pipeline
+    // on EVERY recursion step — the un-hinted form never finished at
+    // sf0.01 and zeroed round 2's whole correctness run.
+    s"""WITH RECURSIVE rows0 AS MATERIALIZED (
        |  SELECT * FROM (
        |    SELECT CAST(user_id AS BIGINT) AS user_id, ts,
        |           epoch_us(ts) // 1000000 AS sec,
@@ -324,7 +328,7 @@ object LifecycleQueries {
        |           (lead(sec) OVER (PARTITION BY user_id ORDER BY rn) - sec) / 3600.0 AS dh
        |    FROM rows0
        |  ) WHERE dh IS NOT NULL
-       |), sm AS (
+       |), sm AS MATERIALIZED (
        |  SELECT user_id, dj,
        |         CASE WHEN lag(dh) OVER w IS NOT NULL AND lead(dh) OVER w IS NOT NULL THEN
        |           greatest(least(lag(dh) OVER w, dh),
@@ -373,7 +377,7 @@ object LifecycleQueries {
        |    UNION ALL
        |    SELECT user_id, sec, sec * 1000000, CAST(NULL AS DOUBLE) FROM na_rows
        |  )
-       |), curr AS (
+       |), curr AS MATERIALIZED (
        |  SELECT *,
        |         lag(v) OVER w2 AS prev_v,
        |         lag(v) OVER w2 IS NULL AND rn > 1 AS prev_is_na,
@@ -429,7 +433,8 @@ object LifecycleQueries {
     // advance(state, smoothed): shared transition predicates
     val changed = "(s.s IS NOT NULL AND s.s <> p.last_diff)"
     val accept = s"($changed AND p.consec + 1 = 3)"
-    s"""WITH RECURSIVE rows0 AS (
+    // MATERIALIZED: same recursion-re-evaluation hazard as incrementsSql.
+    s"""WITH RECURSIVE rows0 AS MATERIALIZED (
        |  SELECT CAST(user_id AS BIGINT) AS user_id, ts,
        |         epoch_us(ts) // 1000000 AS sec,
        |         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
@@ -440,7 +445,7 @@ object LifecycleQueries {
        |           (lead(sec) OVER (PARTITION BY user_id ORDER BY rn) - sec) / 3600.0 AS dh
        |    FROM rows0
        |  ) WHERE dh IS NOT NULL
-       |), sm AS (
+       |), sm AS MATERIALIZED (
        |  SELECT user_id, dj,
        |         CASE WHEN lag(dh) OVER w IS NOT NULL AND lead(dh) OVER w IS NOT NULL THEN
        |           greatest(least(lag(dh) OVER w, dh),
