@@ -11,8 +11,10 @@ package graft.kernels
 object SplineKernel {
 
   /** Fit a natural cubic spline through (xs, ys) (xs strictly
-    * increasing, n >= 2) and evaluate at xout (extrapolates linearly
-    * with the end segments' polynomials outside [xs.head, xs.last]).
+    * increasing, n >= 2) and evaluate at xout. Outside
+    * [xs.head, xs.last] the spline extends LINEARLY with the boundary
+    * slope — matching R's stats::spline natural method, which also
+    * extrapolates linearly.
     */
   def naturalSpline(xs: Array[Double], ys: Array[Double], xout: Array[Double]): Array[Double] = {
     val n = xs.length
@@ -52,15 +54,28 @@ object SplineKernel {
         i -= 1
       }
     }
+    def segB(k: Int): Double =
+      (ys(k + 1) - ys(k)) / h(k) - h(k) * (2.0 * m(k) + m(k + 1)) / 6.0
     xout.map { x =>
-      // segment lookup (xout is small; binary search not needed)
-      var k = 0
-      while (k < n - 2 && x > xs(k + 1)) k += 1
-      val dx = x - xs(k)
-      val c = m(k) / 2.0
-      val d = (m(k + 1) - m(k)) / (6.0 * h(k))
-      val b = (ys(k + 1) - ys(k)) / h(k) - h(k) * (2.0 * m(k) + m(k + 1)) / 6.0
-      ys(k) + b * dx + c * dx * dx + d * dx * dx * dx
+      if (x < xs(0)) {
+        // linear extension with the first-derivative at the left knot
+        ys(0) + segB(0) * (x - xs(0))
+      } else if (x > xs(n - 1)) {
+        // first derivative of the last segment evaluated at its end
+        val k = n - 2
+        val c = m(k) / 2.0
+        val d = (m(k + 1) - m(k)) / (6.0 * h(k))
+        val slopeEnd = segB(k) + 2.0 * c * h(k) + 3.0 * d * h(k) * h(k)
+        ys(n - 1) + slopeEnd * (x - xs(n - 1))
+      } else {
+        // segment lookup (xout is small; binary search not needed)
+        var k = 0
+        while (k < n - 2 && x > xs(k + 1)) k += 1
+        val dx = x - xs(k)
+        val c = m(k) / 2.0
+        val d = (m(k + 1) - m(k)) / (6.0 * h(k))
+        ys(k) + segB(k) * dx + c * dx * dx + d * dx * dx * dx
+      }
     }
   }
 }

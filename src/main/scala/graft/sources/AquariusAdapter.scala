@@ -76,13 +76,31 @@ object AquariusAdapter extends SourceAdapter {
 
     val result =
       if (cfg.args.get("difference").contains("true")) {
+        // One row per datetime (lowest value wins, deterministically):
+        // the kernel orders by timestamp alone and the increments join
+        // back on datetime, so same-timestamp duplicates would both
+        // fan out (2x2) and make the scan order nondeterministic.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("datetime"))
+          .orderBy(col("value"))
+        val uniq = stamped
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .drop("__rn")
+        // `R/downloadAquarius.R:163` stops with an error below 6 points
+        // for difference series; mirror that instead of silently
+        // emitting a degenerate increment stream.
+        if (uniq.limit(6).count() < 6)
+          throw new IllegalArgumentException(
+            s"downloadAquarius: difference=true needs >=6 points, series ${cfg.timeseriesId}"
+          )
         val incs = SeriesKernelsBridge.increments(
-          stamped.withColumn("k", lit(cfg.timeseriesId)),
+          uniq.withColumn("k", lit(cfg.timeseriesId)),
           cfg.args.getOrElse("reset_drop", "20.0").toDouble,
           cfg.args.getOrElse("min_pos", "0.0").toDouble,
           cfg.args.getOrElse("max_gap", "0").toInt
         )
-        stamped
+        uniq
           .join(incs, Seq("datetime"), "inner")
           .drop("value")
           .withColumnRenamed("increment", "value")

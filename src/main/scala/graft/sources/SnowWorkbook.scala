@@ -63,8 +63,13 @@ object SnowWorkbook {
       .na.fill(0L, Seq("n_samples", "n_missing_swe", "n_missing_depth"))
       .withColumn(
         "method_resolved",
+        // "bulk sample" normalizes to "bulk" so it takes the averaged
+        // path rather than passing validation and emitting zero rows.
         when(col("est_avg_present") && lower(col("method")) =!= "bulk sample", lit("average"))
-          .otherwise(lower(col("method")))
+          .otherwise(
+            when(lower(col("method")) === "bulk sample", lit("bulk"))
+              .otherwise(lower(col("method")))
+          )
       )
       .join(broadcast(locations.select(col("name").as("location_name"), col("location_id"))), Seq("location_name"), "left")
 
@@ -73,6 +78,7 @@ object SnowWorkbook {
     val reason = when(isEmpty, "empty_sheet")
       .when(col("location_id").isNull, "unknown_location")
       .when(col("end_days") < col("start_days"), "end_before_start")
+      .when(!needsCalc && col("method_resolved") =!= "standard", "unknown_method")
       .when(needsCalc && (col("calc_swe_cm").isNull || col("calc_depth_cm").isNull), "missing_average")
       .when(!needsCalc && (col("n_missing_swe") > 0 || col("n_missing_depth") > 0), "missing_sample_values")
     val flagged = annotated.withColumn("reject_reason", reason)
@@ -90,7 +96,12 @@ object SnowWorkbook {
       col("method_resolved").as("method")
     )
 
-    // survey-date local midnight (UTC-7) + fractional-day offset
+    // Survey-date local midnight (UTC-7) + fractional-day offset.
+    // DELIBERATE deviation from the reference: readSnowWorkbook.R
+    // embeds 'Etc/GMT-7' in the string handed to as.POSIXct, which
+    // default parsing ignores (session-tz dependent) — and under POSIX
+    // sign inversion Etc/GMT-7 would be UTC+7 anyway. We pin the
+    // physically-correct Yukon offset (UTC-7) explicitly.
     def sampleTs(days: org.apache.spark.sql.Column) =
       timestamp_seconds(
         unix_timestamp(col("survey_date").cast("timestamp")) + 7L * 3600L +

@@ -21,6 +21,18 @@ class SplineSpec extends SparkSpec {
     assert(y4(0) == 2.0)
   }
 
+  test("extrapolation beyond the knots is linear, like R's natural spline") {
+    // knots (1,0),(2,1),(3,0): symmetric, m1 = -3
+    // boundary slopes: S'(1) = b0 = 1 - 1*(-3)/6 = 1.5; S'(3) = -1.5
+    val xs = Array(1.0, 2.0, 3.0)
+    val ys = Array(0.0, 1.0, 0.0)
+    val out = SplineKernel.naturalSpline(xs, ys, Array(0.0, 4.0, 5.0))
+    assert(math.abs(out(0) - (0.0 + 1.5 * (0.0 - 1.0))) < 1e-12) // -1.5
+    assert(math.abs(out(1) - (0.0 - 1.5 * (4.0 - 3.0))) < 1e-12) // -1.5
+    // linear: one more unit out adds exactly the slope again
+    assert(math.abs((out(2) - out(1)) - -1.5) < 1e-12)
+  }
+
   test("splineFill fills interior bounded gaps only, flags imputed") {
     import spark.implicits._
     def ts(i: Int) = java.sql.Timestamp.valueOf(f"2023-01-01 ${i}%02d:00:00")

@@ -89,4 +89,22 @@ class SnowWorkbookSpec extends SparkSpec {
     assert(avg.head.getAs[Boolean]("estimate_flag"))
     assert(avg.head.getAs[Double]("swe_mm") == 152.0) // 15.24 cm -> 152.4 -> 152
   }
+
+  test("'bulk sample' normalizes to bulk; unrecognized methods reject, not silently drop") {
+    import spark.implicits._
+    val sheets = Seq(
+      (8L, "Mt Mac", d("2023-03-01"), d("2023-03-02"), "G", "Bulk Sample", 0.0, 0.0, false, Some(70.0), Some(18.0)),
+      (9L, "Mt Mac", d("2023-03-01"), d("2023-03-02"), "H", "depth-only", 0.0, 0.0, false, None: Option[Double], None: Option[Double])
+    ).toDF(
+      "sheet_id", "location_name", "target_date", "survey_date", "sampler_name",
+      "method", "start_days", "end_days", "est_avg_present", "calc_depth_cm", "calc_swe_cm"
+    )
+    val out = SnowWorkbook.process(sheets, samplesDf.limit(0), locationsDf)
+    // bulk sample takes the averaged path and emits exactly one row
+    val m = out.measurements.collect()
+    assert(m.length == 1 && m.head.getAs[Long]("survey_id") == 8L)
+    assert(!m.head.getAs[Boolean]("estimate_flag"))
+    val rejects = out.rejects.collect().map(r => (r.getLong(0), r.getString(2))).toList
+    assert(rejects == List((9L, "unknown_method")))
+  }
 }

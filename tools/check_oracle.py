@@ -17,9 +17,12 @@ import glob
 import json
 import math
 import sys
+import threading
 
 import duckdb
 import pyarrow.parquet as pq
+
+ORACLE_TIMEOUT_S = 60
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -28,8 +31,13 @@ TABLES = [
 
 
 def norm(v):
+    # The driver's typed hash distinguishes SQL NULL from NaN; keep
+    # distinct sentinels so a NULL-vs-NaN mismatch surfaces here too.
+    # Caveat: pandas renders a NULL in a float64 column as NaN, so a
+    # genuine-NaN-vs-NULL confusion is only detectable in non-float
+    # columns — which is where it bites the driver as well.
     if v is None:
-        return "NaN"  # pandas surfaces SQL NULL as None or NaN
+        return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -73,17 +81,27 @@ def main(sf_dir, out_dir, only):
     for name, sql in sorted(oracles.items()):
         if only and name not in only:
             continue
+        # A hung oracle (e.g. a recursive CTE re-evaluating an inlined
+        # window CTE each step) must FAIL loudly, not stall the gate:
+        # that failure mode zeroed an entire driver correctness round.
+        timer = threading.Timer(ORACLE_TIMEOUT_S, con.interrupt)
+        timer.start()
         try:
             rel = con.sql(sql)
             arrow = rel.arrow()
             want = arrow.to_pandas()
         except Exception as e:
-            print(f"FAIL {name}: oracle error: {e}")
+            print(f"FAIL {name}: oracle error (>{ORACLE_TIMEOUT_S}s = timeout): {e}")
             n_bad += 1
             continue
+        finally:
+            timer.cancel()
         try:
+            # same arrow->pandas path as the oracle side: .df() renders
+            # a NULL bool as float NaN where arrow keeps None, which
+            # would fake a NULL-vs-NaN diff
             got = con.sql(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").arrow().to_pandas()
         except Exception as e:
             print(f"FAIL {name}: spark output missing: {e}")
             n_bad += 1
