@@ -1,0 +1,224 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gridded-raster algebra — the Spark-native re-expression of the
+  * reference's raster surface: `R/getNewRasters.R:1-541` (forecast
+  * vs reanalysis ingest with `keep_forecasts` supersede),
+  * `R/writeRaster.R:1-656` (tiled storage appended tile-by-tile,
+  * flexible per-upload tile dims), `R/createRasterPyramids.R`
+  * (downsampled overview levels).
+  *
+  * Model: a raster is a set of TILE rows
+  * `(series_id, band, issue_ts, valid_ts, tile_x, tile_y, tile_w,
+  * tile_h, values array<double>)` with `values` row-major. Tiles are
+  * the parallelism unit: a 100k x 100k grid is ~40k rows of 512x512
+  * tiles spread across executors, never one driver-side matrix —
+  * exactly PostGIS's rast-tile layout, re-expressed relationally so
+  * every op below is a plain Catalyst plan (codegen'd higher-order
+  * functions; zero UDFs, zero collect).
+  */
+object Raster {
+
+  val TileKey: Seq[String] = Seq("series_id", "band", "valid_ts", "tile_x", "tile_y")
+
+  /** Pack a cell frame (series_id, band, issue_ts, valid_ts, x, y,
+    * value) into row-major tiles of `tileW` x `tileH`. Cells are
+    * shuffled once on the tile key; partial edge tiles are padded to
+    * the full tile with nulls (PostGIS nodata convention), so
+    * position i is ALWAYS cell (i % w, i / w) — deterministic
+    * regardless of arrival order.
+    */
+  def tileGrid(cells: DataFrame, tileW: Int, tileH: Int): DataFrame =
+    cells
+      .withColumn("tile_x", (col("x") / tileW).cast("int"))
+      .withColumn("tile_y", (col("y") / tileH).cast("int"))
+      .withColumn(
+        "pos",
+        (col("y") % tileH) * tileW + (col("x") % tileW)
+      )
+      .groupBy(col("series_id"), col("band"), col("issue_ts"), col("valid_ts"), col("tile_x"), col("tile_y"))
+      .agg(
+        lit(tileW).as("tile_w"),
+        lit(tileH).as("tile_h"),
+        map_from_entries(collect_list(struct(col("pos"), col("value")))).as("__m")
+      )
+      .withColumn(
+        "values",
+        transform(sequence(lit(0), lit(tileW * tileH - 1)), i => element_at(col("__m"), i))
+      )
+      .drop("__m")
+
+  /** Unpack tiles back to cells. Inverse of [[tileGrid]]:
+    * `x = tile_x*tile_w + pos % tile_w`, `y = tile_y*tile_h + pos / tile_w`.
+    */
+  def cells(tiles: DataFrame): DataFrame =
+    tiles
+      .select(
+        col("series_id"),
+        col("band"),
+        col("issue_ts"),
+        col("valid_ts"),
+        col("tile_x"),
+        col("tile_y"),
+        col("tile_w"),
+        col("tile_h"),
+        posexplode(col("values")).as(Seq("pos", "value"))
+      )
+      .filter(col("value").isNotNull) // nodata padding of partial edge tiles
+      .withColumn("x", col("tile_x") * col("tile_w") + col("pos") % col("tile_w"))
+      .withColumn("y", col("tile_y") * col("tile_h") + (col("pos") / col("tile_w")).cast("int"))
+      .drop("pos", "tile_w", "tile_h")
+
+  /** The `keep_forecasts` supersede of `getNewRasters.R`:
+    *
+    *   - "selective": per (series, band, valid_ts, tile), keep the
+    *     raster of the LATEST issue — an old forecast survives only
+    *     where no newer forecast covers its valid time;
+    *   - "all": keep every (issue, valid) combination;
+    *   - "none": keep only tiles of each series' newest issue —
+    *     superseded forecasts are dropped even for valid times the
+    *     new issue doesn't cover.
+    *
+    * Reanalysis series (`raster_type != 'forecast'`) are exempt: they
+    * have one issue per valid time by construction and are appended
+    * incrementally by end_datetime.
+    *
+    * One window over the tile key — a single hash shuffle; with the
+    * store partitioned by (series, valid date), AQE coalesces this to
+    * partition-local work at any scale.
+    */
+  def supersedeForecasts(tiles: DataFrame, mode: String): DataFrame = {
+    require(Seq("selective", "all", "none").contains(mode), s"bad keep_forecasts mode: $mode")
+    val isForecast = col("raster_type") === "forecast"
+    mode match {
+      case "all" => tiles
+      case "selective" =>
+        val w = Window
+          .partitionBy(TileKey.map(col): _*)
+          .orderBy(col("issue_ts").desc)
+        tiles
+          .withColumn("__rk", when(isForecast, row_number().over(w)).otherwise(lit(1)))
+          .filter(col("__rk") === 1)
+          .drop("__rk")
+      case "none" =>
+        tiles
+          .withColumn("__mx", when(isForecast, max(col("issue_ts")).over(Window.partitionBy(col("series_id"), col("band")))).otherwise(col("issue_ts")))
+          .filter(col("issue_ts") === col("__mx"))
+          .drop("__mx")
+    }
+  }
+
+  /** Zonal statistics over rectangular zones
+    * (zone_id, x_min, x_max, y_min, y_max; max exclusive). Zones are a
+    * small dim — broadcast, so the cell side never shuffles before the
+    * final per-zone aggregation. Sums are kept on the integer-scaled
+    * value (`scale` decimal digits) so the result is bit-identical
+    * across engines and partitionings.
+    */
+  def zonalStats(cellsDf: DataFrame, zones: DataFrame, scale: Int = 4): DataFrame = {
+    val m = math.pow(10, scale)
+    cellsDf
+      .join(
+        broadcast(zones),
+        col("x") >= col("x_min") && col("x") < col("x_max") &&
+          col("y") >= col("y_min") && col("y") < col("y_max")
+      )
+      .groupBy(col("zone_id"))
+      .agg(
+        count(lit(1)).as("n_cells"),
+        sum(round(col("value") * m).cast("long")).as("sum_scaled"),
+        min(col("value")).as("min_val"),
+        max(col("value")).as("max_val")
+      )
+      .withColumn("mean_val", round(col("sum_scaled") / m / col("n_cells"), scale))
+  }
+
+  /** Zonal statistics over polygon zones (zone_id, wkt POLYGON):
+    * ray-cast containment on cell centers via the codegen'd
+    * higher-order-function expression — no UDF, no geometry library.
+    */
+  def zonalStatsPolygon(cellsDf: DataFrame, zones: DataFrame, scale: Int = 4): DataFrame = {
+    val m = math.pow(10, scale)
+    val z = zones.select(
+      col("zone_id"),
+      graft.functions.Spatial.wktPolygonVertices(col("wkt")).as("__ring")
+    )
+    cellsDf
+      .join(
+        broadcast(z),
+        graft.functions.Spatial.pointInPolygon(
+          col("x").cast("double") + 0.5,
+          col("y").cast("double") + 0.5,
+          col("__ring")
+        )
+      )
+      .groupBy(col("zone_id"))
+      .agg(
+        count(lit(1)).as("n_cells"),
+        sum(round(col("value") * m).cast("long")).as("sum_scaled"),
+        min(col("value")).as("min_val"),
+        max(col("value")).as("max_val")
+      )
+      .withColumn("mean_val", round(col("sum_scaled") / m / col("n_cells"), scale))
+  }
+
+  /** One overview level (`createRasterPyramids`): mean-downsample by
+    * `factor` in both axes. Cell-level groupBy — one shuffle on the
+    * (coarse x, coarse y) key; chain for a full pyramid. Integer-scaled
+    * sum for cross-engine determinism.
+    */
+  def pyramidLevel(cellsDf: DataFrame, factor: Int, scale: Int = 4): DataFrame = {
+    val m = math.pow(10, scale)
+    cellsDf
+      .groupBy(
+        col("series_id"),
+        col("band"),
+        col("issue_ts"),
+        col("valid_ts"),
+        (col("x") / factor).cast("int").as("x"),
+        (col("y") / factor).cast("int").as("y")
+      )
+      .agg(
+        count(lit(1)).as("n_src"),
+        sum(round(col("value") * m).cast("long")).as("sum_scaled")
+      )
+      .withColumn("value", round(col("sum_scaled") / m / col("n_src"), scale))
+      .drop("sum_scaled")
+  }
+
+  /** Raster writer sink — the `writeRaster.R` role re-expressed as a
+    * partitioned columnar layout: tiles appended under
+    * `series_id / valid_date`, so a read of one model run touches one
+    * directory and partition pruning does the rest. Append-only like
+    * the reference's tile inserts; supersede logic runs at read time
+    * or in compaction.
+    */
+  def writeTiles(tiles: DataFrame, path: String): Unit =
+    tiles
+      .withColumn("valid_date", to_date(col("valid_ts")))
+      .repartition(col("series_id"), col("valid_date"))
+      .write
+      .mode("append")
+      .partitionBy("series_id", "valid_date")
+      .parquet(path)
+
+  /** Deterministic synthetic grid used by specs and oracle queries:
+    * value(x, y) = ((31x + 17y) mod 97) / 8 — exact in binary floating
+    * point, so every engine computes bit-identical cells.
+    */
+  def syntheticCells(spark: org.apache.spark.sql.SparkSession, width: Int, height: Int): DataFrame =
+    spark
+      .range(width.toLong * height)
+      .select(
+        lit(1L).as("series_id"),
+        lit("b1").as("band"),
+        lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("issue_ts"),
+        lit(java.sql.Timestamp.valueOf("2024-01-02 00:00:00")).as("valid_ts"),
+        (col("id") % width).cast("int").as("x"),
+        (col("id") / width).cast("int").as("y"),
+        (((col("id") % width) * 31 + (col("id") / width).cast("long") * 17) % 97 / lit(8.0)).as("value")
+      )
+}

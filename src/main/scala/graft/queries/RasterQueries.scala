@@ -1,0 +1,212 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Raster
+import graft.sources.ImageIngest
+import graft.tables.TestTables
+
+/** Gridded-raster + image-series queries (SURVEY §2.1 raster/image
+  * sources, `R/getNewRasters.R` / `R/writeRaster.R` /
+  * `R/createRasterPyramids.R` / `R/getNewImages.R`). The raster grid
+  * is synthesized deterministically (no raster testdata exists) —
+  * both engines generate the identical integer lattice, so the
+  * oracle verifies the ENTIRE tile/cell coordinate algebra, not just
+  * aggregates.
+  */
+object RasterQueries {
+
+  private val W = 600
+  private val H = 400
+
+  /** DuckDB-side twin of Raster.syntheticCells. */
+  private val gridSql =
+    s"""grid AS (
+       |  SELECT CAST(i % $W AS INT) AS x, CAST(i // $W AS INT) AS y,
+       |         ((i % $W) * 31 + (i // $W) * 17) % 97 / 8.0 AS value
+       |  FROM (SELECT unnest(range(${W * H})) AS i)
+       |)""".stripMargin
+
+  /** Zonal mean/min/max per region stripe, THROUGH the tile layer:
+    * cells are packed into 32x20 row-major tiles and unpacked again,
+    * so a single coordinate bug anywhere in the tile algebra shifts a
+    * stripe sum and fails the hash.
+    */
+  private def rasterZonal(s: SparkSession, d: String): DataFrame = {
+    val stripe = W / 5
+    val zones = TestTables.region(s, d).select(
+      col("r_name").as("zone_id"),
+      (col("r_regionkey") * stripe).as("x_min"),
+      ((col("r_regionkey") + 1) * stripe).as("x_max"),
+      lit(0).as("y_min"),
+      lit(H).as("y_max")
+    )
+    val tiles = Raster.tileGrid(Raster.syntheticCells(s, W, H), 32, 20)
+    Raster
+      .zonalStats(Raster.cells(tiles), zones)
+      .select(
+        col("zone_id"),
+        col("n_cells"),
+        col("sum_scaled"),
+        round(col("min_val"), 4).as("min_val"),
+        round(col("max_val"), 4).as("max_val"),
+        col("mean_val")
+      )
+      .orderBy(col("zone_id"))
+  }
+
+  private val rasterZonalSql =
+    s"""WITH $gridSql
+       |SELECT r.r_name AS zone_id,
+       |       count(*) AS n_cells,
+       |       CAST(sum(CAST(round(g.value * 10000) AS BIGINT)) AS BIGINT) AS sum_scaled,
+       |       round(min(g.value), 4) AS min_val,
+       |       round(max(g.value), 4) AS max_val,
+       |       round(CAST(sum(CAST(round(g.value * 10000) AS BIGINT)) AS BIGINT) / 10000.0 / count(*), 4) AS mean_val
+       |FROM grid g
+       |JOIN region r
+       |  ON g.x >= r.r_regionkey * ${W / 5} AND g.x < (r.r_regionkey + 1) * ${W / 5}
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
+  /** One pyramid overview level: factor-4 mean downsample. */
+  private def rasterPyramid(s: SparkSession, d: String): DataFrame =
+    Raster
+      .pyramidLevel(Raster.cells(Raster.tileGrid(Raster.syntheticCells(s, W, H), 32, 20)), 4)
+      .select(col("x"), col("y"), col("n_src"), col("value"))
+      .orderBy(col("x"), col("y"))
+
+  private val rasterPyramidSql =
+    s"""WITH $gridSql
+       |SELECT CAST(x // 4 AS INT) AS x, CAST(y // 4 AS INT) AS y,
+       |       count(*) AS n_src,
+       |       round(CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) / 10000.0 / count(*), 4) AS value
+       |FROM grid
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
+  /** `keep_forecasts = 'selective'` supersede over a deterministic
+    * tile index derived from orders: many issues share a valid month,
+    * the newest issue must win per tile, reanalysis series exempt.
+    */
+  private def rasterSupersede(s: SparkSession, d: String): DataFrame = {
+    val idx = TestTables.orders(s, d)
+      .select(
+        (col("o_orderkey") % 5).as("series_id"),
+        lit("b1").as("band"),
+        // type is a property of the SERIES (as in raster_series_index),
+        // so supersede windows never mix forecast and reanalysis rows
+        when(col("o_orderkey") % 5 % 2 === 0, "reanalysis").otherwise("forecast").as("raster_type"),
+        // parquet NTZ -> session-UTC instant so unix_micros applies
+        col("o_orderdate").cast("timestamp").as("issue_ts"),
+        date_trunc("month", col("o_orderdate")).cast("timestamp").as("valid_ts"),
+        (col("o_custkey") % 4).cast("int").as("tile_x"),
+        lit(0).as("tile_y")
+      )
+      .distinct()
+    Raster
+      .supersedeForecasts(idx, "selective")
+      .groupBy(col("series_id"), col("raster_type"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        countDistinct(col("valid_ts")).as("n_valid"),
+        unix_micros(max(col("issue_ts"))).as("max_issue_us")
+      )
+      .orderBy(col("series_id"), col("raster_type"))
+  }
+
+  private val rasterSupersedeSql =
+    """WITH idx AS (
+      |  SELECT DISTINCT
+      |         o_orderkey % 5 AS series_id,
+      |         'b1' AS band,
+      |         CASE WHEN o_orderkey % 5 % 2 = 0 THEN 'reanalysis' ELSE 'forecast' END AS raster_type,
+      |         o_orderdate AS issue_ts,
+      |         date_trunc('month', o_orderdate) AS valid_ts,
+      |         CAST(o_custkey % 4 AS INT) AS tile_x,
+      |         0 AS tile_y
+      |  FROM orders
+      |), ranked AS (
+      |  SELECT *,
+      |         CASE WHEN raster_type = 'forecast'
+      |              THEN row_number() OVER (PARTITION BY series_id, band, valid_ts, tile_x, tile_y
+      |                                      ORDER BY issue_ts DESC)
+      |              ELSE 1 END AS rk
+      |  FROM idx
+      |)
+      |SELECT series_id, raster_type,
+      |       count(*) AS n_kept,
+      |       count(DISTINCT valid_ts) AS n_valid,
+      |       CAST(epoch_us(max(issue_ts)) AS BIGINT) AS max_issue_us
+      |FROM ranked WHERE rk = 1
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  /** Image-series incremental ingest over documents-as-camera-frames:
+    * active filter, last_img watermark, content fingerprint, latest
+    * image + new watermark per series.
+    */
+  private def imageLatest(s: SparkSession, d: String): DataFrame = {
+    val docs = TestTables.documents(s, d)
+    val catalog = docs
+      .select(col("source").as("img_series_id"))
+      .distinct()
+      .withColumn("active", substring(col("img_series_id"), 4, 10).cast("int") % 4 =!= 0)
+      .withColumn("last_img", timestamp_seconds(lit(6000)))
+    val fetched = docs.select(
+      col("source").as("img_series_id"),
+      timestamp_seconds(col("doc_id") * 60).as("img_ts"),
+      encode(col("text"), "UTF-8").as("payload"),
+      lit("txt").as("format")
+    )
+    val fresh = ImageIngest.newImages(catalog, fetched)
+    val latest = ImageIngest.latestPerSeries(fresh)
+    fresh
+      .groupBy(col("img_series_id"))
+      .agg(count(lit(1)).as("n_new"))
+      .join(latest, Seq("img_series_id"))
+      .select(
+        col("img_series_id"),
+        col("n_new"),
+        unix_micros(col("last_img")).as("last_img_us"),
+        col("last_fingerprint"),
+        col("last_bytes")
+      )
+      .orderBy(col("img_series_id"))
+  }
+
+  private val imageLatestSql =
+    """WITH fresh AS (
+      |  SELECT source AS img_series_id,
+      |         doc_id * 60 AS img_sec,
+      |         text,
+      |         ('0x' || substr(md5(text), 1, 14))::BIGINT AS fingerprint
+      |  FROM documents
+      |  WHERE CAST(substr(source, 4) AS INT) % 4 <> 0
+      |    AND doc_id * 60 > 6000
+      |), latest AS (
+      |  SELECT img_series_id,
+      |         CAST(img_sec AS BIGINT) * 1000000 AS last_img_us,
+      |         fingerprint AS last_fingerprint,
+      |         CAST(octet_length(encode(text)) AS INT) AS last_bytes,
+      |         row_number() OVER (PARTITION BY img_series_id
+      |                            ORDER BY img_sec DESC, fingerprint) AS rk
+      |  FROM fresh
+      |)
+      |SELECT f.img_series_id,
+      |       count(*) AS n_new,
+      |       any_value(l.last_img_us) AS last_img_us,
+      |       any_value(l.last_fingerprint) AS last_fingerprint,
+      |       any_value(l.last_bytes) AS last_bytes
+      |FROM fresh f
+      |JOIN latest l ON l.img_series_id = f.img_series_id AND l.rk = 1
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_raster_zonal", rasterZonal, Some(rasterZonalSql), headline = true),
+    QueryDef("q_raster_pyramid", rasterPyramid, Some(rasterPyramidSql)),
+    QueryDef("q_raster_supersede", rasterSupersede, Some(rasterSupersedeSql)),
+    QueryDef("q_image_latest", imageLatest, Some(imageLatestSql))
+  )
+}

@@ -19,7 +19,8 @@ object Registry {
   lazy val all: Seq[QueryDef] =
     CoreQueries.defs ++ TimeseriesQueries.defs ++ DerivedQueries.defs ++
       StatsQueries.defs ++ SyncQueries.defs ++ LifecycleQueries.defs ++
-      IngestQueries.defs ++ TextMlQueries.defs ++ PipelineQueries.defs
+      IngestQueries.defs ++ TextMlQueries.defs ++ PipelineQueries.defs ++
+      RasterQueries.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 
