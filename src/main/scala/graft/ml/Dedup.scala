@@ -100,18 +100,34 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Per-doc MinHash signature columns mh0..mh{k-1}. */
+  /** Per-doc MinHash signature columns mh0..mh{k-1}. For the md5
+    * family the base hash is materialized as ONE column before the
+    * aggregate, so the digest runs once per shingle and the k
+    * permutations are pure integer affine maps — not k digests.
+    */
   def minHashSignatures(
       sh: DataFrame,
       idCol: String,
       numPerm: Int,
       family: HashFamily = Xx64
-  ): DataFrame =
-    sh.groupBy(col(idCol))
-      .agg(
-        (0 until numPerm).map(i => min(permHash(family, i, col("shingle"))).as(s"mh$i")).head,
-        (1 until numPerm).map(i => min(permHash(family, i, col("shingle"))).as(s"mh$i")): _*
-      )
+  ): DataFrame = family match {
+    case PortableMd5 =>
+      val base = sh.withColumn("__h", PortableHash.md5num28(col("shingle")))
+      def perm(i: Int) =
+        (col("__h") * PortableHash.minHashA(i) + PortableHash.minHashB(i)) % PortableHash.MinHashP
+      base
+        .groupBy(col(idCol))
+        .agg(
+          min(perm(0)).as("mh0"),
+          (1 until numPerm).map(i => min(perm(i)).as(s"mh$i")): _*
+        )
+    case Xx64 =>
+      sh.groupBy(col(idCol))
+        .agg(
+          min(permHash(family, 0, col("shingle"))).as("mh0"),
+          (1 until numPerm).map(i => min(permHash(family, i, col("shingle"))).as(s"mh$i")): _*
+        )
+  }
 
   /** LSH candidate pairs: signatures banded (bands × rowsPerBand =
     * numPerm); docs sharing any band bucket become candidates.

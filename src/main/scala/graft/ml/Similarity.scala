@@ -231,12 +231,14 @@ object Similarity {
       k: Int,
       nPlanes: Int = 12,
       multiprobeBits: Int = 1,
-      seed: Long = 42L
+      seed: Long = 42L,
+      dim: Int = -1
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     VectorOps.register(emb.sparkSession)
-    val dim = 64 // testdata embedding dimensionality
-    val planes = hyperplanes(nPlanes, dim, seed)
+    // dim <= 0: infer from the data (one-row metadata read, not a scan)
+    val d = if (dim > 0) dim else emb.select(size(col(vecCol))).first().getInt(0)
+    val planes = hyperplanes(nPlanes, d, seed)
     val withBucket = emb.select(
       col(idCol),
       toDouble(col(vecCol)).as("v"),

@@ -40,16 +40,26 @@ object Raster {
         (col("y") % tileH) * tileW + (col("x") % tileW)
       )
       .groupBy(col("series_id"), col("band"), col("issue_ts"), col("valid_ts"), col("tile_x"), col("tile_y"))
-      .agg(
-        lit(tileW).as("tile_w"),
-        lit(tileH).as("tile_h"),
-        map_from_entries(collect_list(struct(col("pos"), col("value")))).as("__m")
-      )
+      .agg(array_sort(collect_list(struct(col("pos"), col("value")))).as("__p"))
       .withColumn(
         "values",
-        transform(sequence(lit(0), lit(tileW * tileH - 1)), i => element_at(col("__m"), i))
+        // Full tiles (all but the edge row/column): the pos-sorted
+        // pairs ARE the dense row-major array — O(n). Partial edge
+        // tiles take the map-padding path; its per-position map lookup
+        // is linear, but only O(edge) tiles pay it.
+        when(
+          size(col("__p")) === tileW * tileH,
+          transform(col("__p"), p => p.getField("value"))
+        ).otherwise(
+          transform(
+            sequence(lit(0), lit(tileW * tileH - 1)),
+            i => element_at(map_from_entries(col("__p")), i)
+          )
+        )
       )
-      .drop("__m")
+      .withColumn("tile_w", lit(tileW))
+      .withColumn("tile_h", lit(tileH))
+      .drop("__p")
 
   /** Unpack tiles back to cells. Inverse of [[tileGrid]]:
     * `x = tile_x*tile_w + pos % tile_w`, `y = tile_y*tile_h + pos / tile_w`.

@@ -1,0 +1,126 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The incremental raster-fetch driver — `R/getNewRasters.R:80-220` in
+  * YukonWRB/AquaCache: per-series fetch-start ("next_instant")
+  * resolution by raster type, preliminary-replacement for reanalysis,
+  * issue-based watermarks for forecasts, and the post-fetch watermark
+  * advance.
+  *
+  * Spark shape: the catalog and the store's reference index are
+  * DataFrames joined per series — no driver-side loop, no collect; a
+  * catalog of ten million raster series plans exactly like ten. Tiles
+  * themselves are `operators.Raster` rows.
+  */
+object RasterIngest {
+
+  /** Per-series fetch start instant (the reference's `next_instant`).
+    *
+    * @param catalog  raster_series_id, raster_type
+    *                 ('reanalysis' | 'forecast' | other),
+    *                 end_datetime, last_issue, active
+    * @param storeRef existing-raster index: raster_series_id,
+    *                 valid_from, valid_to, flag (nullable;
+    *                 'PRELIMINARY' marks replaceable reanalysis)
+    * @return active series with `fetch_from`:
+    *   - reanalysis: 1s before the earliest PRELIMINARY raster newer
+    *     than end_datetime - 30d (so prelims get replaced), else 1s
+    *     after the last stored valid_to, else the series end_datetime
+    *     (`getNewRasters.R:157-196`);
+    *   - forecast: last_issue, else end_datetime + 1s (`:200-208`);
+    *   - other: end_datetime + 1s (`:210-219`).
+    */
+  def fetchPlan(catalog: DataFrame, storeRef: DataFrame): DataFrame = {
+    val prelim = storeRef
+      .filter(col("flag") === "PRELIMINARY")
+      .groupBy(col("raster_series_id"))
+      .agg(min(col("valid_from")).as("__prelim_from"))
+    val lastStored = storeRef
+      .groupBy(col("raster_series_id"))
+      .agg(max(col("valid_to")).as("__last_valid_to"))
+    val secs = (c: org.apache.spark.sql.Column) => unix_timestamp(c)
+    catalog
+      .filter(col("active"))
+      .join(prelim, Seq("raster_series_id"), "left")
+      .join(lastStored, Seq("raster_series_id"), "left")
+      // a prelim only triggers replacement when inside the 30-day
+      // lookback from the series watermark
+      .withColumn(
+        "__prelim_eligible",
+        when(
+          col("__prelim_from") > timestamp_seconds(secs(col("end_datetime")) - 30L * 86400L),
+          col("__prelim_from")
+        )
+      )
+      .withColumn(
+        "fetch_from",
+        when(
+          col("raster_type") === "reanalysis",
+          coalesce(
+            timestamp_seconds(secs(col("__prelim_eligible")) - 1),
+            timestamp_seconds(secs(col("__last_valid_to")) + 1),
+            col("end_datetime")
+          )
+        ).when(
+          col("raster_type") === "forecast",
+          coalesce(col("last_issue"), timestamp_seconds(secs(col("end_datetime")) + 1))
+        ).otherwise(timestamp_seconds(secs(col("end_datetime")) + 1))
+      )
+      .drop("__prelim_from", "__last_valid_to", "__prelim_eligible")
+  }
+
+  /** Merge fetched tiles into the store (`getNewRasters.R:280-420` +
+    * the keep_forecasts pass):
+    *
+    *   - reanalysis: incoming replaces any stored raster whose
+    *     valid_ts falls at/after the series' earliest incoming
+    *     valid_ts (that's how PRELIMINARY rasters get overwritten by
+    *     finals) — an anti range-join, then union;
+    *   - forecast: union then `Raster.supersedeForecasts(selective)`,
+    *     so the newest issue wins per (valid, tile) and uncovered old
+    *     forecasts survive.
+    *
+    * Tile frames carry raster_type; both branches shuffle only on the
+    * series/tile keys.
+    */
+  def mergeFetched(existing: DataFrame, incoming: DataFrame): DataFrame = {
+    val inReanalysis = incoming.filter(col("raster_type") === "reanalysis")
+    val inOther = incoming.filter(col("raster_type") =!= "reanalysis")
+    val replaceFrom = inReanalysis
+      .groupBy(col("series_id"), col("band"))
+      .agg(min(col("valid_ts")).as("__replace_from"))
+    val keptExisting = existing
+      .join(broadcast(replaceFrom), Seq("series_id", "band"), "left")
+      .filter(
+        col("__replace_from").isNull ||
+          col("raster_type") =!= "reanalysis" ||
+          col("valid_ts") < col("__replace_from")
+      )
+      .drop("__replace_from")
+    graft.operators.Raster.supersedeForecasts(
+      keptExisting.unionByName(inReanalysis).unionByName(inOther),
+      "selective"
+    )
+  }
+
+  /** Post-merge watermark advance (`getNewRasters.R:430-470`): new
+    * end_datetime = max stored valid_ts, new last_issue = max issue_ts
+    * (forecast series only).
+    */
+  def advanceWatermarks(catalog: DataFrame, merged: DataFrame): DataFrame = {
+    val marks = merged
+      .groupBy(col("series_id").as("raster_series_id"))
+      .agg(
+        max(col("valid_ts")).as("__new_end"),
+        max(when(col("raster_type") === "forecast", col("issue_ts"))).as("__new_issue")
+      )
+    catalog
+      .join(marks, Seq("raster_series_id"), "left")
+      .withColumn("end_datetime", coalesce(greatest(col("__new_end"), col("end_datetime")), col("end_datetime")))
+      .withColumn("last_issue", coalesce(greatest(col("__new_issue"), col("last_issue")), col("__new_issue"), col("last_issue")))
+      .drop("__new_end", "__new_issue")
+  }
+}
