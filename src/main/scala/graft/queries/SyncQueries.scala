@@ -324,11 +324,89 @@ object SyncQueries {
        |ORDER BY series_id, op, start_us NULLS FIRST, id""".stripMargin
   }
 
+  // ---- two-level discrete sample/result sync (synchronize_discrete.R)
+
+  /** Sample-level reconciliation actions over a deterministic
+    * local/remote derivation of orders: inserts (absent locally),
+    * import-source-guarded deletes, no_update protection, field-wise
+    * remote-wins updates.
+    */
+  private def discreteSync(s: SparkSession, d: String): DataFrame = {
+    val o = TestTables.orders(s, d)
+    def base(df: DataFrame) = df.select(
+      col("o_orderkey").as("sample_series_id"),
+      col("o_orderdate").cast("timestamp").as("datetime"),
+      lit("grab").as("collection_method"),
+      (col("o_orderkey") % 7).cast("double").as("depth_m"),
+      col("o_orderstatus").as("owner")
+    )
+    val local = base(o.filter(col("o_orderkey") % 13 =!= 3))
+      .withColumn("sample_id", col("sample_series_id"))
+      .withColumn("import_source", when(col("sample_series_id") % 3 === 0, "eqwin").otherwise("manual"))
+      .withColumn("no_update", col("sample_series_id") % 11 === 0)
+    val remote = base(o.filter(col("o_orderkey") % 13 =!= 7))
+      .withColumn(
+        "depth_m",
+        when(col("sample_series_id") % 5 === 0, col("depth_m") + 0.5).otherwise(col("depth_m"))
+      )
+    graft.operators.SynchronizeDiscrete
+      .diffSamples(local, remote, Seq("depth_m", "owner", "share_with"),
+        deleteMissing = true, importSource = Some("eqwin"))
+      .groupBy(col("action"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("sample_series_id")).as("sum_series"),
+        sum(size(col("changed_fields"))).as("n_changed_fields")
+      )
+      .orderBy(col("action"))
+  }
+
+  private val discreteSyncSql =
+    """WITH base AS (
+      |  SELECT o_orderkey AS sample_series_id,
+      |         CAST(o_orderdate AS TIMESTAMP) AS datetime,
+      |         'grab' AS collection_method,
+      |         CAST(o_orderkey % 7 AS DOUBLE) AS depth_m,
+      |         o_orderstatus AS owner
+      |  FROM orders
+      |), l AS (
+      |  SELECT *,
+      |         CASE WHEN sample_series_id % 3 = 0 THEN 'eqwin' ELSE 'manual' END AS import_source,
+      |         sample_series_id % 11 = 0 AS no_update
+      |  FROM base WHERE sample_series_id % 13 <> 3
+      |), r AS (
+      |  SELECT sample_series_id, datetime, collection_method,
+      |         CASE WHEN sample_series_id % 5 = 0 THEN depth_m + 0.5 ELSE depth_m END AS depth_m,
+      |         owner
+      |  FROM base WHERE sample_series_id % 13 <> 7
+      |), d AS (
+      |  SELECT coalesce(l.sample_series_id, r.sample_series_id) AS sample_series_id,
+      |         (l.depth_m IS DISTINCT FROM r.depth_m)::INT + (l.owner IS DISTINCT FROM r.owner)::INT AS nch,
+      |         CASE
+      |           WHEN l.sample_series_id IS NULL THEN 'insert'
+      |           WHEN r.sample_series_id IS NULL THEN
+      |             CASE WHEN NOT coalesce(l.no_update, FALSE) AND l.import_source = 'eqwin'
+      |                  THEN 'delete' ELSE 'keep' END
+      |           WHEN coalesce(l.no_update, FALSE) THEN 'protected'
+      |           WHEN l.depth_m IS DISTINCT FROM r.depth_m OR l.owner IS DISTINCT FROM r.owner THEN 'update'
+      |           ELSE 'keep' END AS action
+      |  FROM l FULL OUTER JOIN r
+      |    ON l.sample_series_id IS NOT DISTINCT FROM r.sample_series_id
+      |   AND l.datetime IS NOT DISTINCT FROM r.datetime
+      |   AND l.collection_method IS NOT DISTINCT FROM r.collection_method
+      |)
+      |SELECT action, count(*) AS n,
+      |       CAST(sum(sample_series_id) AS BIGINT) AS sum_series,
+      |       CAST(sum(nch) AS BIGINT) AS n_changed_fields
+      |FROM d
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_rle_segments", rleSegments, Some(rleSegmentsSql)),
     QueryDef("q_segment_adjust", segmentAdjust, Some(segmentAdjustSql)),
     QueryDef("q_locf", locf, Some(locfSql)),
     QueryDef("q_json_extract", jsonExtract, Some(jsonExtractSql)),
-    QueryDef("q_sync_diff", syncDiff, Some(syncDiffSql), headline = true)
+    QueryDef("q_sync_diff", syncDiff, Some(syncDiffSql), headline = true),
+    QueryDef("q_discrete_sync", discreteSync, Some(discreteSyncSql))
   )
 }
