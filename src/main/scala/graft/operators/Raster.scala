@@ -199,6 +199,18 @@ object Raster {
       .drop("sum_scaled")
   }
 
+  /** Full overview stack (`createRasterPyramids.R:20-46`): one level
+    * per factor, sorted/deduped, each > 1 — all levels computed from
+    * the SAME base cell frame in one plan (Spark reuses the scan), a
+    * `level` column distinguishing them.
+    */
+  def pyramids(cellsDf: DataFrame, factors: Seq[Int], scale: Int = 4): DataFrame = {
+    require(factors.nonEmpty && factors.forall(_ > 1), "factors must be > 1")
+    factors.distinct.sorted
+      .map(f => pyramidLevel(cellsDf, f, scale).withColumn("level", lit(f)))
+      .reduce(_ unionByName _)
+  }
+
   /** Raster writer sink — the `writeRaster.R` role re-expressed as a
     * partitioned columnar layout: tiles appended under
     * `series_id / valid_date`, so a read of one model run touches one

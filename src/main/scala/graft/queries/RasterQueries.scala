@@ -152,7 +152,9 @@ object RasterQueries {
       .select(col("source").as("img_series_id"))
       .distinct()
       .withColumn("active", substring(col("img_series_id"), 4, 10).cast("int") % 4 =!= 0)
-      .withColumn("last_img", timestamp_seconds(lit(6000)))
+      // 30 min: filters meaningfully at every SF (doc_ids start at 0,
+      // so a larger watermark would empty the sf0.001 smoke run)
+      .withColumn("last_img", timestamp_seconds(lit(1800)))
     val fetched = docs.select(
       col("source").as("img_series_id"),
       timestamp_seconds(col("doc_id") * 60).as("img_ts"),
@@ -183,7 +185,7 @@ object RasterQueries {
       |         ('0x' || substr(md5(text), 1, 14))::BIGINT AS fingerprint
       |  FROM documents
       |  WHERE CAST(substr(source, 4) AS INT) % 4 <> 0
-      |    AND doc_id * 60 > 6000
+      |    AND doc_id * 60 > 1800
       |), latest AS (
       |  SELECT img_series_id,
       |         CAST(img_sec AS BIGINT) * 1000000 AS last_img_us,

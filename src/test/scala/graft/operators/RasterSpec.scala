@@ -77,6 +77,12 @@ class RasterSpec extends SparkSpec {
     assert(c00.getAs[Long]("n_src") == 16L)
     assert(math.abs(c00.getAs[Double]("value") - math.rint(expect * 10000) / 10000) < 1e-9)
 
+    // multi-level stack: factors deduped/sorted, one level per factor
+    val stack = Raster.pyramids(cells, Seq(4, 2, 4))
+    assert(stack.groupBy("level").count().count() == 2)
+    assert(stack.filter(col("level") === 2).count() == 8 * 4)
+    assertThrows[IllegalArgumentException](Raster.pyramids(cells, Seq(1)))
+
     val dir = java.nio.file.Files.createTempDirectory("rast").toString
     Raster.writeTiles(Raster.tileGrid(Raster.syntheticCells(spark, 16, 8), 8, 8), dir)
     val part = new java.io.File(s"$dir/series_id=1/valid_date=2024-01-02")
