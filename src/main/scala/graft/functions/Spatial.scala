@@ -30,6 +30,49 @@ object Spatial {
     )
   }
 
+  /** WKT geometry-type prefix: 'POINT' | 'LINESTRING' | 'POLYGON' |
+    * ... (uppercased), null when the string has no leading word.
+    */
+  def wktGeomType(wkt: Column): Column = {
+    val t = upper(regexp_extract(trim(wkt), "^([A-Za-z]+)", 1))
+    when(t === "", lit(null).cast("string")).otherwise(t)
+  }
+
+  /** Polygon validity per the reference's insert gate
+    * (`R/insertACVector.R:256-259` runs terra::is.valid before
+    * insert; this is the portable subset): returns the FIRST failed
+    * rule as a reason string, or null when valid.
+    *
+    *   - not_polygon: WKT type isn't POLYGON
+    *   - open_ring: first vertex != last vertex
+    *   - too_few_vertices: fewer than 4 vertices incl. closure
+    *   - bad_coordinates: non-numeric / missing x or y
+    *   - out_of_range: |lon| > 180 or |lat| > 90
+    *   - duplicate_vertex: consecutive identical vertices
+    *
+    * Pure Catalyst higher-order functions — validates a billion rows
+    * with no UDF.
+    */
+  def polygonValidity(wkt: Column): Column = {
+    val verts = wktPolygonVertices(wkt)
+    val n = size(verts)
+    val badCoord = exists(verts, v => v.getField("x").isNull || v.getField("y").isNull)
+    val outOfRange = exists(
+      verts,
+      v => abs(v.getField("x")) > 180.0 || abs(v.getField("y")) > 90.0
+    )
+    val dupConsecutive = exists(
+      sequence(lit(1), n - 1),
+      i => element_at(verts, i) === element_at(verts, i + 1)
+    )
+    when(wktGeomType(wkt) =!= "POLYGON" || wktGeomType(wkt).isNull, "not_polygon")
+      .when(n < 4, "too_few_vertices")
+      .when(badCoord, "bad_coordinates")
+      .when(!(element_at(verts, 1) === element_at(verts, -1)), "open_ring")
+      .when(outOfRange, "out_of_range")
+      .when(dupConsecutive, "duplicate_vertex")
+  }
+
   /** Even-odd ray cast: true when (px, py) is inside the ring given as
     * `array<struct<x, y>>` (closed or open — the closing edge is
     * counted once). Crossing test for edge (x1,y1)->(x2,y2):

@@ -214,11 +214,88 @@ object CoreQueries {
       |FROM coded
       |ORDER BY user_id""".stripMargin
 
+  /** WKT geometry validation (`insertACVector.R`'s insert gate): the
+    * Spark side PARSES deterministically-constructed WKT through the
+    * codegen'd validator; the oracle states each case's ground-truth
+    * reason analytically — so a parser/validator bug on any rule
+    * class fails the hash.
+    */
+  private def wktValidate(s: SparkSession, d: String) = {
+    import graft.functions.Spatial
+    val n = TestTables.nation(s, d)
+      .withColumn("x0", (col("n_nationkey") % 12) * 10 - 60)
+      .withColumn("y0", (col("n_nationkey") % 8) * 10 - 40)
+    def sq() = {
+      concat(
+        lit("POLYGON (("),
+        col("x0"), lit(" "), col("y0"), lit(", "),
+        col("x0") + 4, lit(" "), col("y0"), lit(", "),
+        col("x0") + 4, lit(" "), col("y0") + 4, lit(", "),
+        col("x0"), lit(" "), col("y0") + 4, lit(", "),
+        col("x0"), lit(" "), col("y0"), lit("))")
+      )
+    }
+    val wkt = when(col("n_nationkey") % 5 === 0, sq())
+      .when(
+        col("n_nationkey") % 5 === 1, // open: drop the closing vertex
+        concat(
+          lit("POLYGON (("),
+          col("x0"), lit(" "), col("y0"), lit(", "),
+          col("x0") + 4, lit(" "), col("y0"), lit(", "),
+          col("x0") + 4, lit(" "), col("y0") + 4, lit(", "),
+          col("x0"), lit(" "), col("y0") + 4, lit("))")
+        )
+      )
+      .when(
+        col("n_nationkey") % 5 === 2, // lon +300 > 180 for every x0 in [-60, 50]
+        concat(
+          lit("POLYGON (("),
+          col("x0") + 300, lit(" "), col("y0"), lit(", "),
+          col("x0") + 304, lit(" "), col("y0"), lit(", "),
+          col("x0") + 304, lit(" "), col("y0") + 4, lit(", "),
+          col("x0") + 300, lit(" "), col("y0") + 4, lit(", "),
+          col("x0") + 300, lit(" "), col("y0"), lit("))")
+        )
+      )
+      .when(
+        col("n_nationkey") % 5 === 3,
+        concat(lit("LINESTRING ("), col("x0"), lit(" "), col("y0"), lit(", "), col("x0") + 1, lit(" "), col("y0") + 1, lit(")"))
+      )
+      .otherwise( // consecutive duplicate vertex
+        concat(
+          lit("POLYGON (("),
+          col("x0"), lit(" "), col("y0"), lit(", "),
+          col("x0") + 4, lit(" "), col("y0"), lit(", "),
+          col("x0") + 4, lit(" "), col("y0"), lit(", "),
+          col("x0"), lit(" "), col("y0") + 4, lit(", "),
+          col("x0"), lit(" "), col("y0"), lit("))")
+        )
+      )
+    n.select(
+      col("n_name").as("name"),
+      Spatial.wktGeomType(wkt).as("geom_type"),
+      Spatial.polygonValidity(wkt).as("reason")
+    ).orderBy(col("name"))
+  }
+
+  private val wktValidateSql =
+    """SELECT n_name AS name,
+      |       CASE WHEN n_nationkey % 5 = 3 THEN 'LINESTRING' ELSE 'POLYGON' END AS geom_type,
+      |       CASE n_nationkey % 5
+      |         WHEN 0 THEN NULL
+      |         WHEN 1 THEN 'open_ring'
+      |         WHEN 2 THEN 'out_of_range'
+      |         WHEN 3 THEN 'not_polygon'
+      |         ELSE 'duplicate_vertex' END AS reason
+      |FROM nation
+      |ORDER BY 1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_catalog_enrich", catalogEnrich, Some(catalogEnrichSql), headline = true),
     QueryDef("q_last_point", lastPoint, Some(lastPointSql)),
     QueryDef("q_salted_join", saltedJoin, Some(saltedJoinSql)),
     QueryDef("q_location_code", locationCode, Some(locationCodeSql)),
-    QueryDef("q_point_in_polygon", pointInPolygon, Some(pointInPolygonSql))
+    QueryDef("q_point_in_polygon", pointInPolygon, Some(pointInPolygonSql)),
+    QueryDef("q_wkt_validate", wktValidate, Some(wktValidateSql))
   )
 }
