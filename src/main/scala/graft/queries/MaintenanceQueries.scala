@@ -1,0 +1,267 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{AuditCapture, TableMaintenance, Upsert}
+import graft.sources.UnitConvert
+import graft.tables.TestTables
+
+/** Oracle coverage for components that were previously spec-only:
+  * unit conversion + inf_to_na, Feb-29 interpolation, the RLS upsert
+  * conflict modes, and the audit capture diff (SURVEY §2.1/§2.4/
+  * §2.11).
+  */
+object MaintenanceQueries {
+
+  /** NWIS imperial→metric + inf scrub: non-finite values injected
+    * deterministically, conversion dispatched per row, NULL rows kept
+    * (inf_to_na) rather than dropped.
+    */
+  private def unitConvert(s: SparkSession, d: String): DataFrame = {
+    val e = TestTables.events(s, d)
+      .withColumn(
+        "raw",
+        when(col("event_id") % 97 === 0, lit(Double.PositiveInfinity))
+          .when(col("event_id") % 89 === 0, lit(Double.NegativeInfinity))
+          .when(col("event_id") % 83 === 0, lit(Double.NaN))
+          .otherwise(col("value"))
+      )
+      .withColumn(
+        "conv",
+        when(col("user_id") % 3 === 0, "ft_to_m")
+          .when(col("user_id") % 3 === 1, "cfs_to_cms")
+          .otherwise("f_to_c")
+      )
+    e.select(
+      col("event_id"),
+      col("conv"),
+      round(
+        when(col("conv") === "ft_to_m", UnitConvert.convert("ft_to_m", col("raw")))
+          .when(col("conv") === "cfs_to_cms", UnitConvert.convert("cfs_to_cms", col("raw")))
+          .otherwise(UnitConvert.convert("f_to_c", col("raw"))),
+        6
+      ).as("metric")
+    ).orderBy(col("event_id"))
+  }
+
+  private val unitConvertSql =
+    s"""WITH e AS (
+       |  SELECT event_id,
+       |         CASE WHEN event_id % 97 = 0 THEN 'Infinity'::DOUBLE
+       |              WHEN event_id % 89 = 0 THEN '-Infinity'::DOUBLE
+       |              WHEN event_id % 83 = 0 THEN 'NaN'::DOUBLE
+       |              ELSE value END AS raw,
+       |         CASE WHEN user_id % 3 = 0 THEN 'ft_to_m'
+       |              WHEN user_id % 3 = 1 THEN 'cfs_to_cms'
+       |              ELSE 'f_to_c' END AS conv
+       |  FROM events
+       |)
+       |SELECT event_id, conv,
+       |       round(CASE WHEN isnan(raw) OR raw = 'Infinity'::DOUBLE OR raw = '-Infinity'::DOUBLE THEN NULL
+       |             WHEN conv = 'ft_to_m' THEN raw / ${UnitConvert.FtPerM}
+       |             WHEN conv = 'cfs_to_cms' THEN raw / ${UnitConvert.CfsPerCms}
+       |             ELSE (raw - 32.0) * 5.0 / 9.0 END, 6) AS metric
+       |FROM e
+       |ORDER BY event_id""".stripMargin
+
+  /** Feb-29 leap-day interpolation over daily order revenue: the
+    * Feb 29 row becomes the mean of its Feb 28 / Mar 1 neighbors with
+    * the more conservative count (`TableMaintenance.feb29Interpolate`).
+    */
+  private def feb29(s: SparkSession, d: String): DataFrame = {
+    val daily = TestTables.orders(s, d)
+      .groupBy(
+        col("o_orderpriority").as("series_key"),
+        to_date(col("o_orderdate")).as("date")
+      )
+      .agg(
+        (sum(round(col("o_totalprice") * 100).cast("long")) / 100.0).as("value"),
+        count(lit(1)).as("doy_count")
+      )
+    TableMaintenance
+      .feb29Interpolate(daily, "series_key", "date", Seq("value"))
+      .filter(
+        (month(col("date")) === 2 && dayofmonth(col("date")) >= 26) ||
+          (month(col("date")) === 3 && dayofmonth(col("date")) <= 2)
+      )
+      .select(
+        col("series_key"),
+        col("date"),
+        round(col("value"), 4).as("value"),
+        col("doy_count")
+      )
+      .orderBy(col("series_key"), col("date"))
+  }
+
+  private val feb29Sql =
+    """WITH daily AS (
+      |  SELECT o_orderpriority AS series_key, CAST(o_orderdate AS DATE) AS date,
+      |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS value,
+      |         count(*) AS doy_count
+      |  FROM orders GROUP BY 1, 2
+      |), interp AS (
+      |  SELECT d.series_key, d.date,
+      |         CASE WHEN month(d.date) = 2 AND day(d.date) = 29
+      |                   AND a.doy_count IS NOT NULL AND b.doy_count IS NOT NULL
+      |              THEN (a.value + b.value) / 2.0 ELSE d.value END AS value,
+      |         CASE WHEN month(d.date) = 2 AND day(d.date) = 29
+      |                   AND a.doy_count IS NOT NULL AND b.doy_count IS NOT NULL
+      |              THEN least(a.doy_count, b.doy_count) ELSE d.doy_count END AS doy_count
+      |  FROM daily d
+      |  LEFT JOIN daily a ON a.series_key = d.series_key
+      |    AND month(d.date) = 2 AND day(d.date) = 29
+      |    AND a.date = d.date - INTERVAL 1 DAY
+      |  LEFT JOIN daily b ON b.series_key = d.series_key
+      |    AND month(d.date) = 2 AND day(d.date) = 29
+      |    AND b.date = d.date + INTERVAL 1 DAY
+      |)
+      |SELECT series_key, date, round(value, 4) AS value, CAST(doy_count AS BIGINT) AS doy_count
+      |FROM interp
+      |WHERE (month(date) = 2 AND day(date) >= 26) OR (month(date) = 3 AND day(date) <= 2)
+      |ORDER BY 1, 2""".stripMargin
+
+  /** RLS upsert (`dbAppendTableRLS` DO UPDATE): batch with duplicate
+    * keys resolved last-wins by the order column, matched keys
+    * replaced, new keys appended.
+    */
+  private def upsert(s: SparkSession, d: String): DataFrame = {
+    val target = TestTables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val upd1 = target
+      .filter(col("o_orderkey") % 4 === 0)
+      .select(
+        col("o_orderkey"),
+        lit("U").as("o_orderstatus"),
+        (col("o_totalprice") + 10.0).as("o_totalprice"),
+        lit(1L).as("batch_seq")
+      )
+    // second batch row for HALF those keys — must win (last-wins)
+    val upd2 = target
+      .filter(col("o_orderkey") % 8 === 0)
+      .select(
+        col("o_orderkey"),
+        lit("W").as("o_orderstatus"),
+        (col("o_totalprice") + 20.0).as("o_totalprice"),
+        lit(2L).as("batch_seq")
+      )
+    val inserts = target
+      .filter(col("o_orderkey") % 1000 === 7)
+      .select(
+        (col("o_orderkey") + 100000000L).as("o_orderkey"),
+        lit("N").as("o_orderstatus"),
+        col("o_totalprice"),
+        lit(1L).as("batch_seq")
+      )
+    val merged = Upsert(
+      target,
+      upd1.unionByName(upd2).unionByName(inserts),
+      keys = Seq("o_orderkey"),
+      mode = Upsert.DoUpdate,
+      orderCol = Some("batch_seq")
+    )
+    merged
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"),
+        max(col("o_orderkey")).as("max_key")
+      )
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val upsertSql =
+    """WITH target AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |), updates AS (
+      |  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 10.0 AS o_totalprice, 1 AS batch_seq
+      |  FROM target WHERE o_orderkey % 4 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 'W', o_totalprice + 20.0, 2 FROM target WHERE o_orderkey % 8 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, 'N', o_totalprice, 1 FROM target WHERE o_orderkey % 1000 = 7
+      |), dedup AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY batch_seq DESC) AS rn
+      |        FROM updates)
+      |  WHERE rn = 1
+      |), merged AS (
+      |  SELECT t.* FROM target t LEFT JOIN dedup u ON u.o_orderkey = t.o_orderkey
+      |  WHERE u.o_orderkey IS NULL
+      |  UNION ALL
+      |  SELECT * FROM dedup
+      |)
+      |SELECT o_orderstatus, count(*) AS n,
+      |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |       CAST(max(o_orderkey) AS BIGINT) AS max_key
+      |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Audit capture diff between the pre- and post-upsert states:
+    * per-action row counts and changed-field totals — the write path
+    * whose output AuditAsOf later reconstructs from.
+    */
+  private def auditCapture(s: SparkSession, d: String): DataFrame = {
+    val before = TestTables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val after = before
+      .filter(col("o_orderkey") % 7 =!= 3) // deletes
+      .withColumn(
+        "o_totalprice",
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.0).otherwise(col("o_totalprice"))
+      )
+      .unionByName(
+        before
+          .filter(col("o_orderkey") % 1000 === 7)
+          .select(
+            (col("o_orderkey") + 100000000L).as("o_orderkey"),
+            lit("N").as("o_orderstatus"),
+            col("o_totalprice")
+          )
+      )
+    AuditCapture
+      .capture(before, after, "o_orderkey", Seq("o_orderstatus", "o_totalprice"),
+        actionTs = "2024-01-01 00:00:00", tableName = "orders")
+      .groupBy(col("action"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("o_orderkey")).as("sum_id"),
+        // changed_fields is U-only (null for I/D, like the reference)
+        sum(coalesce(size(col("changed_fields")), lit(0))).as("n_changed")
+      )
+      .orderBy(col("action"))
+  }
+
+  private val auditCaptureSql =
+    """WITH before AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |), after AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+      |  FROM before WHERE o_orderkey % 7 <> 3
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, 'N', o_totalprice FROM before WHERE o_orderkey % 1000 = 7
+      |), diff AS (
+      |  SELECT coalesce(b.o_orderkey, a.o_orderkey) AS id,
+      |         CASE WHEN b.o_orderkey IS NULL THEN 'I'
+      |              WHEN a.o_orderkey IS NULL THEN 'D'
+      |              WHEN b.o_orderstatus IS DISTINCT FROM a.o_orderstatus
+      |                OR b.o_totalprice IS DISTINCT FROM a.o_totalprice THEN 'U' END AS action,
+      |         -- changed_fields is U-only: I/D rows contribute zero
+      |         CASE WHEN b.o_orderkey IS NOT NULL AND a.o_orderkey IS NOT NULL THEN
+      |           (b.o_orderstatus IS DISTINCT FROM a.o_orderstatus)::INT
+      |             + (b.o_totalprice IS DISTINCT FROM a.o_totalprice)::INT
+      |         ELSE 0 END AS nch
+      |  FROM before b FULL OUTER JOIN after a ON b.o_orderkey = a.o_orderkey
+      |)
+      |SELECT action, count(*) AS n,
+      |       CAST(sum(id) AS BIGINT) AS sum_id,
+      |       CAST(sum(nch) AS BIGINT) AS n_changed
+      |FROM diff WHERE action IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_unit_convert", unitConvert, Some(unitConvertSql)),
+    QueryDef("q_feb29", feb29, Some(feb29Sql)),
+    QueryDef("q_upsert", upsert, Some(upsertSql)),
+    QueryDef("q_audit_capture", auditCapture, Some(auditCaptureSql))
+  )
+}
