@@ -258,10 +258,75 @@ object MaintenanceQueries {
       |FROM diff WHERE action IS NOT NULL
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Tail trimming: derived daily rows past each series' last real
+    * measurement are dropped and QC segments clamped
+    * (`trim_continuous_timeseries_tail`). Measurements are cut
+    * per-series at a deterministic day so every series has a tail to
+    * trim.
+    */
+  private def tailTrim(s: SparkSession, d: String): DataFrame = {
+    val e = TestTables.events(s, d)
+    val daily = e
+      .groupBy(col("user_id").as("timeseries_id"), to_date(col("ts")).as("date"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    val meas = e
+      .filter(dayofmonth(col("ts")) <= col("user_id") % 20 + 5)
+      .select(col("user_id").as("timeseries_id"), col("ts").cast("timestamp").as("datetime"))
+    val segs = e
+      .groupBy(col("user_id").as("timeseries_id"))
+      .agg(
+        min(col("ts")).cast("timestamp").as("start_dt"),
+        max(col("ts")).cast("timestamp").as("end_dt")
+      )
+    val trimmedDaily = TableMaintenance.trimDailyTail(daily, meas)
+    val trimmedSegs = TableMaintenance.trimSegmentTail(segs, meas)
+    trimmedDaily
+      .groupBy(col("timeseries_id"))
+      .agg(count(lit(1)).as("n_daily"), max(col("date")).as("last_date"))
+      .join(
+        trimmedSegs.select(
+          col("timeseries_id"),
+          unix_micros(col("start_dt")).as("seg_start_us"),
+          unix_micros(col("end_dt")).as("seg_end_us")
+        ),
+        Seq("timeseries_id")
+      )
+      .orderBy(col("timeseries_id"))
+  }
+
+  private val tailTrimSql =
+    """WITH daily AS (
+      |  SELECT user_id AS timeseries_id, CAST(ts AS DATE) AS date,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2
+      |), meas AS (
+      |  SELECT user_id AS timeseries_id, ts AS datetime
+      |  FROM events WHERE day(ts) <= user_id % 20 + 5
+      |), last_day AS (
+      |  SELECT timeseries_id, max(CAST(datetime AS DATE)) AS last_date,
+      |         max(datetime) AS last_dt
+      |  FROM meas GROUP BY 1
+      |), segs AS (
+      |  SELECT user_id AS timeseries_id, min(ts) AS start_dt, max(ts) AS end_dt
+      |  FROM events GROUP BY 1
+      |)
+      |SELECT d.timeseries_id,
+      |       count(*) AS n_daily,
+      |       max(d.date) AS last_date,
+      |       CAST(epoch_us(any_value(s.start_dt)) AS BIGINT) AS seg_start_us,
+      |       CAST(epoch_us(least(any_value(s.end_dt), any_value(l.last_dt))) AS BIGINT) AS seg_end_us
+      |FROM daily d
+      |JOIN last_day l ON l.timeseries_id = d.timeseries_id
+      |JOIN segs s ON s.timeseries_id = d.timeseries_id AND s.start_dt <= l.last_dt
+      |WHERE d.date <= l.last_date
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_unit_convert", unitConvert, Some(unitConvertSql)),
     QueryDef("q_feb29", feb29, Some(feb29Sql)),
     QueryDef("q_upsert", upsert, Some(upsertSql)),
-    QueryDef("q_audit_capture", auditCapture, Some(auditCaptureSql))
+    QueryDef("q_audit_capture", auditCapture, Some(auditCaptureSql)),
+    QueryDef("q_tail_trim", tailTrim, Some(tailTrimSql))
   )
 }
