@@ -168,7 +168,10 @@ object Dedup {
       threshold: Double,
       family: HashFamily = Xx64
   ): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, shingleN)
+    // one materialization: the shingle projection (regex tokenize +
+    // interpreted HOFs) feeds both the signature aggregate and the
+    // verification pair join
+    val sh = shingles(docs, idCol, textCol, shingleN).localCheckpoint(false)
     val sig = minHashSignatures(sh, idCol, numPerm, family)
     val cand = lshCandidates(sig, idCol, numPerm, bands)
     jaccardPairs(sh, idCol, threshold, candidates = Some(cand))

@@ -167,9 +167,13 @@ object IngestQueries {
     // of summation order (the join scrambles order differently per
     // engine; double avg of 0.01-grid values ties at round-half
     // boundaries)
+    // materialization barrier: hourly feeds BOTH sides of the
+    // target/donor join — without it the full scan+aggregate runs
+    // twice (same discipline as Dedup.jaccardPairs)
     val hourly = e
       .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour_ts"))
       .agg(sum(round(col("value") * 100).cast("long")).as("value"))
+      .localCheckpoint(false)
     val coords = e
       .select(col("user_id")).distinct()
       .withColumn("lat", lit(60.0) + (col("user_id") % 10) * 0.5)

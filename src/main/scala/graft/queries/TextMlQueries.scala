@@ -185,7 +185,9 @@ object TextMlQueries {
   private val JaccardMaxDf = 50
 
   private def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sh = Dedup.shingles(TestTables.documents(s, d), "doc_id", "text", 3)
+    // one materialization of the shingle projection for the signature,
+    // candidate and verification paths (see Dedup.minHashNearDups)
+    val sh = Dedup.shingles(TestTables.documents(s, d), "doc_id", "text", 3).localCheckpoint(false)
     // the REGISTERED form runs fully guarded (df cap + LSH candidate
     // restriction) — the scale path; the exhaustive unguarded join is
     // kept as the spec-only recall baseline (MlSpec)
