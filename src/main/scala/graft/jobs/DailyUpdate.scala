@@ -111,6 +111,39 @@ object DailyUpdate {
     SegmentAdjust.adjust(existingSegments, newSegs, streamCol = Some("stream"))
   }
 
+  /** The media legs of the daily run — `R/dailyUpdate.R:186-232`
+    * calls `getNewImages()` and `getNewRasters()` after the
+    * continuous/discrete rounds. Same shape here: one image round
+    * (watermark-filtered fetch, skip-existing, watermark advance) and
+    * one raster round (merge with supersede, watermark advance).
+    */
+  final case class MediaResult(
+      newImages: DataFrame,
+      imageCatalog: DataFrame,
+      mergedTiles: DataFrame,
+      rasterCatalog: DataFrame
+  )
+
+  def runMedia(
+      imageCatalog: DataFrame,
+      fetchedImages: DataFrame,
+      existingImages: DataFrame,
+      rasterCatalog: DataFrame,
+      existingTiles: DataFrame,
+      fetchedTiles: DataFrame
+  ): MediaResult = {
+    val fresh = graft.sources.ImageIngest.newImages(imageCatalog, fetchedImages)
+    val novel = graft.sources.ImageIngest.skipExisting(fresh, existingImages)
+    val latest = graft.sources.ImageIngest.latestPerSeries(novel)
+    val advancedImageCatalog = imageCatalog
+      .join(latest.select(col("img_series_id"), col("last_img").as("__new_last")), Seq("img_series_id"), "left")
+      .withColumn("last_img", coalesce(greatest(col("__new_last"), col("last_img")), col("__new_last"), col("last_img")))
+      .drop("__new_last")
+    val mergedTiles = graft.sources.RasterIngest.mergeFetched(existingTiles, fetchedTiles)
+    val advancedRasterCatalog = graft.sources.RasterIngest.advanceWatermarks(rasterCatalog, mergedTiles)
+    MediaResult(novel, advancedImageCatalog, mergedTiles, advancedRasterCatalog)
+  }
+
   /** DOY historical stats over the refreshed daily frame, recomputed
     * only for the (series, doy) groups the changed days touch.
     */

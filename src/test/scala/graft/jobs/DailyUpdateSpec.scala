@@ -94,4 +94,44 @@ class DailyUpdateSpec extends SparkSpec {
     val grades = upserts.filter(_.getString(1) == "grade").map(r => r.getString(3)).toSet
     assert(grades == Set("B"), s"new wins over old: $grades")
   }
+
+  test("media legs: image watermark round + raster merge round advance both catalogs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+    val imageCatalog = Seq(
+      (1L, Some(ts("2024-01-01 00:00:00")), true)
+    ).toDF("img_series_id", "last_img", "active")
+    val fetchedImages = Seq(
+      (1L, ts("2024-01-01 06:00:00"), "new".getBytes("UTF-8"), "jpg"),
+      (1L, ts("2023-12-31 06:00:00"), "old".getBytes("UTF-8"), "jpg") // behind watermark
+    ).toDF("img_series_id", "img_ts", "payload", "format")
+    val existingImages = Seq.empty[(Long, java.sql.Timestamp)]
+      .toDF("img_series_id", "img_ts")
+
+    val rasterCatalog = Seq(
+      (5L, "forecast", ts("2024-01-01 00:00:00"), Some(ts("2024-01-01 00:00:00")), true)
+    ).toDF("raster_series_id", "raster_type", "end_datetime", "last_issue", "active")
+    def tile(issue: String, valid: String) =
+      (5L, "b1", "forecast", ts(issue), ts(valid), 0, 0)
+    val existingTiles = Seq(tile("2024-01-01 00:00:00", "2024-01-02 00:00:00"))
+      .toDF("series_id", "band", "raster_type", "issue_ts", "valid_ts", "tile_x", "tile_y")
+    val fetchedTiles = Seq(tile("2024-01-01 12:00:00", "2024-01-02 00:00:00"))
+      .toDF("series_id", "band", "raster_type", "issue_ts", "valid_ts", "tile_x", "tile_y")
+
+    val out = DailyUpdate.runMedia(
+      imageCatalog, fetchedImages, existingImages,
+      rasterCatalog, existingTiles, fetchedTiles)
+
+    assert(out.newImages.count() == 1) // watermark filtered the old frame
+    assert(out.imageCatalog.head().getAs[java.sql.Timestamp]("last_img") ==
+      ts("2024-01-01 06:00:00"))
+    // the newer forecast issue superseded the old one for the shared valid
+    val kept = out.mergedTiles.select("issue_ts").collect().map(_.getTimestamp(0)).toSet
+    assert(kept == Set(ts("2024-01-01 12:00:00")))
+    val cat = out.rasterCatalog.head()
+    assert(cat.getAs[java.sql.Timestamp]("end_datetime") == ts("2024-01-02 00:00:00"))
+    assert(cat.getAs[java.sql.Timestamp]("last_issue") == ts("2024-01-01 12:00:00"))
+  }
 }

@@ -1,0 +1,39 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DocumentIngestSpec extends SparkSpec {
+
+  test("ingest: content dedupe (store + in-batch), type gate, geom links filtered to known") {
+    import spark.implicits._
+    val knownTypes = Seq("report", "map").toDF("doc_type")
+    val knownGeoms = Seq(100L, 200L).toDF("geom_id")
+    def doc(name: String, t: String, body: String, geoms: Seq[Long] = Seq.empty) =
+      (name, t, body.getBytes("UTF-8"), Seq("public_reader"), geoms)
+    val incoming = Seq(
+      doc("annual report", "report", "contents A", Seq(100L, 999L)), // accepted; geom 999 dropped
+      doc("duplicate of stored", "report", "stored contents"),       // duplicate_content
+      doc("same-batch copy", "report", "contents A"),                // duplicate_in_batch (name sorts after)
+      doc("bad type", "thesis", "contents B"),                       // unknown_type
+      (null: String, "map", "contents C".getBytes("UTF-8"), Seq("public_reader"), Seq.empty[Long]),
+      doc("no groups", "map", "contents D")
+    ).toDF("name", "doc_type", "payload", "share_with", "geom_ids")
+      .withColumn("share_with", when(col("name") === "no groups", array().cast("array<string>")).otherwise(col("share_with")))
+    val existingHash = Seq("stored contents").toDF("body")
+      .select(graft.functions.PortableHash.md5num56(encode(col("body"), "UTF-8")).as("file_hash"))
+
+    val out = DocumentIngest.ingest(incoming, knownTypes, existingHash, knownGeoms)
+    assert(out.accepted.select("name").as[String].collect().toList == List("annual report"))
+    val rejects = out.rejects.collect()
+      .map(r => (Option(r.getString(0)).getOrElse("<null>"), r.getString(1))).toMap
+    assert(rejects == Map(
+      "duplicate of stored" -> "duplicate_content",
+      "same-batch copy" -> "duplicate_in_batch",
+      "bad type" -> "unknown_type",
+      "<null>" -> "missing_name",
+      "no groups" -> "missing_share_with"
+    ))
+    assert(out.geomLinks.select("geom_id").as[Long].collect().toList == List(100L))
+  }
+}
