@@ -17,6 +17,20 @@ class RasterSpec extends SparkSpec {
     assert(diff.isEmpty, "round-trip must preserve (x, y, value) exactly")
   }
 
+  test("tileGrid/cells round-trips across grid/tile shape combinations") {
+    // divisor and non-divisor tile dims, tiles wider/taller than the
+    // grid, 1-pixel tiles — every combination must be lossless
+    for ((w, h, tw, th) <- Seq((16, 8, 4, 4), (17, 9, 4, 4), (5, 3, 8, 8), (7, 7, 1, 1), (20, 1, 6, 2))) {
+      val grid = Raster.syntheticCells(spark, w, h)
+      val back = Raster.cells(Raster.tileGrid(grid, tw, th))
+      assert(back.count() == w.toLong * h, s"($w,$h,$tw,$th) cell count")
+      assert(
+        grid.select("x", "y", "value").except(back.select("x", "y", "value")).isEmpty,
+        s"($w,$h,$tw,$th) round-trip"
+      )
+    }
+  }
+
   test("tile packing is row-major and deterministic under shuffled input") {
     val grid = Raster.syntheticCells(spark, 6, 4).orderBy(rand(42)) // scramble arrival order
     val tile = Raster
