@@ -13,12 +13,8 @@ class PlanAuditSpec extends SparkSpec {
   private def plan(name: String): String =
     Registry.byName(name).run(spark, sf).queryExecution.executedPlan.toString
 
-  test("no CartesianProduct anywhere in the new query surface") {
-    for (
-      q <- Seq("q_raster_zonal", "q_raster_pyramid", "q_raster_supersede",
-        "q_image_latest", "q_discrete_sync", "q_wkt_validate",
-        "q_unit_convert", "q_feb29", "q_upsert", "q_audit_capture", "q_tail_trim")
-    ) {
+  test("no CartesianProduct anywhere in the whole registry") {
+    for (q <- Registry.all.map(_.name)) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
     }
