@@ -511,7 +511,52 @@ object IngestQueries {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  /** Cache-sharing fetch-group scheduling (`downloadECCCwx`'s session
+    * cache, `R/getNewContinuous.R:286-316`): the series worklist
+    * groups by (station, interval); one fetch per group from one
+    * second after the group's EARLIEST last point, covering all its
+    * parameters.
+    */
+  private def fetchGroups(s: SparkSession, d: String): DataFrame = {
+    val worklist = TestTables.events(s, d)
+      .select(col("user_id"), col("event_type"))
+      .distinct()
+      .select(
+        concat(lit("S"), col("user_id") % 12).as("station"),
+        when(col("user_id") % 2 === 0, 3600L).otherwise(86400L).as("step_seconds"),
+        col("event_type").as("parameter"),
+        timestamp_seconds(col("user_id") * 1000 + 1700000000L).as("last_point")
+      )
+      .distinct()
+    worklist
+      .groupBy(col("station"), col("step_seconds"))
+      .agg(
+        count(lit(1)).as("n_series"),
+        countDistinct(col("parameter")).as("n_params"),
+        unix_micros(timestamp_seconds(unix_timestamp(min(col("last_point"))) + 1)).as("fetch_from_us")
+      )
+      .orderBy(col("station"), col("step_seconds"))
+  }
+
+  private val fetchGroupsSql =
+    """WITH worklist AS (
+      |  SELECT DISTINCT
+      |         'S' || (user_id % 12) AS station,
+      |         CASE WHEN user_id % 2 = 0 THEN 3600 ELSE 86400 END AS step_seconds,
+      |         event_type AS parameter,
+      |         to_timestamp(user_id * 1000 + 1700000000) AS last_point
+      |  FROM (SELECT DISTINCT user_id, event_type FROM events)
+      |)
+      |SELECT station, CAST(step_seconds AS BIGINT) AS step_seconds,
+      |       count(*) AS n_series,
+      |       count(DISTINCT parameter) AS n_params,
+      |       CAST(epoch_us(min(last_point) + INTERVAL 1 SECOND) AS BIGINT) AS fetch_from_us
+      |FROM worklist
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_fetch_groups", fetchGroups, Some(fetchGroupsSql)),
     QueryDef("q_incremental_filter", incrementalFilter, Some(incrementalFilterSql)),
     QueryDef("q_discrete_ingest", discreteIngest, Some(discreteIngestSql)),
     QueryDef("q_import_mapping", importMapping, Some(importMappingSql)),

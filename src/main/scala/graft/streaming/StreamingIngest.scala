@@ -61,6 +61,42 @@ object StreamingIngest {
       }
   }
 
+  /** One streamed raster-tile index row. */
+  final case class TileRow(
+      series_id: Long,
+      band: String,
+      valid_ts: java.sql.Timestamp,
+      tile_x: Int,
+      tile_y: Int,
+      issue_ts: java.sql.Timestamp
+  )
+
+  /** Streaming `keep_forecasts = 'selective'`: per (series, band,
+    * valid, tile) the state holds the newest issue seen; a row is
+    * emitted only when it IMPROVES on the state (newer issue), so the
+    * downstream tile store applies last-write-wins per key and always
+    * converges to the batch `Raster.supersedeForecasts` result. State
+    * per key is a single epoch-micros long.
+    */
+  def supersedeForecastsStream(stream: DataFrame): org.apache.spark.sql.Dataset[TileRow] = {
+    import stream.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    stream
+      .as[TileRow]
+      .groupByKey(t => (t.series_id, t.band, t.valid_ts.getTime, t.tile_x, t.tile_y))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Long, String, Long, Int, Int), rows: Iterator[TileRow], state: GroupState[Long]) =>
+          val last = state.getOption.getOrElse(Long.MinValue)
+          val newestFirst = rows.toSeq.sortBy(-_.issue_ts.getTime)
+          newestFirst.headOption.filter(_.issue_ts.getTime > last) match {
+            case Some(win) =>
+              state.update(win.issue_ts.getTime)
+              Iterator.single(win)
+            case None => Iterator.empty
+          }
+      }
+  }
+
   /** Watermarked tumbling daily mean per series over a streaming
     * frame with (timeseries_id, datetime, value).
     */

@@ -99,4 +99,49 @@ class StreamingSpec extends SparkSpec {
     assert(rows(0).getAs[Double]("value") == 3.0)
     assert(rows(1).getAs[Double]("value") == 9.0)
   }
+
+  test("supersedeForecastsStream emits only issue improvements across micro-batches") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("stream4").toString
+    val src = s"$base/src"; val cp = s"$base/cp"; val sink = s"$base/sink"
+    new java.io.File(src).mkdirs()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val schema = StructType(Seq(
+      StructField("series_id", LongType),
+      StructField("band", StringType),
+      StructField("valid_ts", TimestampType),
+      StructField("tile_x", IntegerType),
+      StructField("tile_y", IntegerType),
+      StructField("issue_ts", TimestampType)
+    ))
+    def run(): Unit = {
+      val q = StreamingIngest
+        .supersedeForecastsStream(spark.readStream.schema(schema).parquet(src))
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+    // batch 1: two issues for the same (valid, tile) arrive together —
+    // only the newer one must come out
+    Seq(
+      (1L, "b1", ts("2024-01-02 00:00:00"), 0, 0, ts("2024-01-01 00:00:00")),
+      (1L, "b1", ts("2024-01-02 00:00:00"), 0, 0, ts("2024-01-01 12:00:00"))
+    ).toDF("series_id", "band", "valid_ts", "tile_x", "tile_y", "issue_ts")
+      .write.mode("append").parquet(src)
+    run()
+    // batch 2: one older issue (suppressed by state) + one newer (emitted)
+    Seq(
+      (1L, "b1", ts("2024-01-02 00:00:00"), 0, 0, ts("2024-01-01 06:00:00")),
+      (1L, "b1", ts("2024-01-02 00:00:00"), 0, 0, ts("2024-01-02 00:00:00"))
+    ).toDF("series_id", "band", "valid_ts", "tile_x", "tile_y", "issue_ts")
+      .write.mode("append").parquet(src)
+    run()
+    val out = spark.read.parquet(sink).orderBy("issue_ts").collect()
+      .map(_.getAs[java.sql.Timestamp]("issue_ts"))
+    assert(out.toList == List(ts("2024-01-01 12:00:00"), ts("2024-01-02 00:00:00")))
+  }
 }
