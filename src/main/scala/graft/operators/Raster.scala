@@ -222,6 +222,9 @@ object Raster {
     tiles
       .withColumn("valid_date", to_date(col("valid_ts")))
       .repartition(col("series_id"), col("valid_date"))
+      // spatial locality inside each file: a bounding-box read skips
+      // whole row groups on the (tile_y, tile_x) min/max stats
+      .sortWithinPartitions(col("band"), col("tile_y"), col("tile_x"))
       .write
       .mode("append")
       .partitionBy("series_id", "valid_date")
