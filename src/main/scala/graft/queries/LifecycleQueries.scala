@@ -279,7 +279,14 @@ object LifecycleQueries {
       .partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val gauge = e.withColumn("gauge", sum(abs(col("value"))).over(w) % 50.0)
+    // integer-cent cumsum, modulo in integers: a double cumsum % 50.0
+    // sits on a knife edge whenever the running sum approaches a
+    // multiple of 50 — at sf0.1 one wrap landed within an ulp and the
+    // two engines disagreed on a reset. Exact arithmetic at any SF.
+    val gauge = e.withColumn(
+      "gauge",
+      (sum(round(abs(col("value")) * 100).cast("long")).over(w) % 5000L) / 100.0
+    )
     SeriesKernels
       .increments(gauge, "user_id", "ts", "gauge", resetDrop = 20.0, minPos = 0.1, maxGap = 2)
       .select(
@@ -316,8 +323,9 @@ object LifecycleQueries {
        |  SELECT * FROM (
        |    SELECT CAST(user_id AS BIGINT) AS user_id, ts,
        |           epoch_us(ts) // 1000000 AS sec,
-       |           sum(abs(value)) OVER (PARTITION BY user_id ORDER BY ts, event_id
-       |                                 ROWS UNBOUNDED PRECEDING) % 50.0 AS gauge,
+       |           (sum(CAST(round(abs(value) * 100) AS BIGINT))
+       |              OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                    ROWS UNBOUNDED PRECEDING) % 5000) / 100.0 AS gauge,
        |           row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
        |           count(*) OVER (PARTITION BY user_id) AS n_rows
        |    FROM events
