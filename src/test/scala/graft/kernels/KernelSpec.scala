@@ -68,6 +68,25 @@ class KernelSpec extends AnyFunSuite {
     assert(inc.toList == List(None, Some(0.0), Some(0.0), Some(2.5)))
   }
 
+  test("IncrementKernel: reference boundary semantics (tests/testthat/test-compute_increments.R)") {
+    // drop of exactly reset_drop IS a reset (<= -reset_drop, :48)
+    val dts5 = hourly(6)
+    val (_, i1) = IncrementKernel.computeIncrements(
+      dts5, Array(30.0, 10.0, 11.0, 12.0, 13.0, 14.0), resetDrop = 20.0)
+    assert(i1.toList == List(None, Some(0.0), Some(1.0), Some(1.0), Some(1.0), Some(1.0)))
+    // the reference's wiggle vector: c(10, 9, 10.5, 11, 12, 13) -> 0, 0.5, 0.5, 1, 1
+    val (_, i2) = IncrementKernel.computeIncrements(
+      dts5, Array(10.0, 9.0, 10.5, 11.0, 12.0, 13.0), resetDrop = 20.0)
+    assert(i2.toList == List(None, Some(0.0), Some(0.5), Some(0.5), Some(1.0), Some(1.0)))
+    // add == min_pos IS counted (the reference implementation is
+    // `add >= min_pos`, compute_increments.R:56 — its test comment
+    // says strict > but never exercises a tie)
+    val dts3 = hourly(3)
+    val (_, i3) = IncrementKernel.computeIncrements(
+      dts3, Array(0.0, 2.0, 2.5), minPos = 2.0)
+    assert(i3.toList == List(None, Some(2.0), Some(0.0)))
+  }
+
   test("IncrementKernel: densifies gaps and blocks increments across oversized gaps") {
     // hourly cadence established, then a 5-hour observation gap
     val dts = hourly(8) ++ Array(hourly(8).last + 5 * 3600L, hourly(8).last + 6 * 3600L)
