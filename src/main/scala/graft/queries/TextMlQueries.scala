@@ -431,6 +431,36 @@ object TextMlQueries {
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
       .orderBy(col("query_id"), col("rank"))
 
+  /** Hash-checks the ANN path's novel math — the 12-plane sign-bit
+    * bucket of every embedding — by EMBEDDING the deterministic plane
+    * constants into the oracle SQL as literals. Scoring/top-k is
+    * oracle-proven elsewhere (q_cosine_topk, q_embed_neardup); rank
+    * output stays rows-only because near-tie ordering is not
+    * cross-engine stable.
+    */
+  private def lshBuckets(s: SparkSession, d: String): DataFrame = {
+    val planes = Similarity.hyperplanes(12, 64)
+    TestTables.embeddings(s, d)
+      .select(
+        col("vec_id"),
+        Similarity
+          .lshBucket(transform(col("embedding"), _.cast("double")), planes)
+          .as("bucket")
+      )
+      .orderBy(col("vec_id"))
+  }
+
+  private lazy val lshBucketsSql = {
+    val planes = Similarity.hyperplanes(12, 64)
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val arr = p.mkString("[", ", ", "]")
+      s"CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), $arr) >= 0 THEN ${1L << i} ELSE 0 END"
+    }
+    s"""SELECT vec_id, CAST(${bits.mkString("\n  + ")} AS BIGINT) AS bucket
+       |FROM embeddings
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** IVF ANN — inverted lists by nearest deterministic coarse
     * centroid, nProbe-list probing (rows-only: centroid constants not
     * SQL-expressible).
@@ -516,6 +546,7 @@ object TextMlQueries {
     QueryDef("q_cosine_topk", cosineTopK, Some(cosineTopKSql), headline = true),
     QueryDef("q_embed_neardup", embedNearDup, Some(embedNearDupSql)),
     QueryDef("q_ann_lsh", annLsh, None, headline = true),
+    QueryDef("q_lsh_buckets", lshBuckets, Some(lshBucketsSql)),
     QueryDef("q_ivf_ann", ivfAnn, None),
     QueryDef("q_multimodal_features", multimodalFeatures, Some(multimodalFeaturesSql)),
     QueryDef("q_frame_sample", frameSample, Some(frameSampleSql))
