@@ -132,6 +132,38 @@ object Similarity {
     * of the corpus and its lists shard naturally (shuffle on
     * cluster id = the inverted index).
     */
+  /** Unit-norm deterministic coarse centroids (the IVF codebook). */
+  def normalizedCentroids(nCentroids: Int, dim: Int, seed: Long): Array[Array[Double]] =
+    hyperplanes(nCentroids, dim, seed).map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      c.map(_ / n)
+    }
+
+  /** Per-embedding nearest-centroid assignment — the list-building
+    * step of IVF, exposed so it can be oracle-checked on its own.
+    * Ties break toward the higher centroid id (sort_array desc on the
+    * (score, id) struct).
+    */
+  def clusterAssignments(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int,
+      seed: Long,
+      dim: Int = 64
+  ): DataFrame = {
+    VectorOps.register(emb.sparkSession)
+    val centroids = normalizedCentroids(nCentroids, dim, seed)
+    val scored = sort_array(
+      array(centroids.zipWithIndex.map { case (c, i) =>
+        struct(VectorOps.dot(col("nv"), array(c.map(lit): _*)).as("s"), lit(i).as("c"))
+      }: _*),
+      asc = false
+    )
+    normalizedVecs(emb, idCol, vecCol)
+      .select(col("id").as(idCol), scored.getItem(0).getField("c").as("cluster"))
+  }
+
   def ivfTopK(
       emb: DataFrame,
       idCol: String,
@@ -145,10 +177,7 @@ object Similarity {
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     VectorOps.register(emb.sparkSession)
-    val centroids = hyperplanes(nCentroids, dim, seed).map { c =>
-      val n = math.sqrt(c.map(x => x * x).sum)
-      c.map(_ / n)
-    }
+    val centroids = normalizedCentroids(nCentroids, dim, seed)
     // struct array of (centroid score, centroid id), sorted desc
     def ranked(vec: Column): Column =
       sort_array(

@@ -461,6 +461,37 @@ object TextMlQueries {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** Hash-checks the IVF path's novel math — nearest-centroid
+    * assignment of every normalized embedding — with the centroid
+    * constants inlined in the oracle SQL (same discipline as
+    * q_lsh_buckets; ties break toward the higher centroid id, like
+    * sort_array desc on the (score, id) struct).
+    */
+  private def ivfClusters(s: SparkSession, d: String): DataFrame =
+    Similarity
+      .clusterAssignments(TestTables.embeddings(s, d), "vec_id", "embedding", nCentroids = 16, seed = 7L)
+      .orderBy(col("vec_id"))
+
+  private lazy val ivfClustersSql = {
+    val centroids = Similarity.normalizedCentroids(16, 64, 7L)
+    val structs = centroids.zipWithIndex.map { case (c, i) =>
+      val arr = c.mkString("[", ", ", "]")
+      s"{'s': list_inner_product(nv, $arr), 'c': $i}"
+    }
+    s"""WITH nv0 AS (
+       |  SELECT vec_id,
+       |         list_transform(
+       |           CAST(embedding AS DOUBLE[]),
+       |           x -> x / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+       |         ) AS nv
+       |  FROM embeddings
+       |)
+       |SELECT vec_id,
+       |       CAST((list_max([${structs.mkString(",\n         ")}])).c AS INT) AS cluster
+       |FROM nv0
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** IVF ANN — inverted lists by nearest deterministic coarse
     * centroid, nProbe-list probing (rows-only: centroid constants not
     * SQL-expressible).
@@ -548,6 +579,7 @@ object TextMlQueries {
     QueryDef("q_ann_lsh", annLsh, None, headline = true),
     QueryDef("q_lsh_buckets", lshBuckets, Some(lshBucketsSql)),
     QueryDef("q_ivf_ann", ivfAnn, None),
+    QueryDef("q_ivf_clusters", ivfClusters, Some(ivfClustersSql)),
     QueryDef("q_multimodal_features", multimodalFeatures, Some(multimodalFeaturesSql)),
     QueryDef("q_frame_sample", frameSample, Some(frameSampleSql))
   )
