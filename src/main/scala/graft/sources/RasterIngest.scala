@@ -1,7 +1,6 @@
 package graft.sources
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The incremental raster-fetch driver — `R/getNewRasters.R:80-220` in
