@@ -33,4 +33,24 @@ object PeriodFormat {
       Some(math.rint(l(d) * 86400 + l(h) * 3600 + l(m) * 60 + l(s)).toLong)
     case _ => None
   }
+
+  /** Column form of [[toSeconds]] for the day-time shapes
+    * `fromHours` emits (`PnDTnHnMnS`; no month/year components) —
+    * pure regexp projection, codegen'd, null on null/unparseable
+    * input.
+    */
+  def toSecondsCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    def part(re: String) = {
+      val x = regexp_extract(c, re, 1)
+      coalesce(when(x === "", lit(0L)).otherwise(x.cast("long")), lit(0L))
+    }
+    when(
+      c.isNull || !(c rlike "^P"),
+      lit(null).cast("long")
+    ).otherwise(
+      part("(\\d+)D") * 86400L + part("(\\d+)H") * 3600L +
+        part("(\\d+)M") * 60L + part("(\\d+)S")
+    )
+  }
 }
