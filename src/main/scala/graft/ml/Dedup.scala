@@ -198,6 +198,66 @@ object Dedup {
   /** Hamming distance between two 56-bit SimHashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Connected components over an undirected near-dup pair set:
+    * every node's `cluster_id` becomes the minimum node id reachable
+    * through the pairs (so each dup cluster keeps exactly one
+    * canonical representative — standard corpus-dedup clustering after
+    * MinHash/SimHash pair generation).
+    *
+    * Iterative min-label propagation: each round every node takes the
+    * min of its own label and its neighbors' labels; converges in
+    * O(graph diameter) rounds. Near-dup clusters are dense and
+    * shallow (dup groups, not long chains), so the diameter is small
+    * in practice; `localCheckpoint` truncates lineage each round so
+    * plans don't grow. Each round is one shuffle on the node id —
+    * at 100 TB the edge list is the small side (pairs above a high
+    * Jaccard threshold), so rounds stay cheap. For adversarial
+    * long-chain graphs swap the round body for alternating
+    * large-star/small-star (Kiveris et al., "Connected Components in
+    * MapReduce"), which converges in O(log n) rounds with identical
+    * output; the fixpoint loop here is the same driver shape.
+    */
+  def connectedComponents(
+      nodes: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      maxIter: Int = 50
+  ): DataFrame = {
+    val sym = pairs
+      .select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .distinct()
+      .localCheckpoint(false)
+    var labels = nodes
+      .select(col(idCol).as("node"), col(idCol).as("cluster_id"))
+      .localCheckpoint(false)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = sym
+        .join(
+          labels.select(col("node").as("dst"), col("cluster_id").as("nlabel")),
+          Seq("dst")
+        )
+        .groupBy(col("src").as("node"))
+        .agg(min(col("nlabel")).as("nmin"))
+      val next = labels
+        .join(neighborMin, Seq("node"), "left")
+        .select(
+          col("node"),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id")
+        )
+        .localCheckpoint(false)
+      changed = next
+        .join(labels.select(col("node"), col("cluster_id").as("old")), Seq("node"))
+        .filter(col("cluster_id") < col("old"))
+        .count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("node").as(idCol), col("cluster_id"))
+  }
+
   /** Production SimHash: the native one-pass Catalyst expression
     * (`graft.functions.SimHash64`) — whole signature at scan time, no
     * explode/shuffle. Semantics match [[simHash]] (different hash

@@ -1,0 +1,302 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.PortableHash
+import graft.ml.{Dedup, TextStats}
+import graft.tables.TestTables
+
+/** Corpus-construction operators a large-scale training-data pipeline
+  * runs AFTER pair-level dedup: cluster resolution (connected
+  * components over near-dup pairs), repetition/quality signals
+  * (Gopher-style duplicate-n-gram fractions), eval-set contamination
+  * screening (n-gram overlap), stratified quota sampling for mixture
+  * construction, and per-language heavy-hitter profiling.
+  *
+  * All five are DuckDB-oracle hash-checked; the shared tokenize /
+  * shingle / MinHash oracle fragments live in [[TextMlQueries]] so the
+  * two query families stay bit-identical on their common prefix.
+  */
+object CorpusQueries {
+
+  import TextMlQueries.{tokCte, shCte, minHashCandCtes, MinHashPerms, MinHashBands}
+
+  // ---- dedup cluster resolution (connected components) -------------
+
+  /** MinHash-LSH near-dup pairs -> connected components -> one
+    * canonical doc per cluster. The pair set is the oracle-proven
+    * q_minhash_lsh pipeline; the component labels are the min doc id
+    * reachable through the pairs (recursive-CTE oracle).
+    */
+  private def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val docs = TestTables.documents(s, d)
+    val pairs = Dedup.minHashNearDups(
+      docs,
+      "doc_id",
+      "text",
+      shingleN = 3,
+      numPerm = MinHashPerms,
+      bands = MinHashBands,
+      threshold = 0.6,
+      family = Dedup.PortableMd5
+    )
+    val cc = Dedup.connectedComponents(docs.select("doc_id"), "doc_id", pairs.select("d1", "d2"))
+    cc.withColumn("cluster_size", count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val dedupClustersSql =
+    s"""WITH RECURSIVE $tokCte, $shCte,
+       |$minHashCandCtes, pair AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  JOIN cand c ON c.d1 = a.doc_id AND c.d2 = b.doc_id
+       |  GROUP BY 1, 2
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+       |), edges AS (
+       |  SELECT d1, d2
+       |  FROM pair
+       |  JOIN sizes s1 ON s1.doc_id = d1
+       |  JOIN sizes s2 ON s2.doc_id = d2
+       |  WHERE inter::DOUBLE / (s1.n_sh + s2.n_sh - inter) >= 0.6
+       |), sym AS (
+       |  SELECT d1 AS src, d2 AS dst FROM edges
+       |  UNION ALL
+       |  SELECT d2, d1 FROM edges
+       |), reach(node, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT s.src, reach.r FROM sym s JOIN reach ON reach.node = s.dst
+       |), lab AS (
+       |  SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+       |)
+       |SELECT doc_id, cluster_id,
+       |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       |       doc_id = cluster_id AS is_canonical
+       |FROM lab
+       |ORDER BY doc_id""".stripMargin
+
+  // ---- repetition signals (Gopher-style) ---------------------------
+
+  /** Per-doc repetition metrics: duplicate-token fraction, most
+    * frequent bigram coverage, duplicated-trigram instance fraction
+    * (the document-quality rules of Gopher / RefinedWeb, token-n-gram
+    * form since the testdata has no line structure). Everything is
+    * one shuffle keyed by doc_id with map-side combine; the
+    * distinct-token ratio never leaves the scan projection.
+    */
+  private def repetition(s: SparkSession, d: String): DataFrame = {
+    val base = TestTables
+      .documents(s, d)
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        col("toks"),
+        size(col("toks")).as("n_tokens"),
+        round(
+          when(
+            size(col("toks")) > 0,
+            lit(1.0) - size(array_distinct(col("toks"))).cast("double") / size(col("toks"))
+          ),
+          6
+        ).as("dup_tok_frac")
+      )
+    def grams(n: Int) =
+      when(
+        size(col("toks")) >= n,
+        expr(s"transform(sequence(1, size(toks) - ${n - 1}), i -> array_join(slice(toks, i, $n), ' '))")
+      ).otherwise(array().cast("array<string>"))
+    val big = base
+      .select(col("doc_id"), explode(grams(2)).as("g"))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_bigram_n"), sum(col("c")).as("tot2"))
+    val tri = base
+      .select(col("doc_id"), explode(grams(3)).as("g"))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup3"), sum(col("c")).as("tot3"))
+    base
+      .join(big, Seq("doc_id"), "left")
+      .join(tri, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("dup_tok_frac"),
+        col("top_bigram_n"),
+        round(col("top_bigram_n").cast("double") / col("tot2"), 6).as("top_bigram_frac"),
+        round(col("dup3").cast("double") / col("tot3"), 6).as("dup_trigram_frac")
+      )
+      .orderBy(col("doc_id"))
+  }
+
+  // DuckDB slicing is inclusive (toks[i:i+1] = 2 elements), Spark's
+  // slice(toks, i, 2) matches; sums stay inside double divisions so
+  // DuckDB's HUGEINT sum widening never reaches the output schema.
+  private lazy val repetitionSql =
+    s"""WITH $tokCte,
+       |g2 AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(1, greatest(len(toks), 1)),
+       |                               i -> array_to_string(toks[i:i+1], ' '))) AS g
+       |  FROM tok
+       |), c2 AS (
+       |  SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2
+       |), s2 AS (
+       |  SELECT doc_id, max(c) AS top_bigram_n, sum(c) AS tot2 FROM c2 GROUP BY 1
+       |), g3 AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+       |                               i -> array_to_string(toks[i:i+2], ' '))) AS g
+       |  FROM tok
+       |), c3 AS (
+       |  SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2
+       |), s3 AS (
+       |  SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup3, sum(c) AS tot3
+       |  FROM c3 GROUP BY 1
+       |), base AS (
+       |  SELECT doc_id, len(toks) AS n_tokens,
+       |         round(CASE WHEN len(toks) > 0
+       |               THEN 1.0 - len(list_distinct(toks))::DOUBLE / len(toks) END, 6) AS dup_tok_frac
+       |  FROM tok
+       |)
+       |SELECT base.doc_id, n_tokens, dup_tok_frac, top_bigram_n,
+       |       round(top_bigram_n::DOUBLE / tot2, 6) AS top_bigram_frac,
+       |       round(dup3::DOUBLE / tot3, 6) AS dup_trigram_frac
+       |FROM base
+       |LEFT JOIN s2 ON s2.doc_id = base.doc_id
+       |LEFT JOIN s3 ON s3.doc_id = base.doc_id
+       |ORDER BY base.doc_id""".stripMargin
+
+  // ---- eval-set contamination screening ----------------------------
+
+  /** Train/eval contamination: the fraction of each training doc's
+    * distinct 3-gram shingles that also occur in the (broadcast-small)
+    * eval split. The eval shingle set is a broadcast semi-join — the
+    * 100 TB shape is a map-side bloom/semi filter, never a shuffle of
+    * the training corpus by shingle.
+    */
+  private def contamination(s: SparkSession, d: String): DataFrame = {
+    val sh =
+      Dedup.shingles(TestTables.documents(s, d), "doc_id", "text", 3).localCheckpoint(false)
+    val evalSh = sh.filter(col("doc_id") % 50 === 0).select("shingle").distinct()
+    val train = sh.filter(col("doc_id") % 50 =!= 0)
+    val sizes = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val overlap = train
+      .join(broadcast(evalSh), Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+    sizes
+      .join(overlap, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_overlap"))
+      .select(
+        col("doc_id"),
+        col("n_sh"),
+        col("n_overlap"),
+        round(col("n_overlap").cast("double") / col("n_sh"), 6).as("contamination"),
+        (col("n_overlap").cast("double") / col("n_sh") >= 0.1).as("contaminated")
+      )
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val contaminationSql =
+    s"""WITH $tokCte, $shCte,
+       |ev AS (
+       |  SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0
+       |), tr AS (
+       |  SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS n_sh FROM tr GROUP BY 1
+       |), ov AS (
+       |  SELECT doc_id, count(*) AS n_overlap FROM tr JOIN ev USING (shingle) GROUP BY 1
+       |)
+       |SELECT sizes.doc_id, n_sh, coalesce(n_overlap, 0) AS n_overlap,
+       |       round(coalesce(n_overlap, 0)::DOUBLE / n_sh, 6) AS contamination,
+       |       coalesce(n_overlap, 0)::DOUBLE / n_sh >= 0.1 AS contaminated
+       |FROM sizes
+       |LEFT JOIN ov ON ov.doc_id = sizes.doc_id
+       |ORDER BY sizes.doc_id""".stripMargin
+
+  // ---- stratified quota sampling (mixture construction) ------------
+
+  /** Deterministic 20% quota per language stratum: docs ranked by
+    * portable content hash within each stratum, top ceil(n/5) kept.
+    * The rank is a pure function of the key — the same mixture comes
+    * out on every engine, run and partitioning (complements
+    * ml.Sampling's rate-based splits with exact per-stratum quotas).
+    */
+  private def stratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("lang"))
+      .orderBy(PortableHash.md5num56(col("doc_id").cast("string")), col("doc_id"))
+    TestTables
+      .documents(s, d)
+      .select(col("lang"), col("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+      .filter(col("rk") <= expr("(n + 4) div 5"))
+      .select(col("lang"), col("doc_id"), col("rk"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  private lazy val stratifiedSampleSql =
+    s"""WITH r AS (
+       |  SELECT lang, doc_id,
+       |         row_number() OVER (
+       |           PARTITION BY lang
+       |           ORDER BY ${PortableHash.md5num56Sql("doc_id::VARCHAR")}, doc_id) AS rk,
+       |         count(*) OVER (PARTITION BY lang) AS n
+       |  FROM documents
+       |)
+       |SELECT lang, doc_id, rk FROM r
+       |WHERE rk <= (n + 4) // 5
+       |ORDER BY lang, rk""".stripMargin
+
+  // ---- per-language heavy hitters (corpus profiling) ---------------
+
+  /** Top-5 tokens per language by exact count (ties broken by token).
+    * Two-level aggregate: map-side combine on (lang, tok), then a tiny
+    * per-lang top-k window. At 100 TB the exact form is still one
+    * shuffle of the (lang, tok) partial counts; when even that is too
+    * wide, the drop-in is a count-min/approx_count sketch per
+    * partition — same output contract.
+    */
+  private def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    val counts = TestTables
+      .documents(s, d)
+      .select(col("lang"), explode(TextStats.tokens(col("text"))).as("tok"))
+      .groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("tok"))
+    counts
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("lang"), col("rk"), col("tok"), col("n"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  private lazy val heavyHittersSql =
+    s"""WITH $tokCte,
+       |t AS (
+       |  SELECT lang, unnest(toks) AS tok FROM tok
+       |), c AS (
+       |  SELECT lang, tok, count(*) AS n FROM t GROUP BY 1, 2
+       |), r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rk FROM c
+       |)
+       |SELECT lang, rk, tok, n FROM r WHERE rk <= 5
+       |ORDER BY lang, rk""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_dedup_clusters", dedupClusters, Some(dedupClustersSql), headline = true),
+    QueryDef("q_repetition", repetition, Some(repetitionSql)),
+    QueryDef("q_contamination", contamination, Some(contaminationSql)),
+    QueryDef("q_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
+    QueryDef("q_heavy_hitters", heavyHitters, Some(heavyHittersSql))
+  )
+}

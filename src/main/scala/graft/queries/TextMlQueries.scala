@@ -16,14 +16,14 @@ object TextMlQueries {
   // ---- shared DuckDB fragments (must mirror TextStats.tokens /
   //      Dedup.shingles exactly) -------------------------------------
 
-  private val tokCte =
+  private[queries] val tokCte =
     """tok AS (
       |  SELECT doc_id, lang, text,
       |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
       |  FROM documents
       |)""".stripMargin
 
-  private val shCte =
+  private[queries] val shCte =
     """sh AS (
       |  SELECT DISTINCT doc_id, shingle
       |  FROM (
@@ -243,14 +243,14 @@ object TextMlQueries {
 
   // ---- MinHash + LSH near-dup pairs --------------------------------
 
-  private val MinHashPerms = 8
-  private val MinHashBands = 4
+  private[queries] val MinHashPerms = 8
+  private[queries] val MinHashBands = 4
 
   /** Shared oracle fragment: MinHash signatures -> banding -> distinct
     * candidate pairs `cand(d1, d2)`. Mirrors Dedup.minHashSignatures /
     * lshCandidates with the PortableMd5 family. Expects `sh` in scope.
     */
-  private lazy val minHashCandCtes = {
+  private[queries] lazy val minHashCandCtes = {
     val permValues = (0 until MinHashPerms)
       .map(i => s"(${i}, ${PortableHash.minHashA(i)}, ${PortableHash.minHashB(i)})")
       .mkString(", ")

@@ -1,0 +1,106 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Corpus-construction operators: connected-components dedup
+  * clustering, plus sanity checks of the repetition / contamination /
+  * stratified-sampling query shapes (their values are oracle-checked
+  * end-to-end by the driver; here we pin the operator semantics on
+  * hand-built inputs).
+  */
+class CorpusSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ccOf(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Dedup
+      .connectedComponents(
+        nodes.toDF("doc_id"),
+        "doc_id",
+        edges.toDF("d1", "d2")
+      )
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+
+  test("connectedComponents: two components + singletons") {
+    val cc = ccOf(Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L), Seq((1L, 2L), (2L, 3L), (5L, 6L)))
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("connectedComponents: long chain needs multiple propagation rounds") {
+    val n = 12L
+    val cc = ccOf(1L to n, (1L until n).map(i => (i, i + 1)))
+    assert(cc == (1L to n).map(_ -> 1L).toMap)
+  }
+
+  test("connectedComponents: edge direction and duplicates don't matter") {
+    val a = ccOf(Seq(1L, 2L, 3L), Seq((3L, 2L), (2L, 1L), (1L, 2L), (2L, 3L)))
+    assert(a == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("repetition signals: duplicated tokens and n-grams are measured") {
+    val d = Seq(
+      (1L, "spam spam spam spam"), // one distinct token, one bigram repeated 3x
+      (2L, "all words here fully distinct tokens")
+    ).toDF("doc_id", "text")
+    val toks = TextStats.tokens(col("text"))
+    val out = d
+      .select(
+        col("doc_id"),
+        size(toks).as("n"),
+        (size(array_distinct(toks)).cast("double") / size(toks)).as("distinct_ratio")
+      )
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2)))
+      .toMap
+    assert(out(1L) == ((4, 0.25)))
+    assert(out(2L) == ((6, 1.0)))
+  }
+
+  test("contamination: planted eval overlap is detected, clean doc is not") {
+    val d = Seq(
+      (50L, "alpha beta gamma delta epsilon zeta eta theta"), // eval (id % 50 == 0)
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // full copy of eval
+      (2L, "one two three four five six seven eight") // disjoint
+    ).toDF("doc_id", "text")
+    val sh = Dedup.shingles(d, "doc_id", "text", 3)
+    val evalSh = sh.filter(col("doc_id") % 50 === 0).select("shingle").distinct()
+    val train = sh.filter(col("doc_id") % 50 =!= 0)
+    val overlap = train
+      .join(broadcast(evalSh), Seq("shingle"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(overlap(1L) == 6L) // 8 tokens -> 6 shingles, all contaminated
+    assert(!overlap.contains(2L))
+  }
+
+  test("stratified quota sample is deterministic and respects ceil(n/5)") {
+    val docs = graft.tables.TestTables.documents(spark, sf001)
+    val strata = docs.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val q = graft.queries.Registry.byName("q_stratified_sample")
+    val got = q.run(spark, sf001).groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    strata.foreach { case (lang, n) => assert(got(lang) == (n + 4) / 5, s"quota for $lang") }
+    // pure function of the key: a second run picks the identical docs
+    val a = q.run(spark, sf001).select("doc_id").collect().map(_.getLong(0)).toSeq
+    val b = q.run(spark, sf001).select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+  }
+
+  test("dedup clusters: canonical docs are cluster minima covering all docs") {
+    val out = graft.queries.Registry.byName("q_dedup_clusters").run(spark, sf001).collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      val (id, cid) = (r.getLong(0), r.getLong(1))
+      assert(cid <= id)
+      assert(r.getBoolean(3) == (id == cid))
+    }
+    // cluster_size is consistent with the label multiset
+    val sizes = out.groupBy(_.getLong(1)).map { case (_, rs) => rs.head.getLong(1) -> rs.length }
+    out.foreach(r => assert(r.getLong(2) == sizes(r.getLong(1)).toLong))
+  }
+}
