@@ -198,6 +198,67 @@ object Dedup {
   /** Hamming distance between two 56-bit SimHashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Incremental near-dup screening: flag each INCOMING doc that sits
+    * within `maxHamming` SimHash bits of any EXISTING doc, reporting
+    * the closest existing match (ties toward the lower id).
+    *
+    * Band-indexed lookup, the production shape for "dedup a new crawl
+    * batch against the corpus": the 56-bit signature splits into 7
+    * 8-bit bands; two hashes within Hamming distance 6 must agree on
+    * at least one band (pigeonhole), so the equi-join on (band, value)
+    * is a recall-guaranteed candidate filter. At 100 TB the existing
+    * side's band index is precomputed and stored bucketed by
+    * (band, value) — each new batch shuffles only itself; nothing
+    * rescans the corpus.
+    */
+  def simHashIncremental(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      incomingPred: Column,
+      maxHamming: Int = 6
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxHamming <= 6, "7x8-bit banding guarantees recall only to Hamming 6")
+    // one row per doc — small enough to materialize once for both legs
+    val sims = simHash(docs, idCol, textCol).localCheckpoint(false)
+    val bandCols = (0 until 7).map { b =>
+      struct(lit(b).as("band"), shiftright(col("simhash"), b * 8).bitwiseAND(255).as("bv"))
+    }
+    val banded = sims
+      .select(col(idCol), col("simhash"), explode(array(bandCols: _*)).as("bk"))
+      .select(col(idCol), col("simhash"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+    val inc = banded
+      .filter(incomingPred)
+      .select(col(idCol).as("in_id"), col("simhash").as("in_h"), col("band"), col("bv"))
+    val ex = banded
+      .filter(!incomingPred)
+      .select(col(idCol).as("ex_id"), col("simhash").as("ex_h"), col("band"), col("bv"))
+    val cand = inc
+      .join(ex, Seq("band", "bv"))
+      .select("in_id", "in_h", "ex_id", "ex_h")
+      .distinct()
+      .withColumn("hamming", hamming(col("in_h"), col("ex_h")))
+      .filter(col("hamming") <= maxHamming)
+    val best = cand
+      .withColumn(
+        "rk",
+        row_number().over(Window.partitionBy(col("in_id")).orderBy(col("hamming"), col("ex_id")))
+      )
+      .filter(col("rk") === 1)
+      .select(col("in_id").as(idCol), col("ex_id").as("dup_of"), col("hamming"))
+    sims
+      .filter(incomingPred)
+      .select(col(idCol))
+      .join(best, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("dup_of").isNotNull.as("is_dup"),
+        col("dup_of"),
+        col("hamming")
+      )
+  }
+
   /** Connected components over an undirected near-dup pair set:
     * every node's `cluster_id` becomes the minimum node id reachable
     * through the pairs (so each dup cluster keeps exactly one

@@ -292,11 +292,85 @@ object CorpusQueries {
        |SELECT lang, rk, tok, n FROM r WHERE rk <= 5
        |ORDER BY lang, rk""".stripMargin
 
+  // ---- incremental batch dedup (SimHash band index) ----------------
+
+  /** New-batch-vs-corpus near-dup screening: incoming docs
+    * (doc_id % 3 == 0) checked against the existing corpus via the
+    * 7x8-bit SimHash band index; closest existing match within
+    * Hamming 6 wins (ties toward the lower id).
+    */
+  private def incrementalDedup(s: SparkSession, d: String): DataFrame =
+    Dedup
+      .simHashIncremental(
+        TestTables.documents(s, d),
+        "doc_id",
+        "text",
+        incomingPred = col("doc_id") % 3 === 0,
+        maxHamming = 6
+      )
+      .orderBy(col("doc_id"))
+
+  private lazy val incrementalDedupSql =
+    s"""WITH $tokCte,
+       |${TextMlQueries.simCte},
+       |banded AS (
+       |  SELECT doc_id, simhash, b AS band, (simhash >> (b * 8)) & 255 AS bv
+       |  FROM sim, LATERAL (SELECT unnest(range(0, 7)) AS b)
+       |), cand AS (
+       |  SELECT DISTINCT i.doc_id AS in_id, i.simhash AS in_h, e.doc_id AS ex_id, e.simhash AS ex_h
+       |  FROM banded i
+       |  JOIN banded e ON i.band = e.band AND i.bv = e.bv
+       |  WHERE i.doc_id % 3 = 0 AND e.doc_id % 3 <> 0
+       |), ham AS (
+       |  SELECT in_id, ex_id, CAST(bit_count(xor(in_h, ex_h)) AS INT) AS hamming
+       |  FROM cand
+       |  WHERE bit_count(xor(in_h, ex_h)) <= 6
+       |), best AS (
+       |  SELECT in_id, ex_id, hamming,
+       |         row_number() OVER (PARTITION BY in_id ORDER BY hamming, ex_id) AS rk
+       |  FROM ham
+       |)
+       |SELECT sim.doc_id, b.ex_id IS NOT NULL AS is_dup, b.ex_id AS dup_of, b.hamming
+       |FROM sim
+       |LEFT JOIN (SELECT in_id, ex_id, hamming FROM best WHERE rk = 1) b
+       |  ON b.in_id = sim.doc_id
+       |WHERE sim.doc_id % 3 = 0
+       |ORDER BY sim.doc_id""".stripMargin
+
+  // ---- int8 embedding quantization ---------------------------------
+
+  private def embedQuantize(s: SparkSession, d: String): DataFrame =
+    graft.ml.Quantize
+      .int8(TestTables.embeddings(s, d), "vec_id", "embedding")
+      .orderBy(col("vec_id"))
+
+  // every step is elementwise IEEE arithmetic (max / divide / floor) —
+  // bit-identical cross-engine, so scale and linf_err ship unrounded.
+  private lazy val embedQuantizeSql =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), s AS (
+       |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e
+       |), q AS (
+       |  SELECT vec_id, v, scale,
+       |         CASE WHEN scale = 0.0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+       |              ELSE list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) END AS codes
+       |  FROM s
+       |)
+       |SELECT vec_id, scale,
+       |       CAST(len(list_filter(codes, c -> abs(c) = 127)) AS INT) AS n_sat,
+       |       list_max(list_transform(range(1, len(v) + 1), i -> abs(v[i] - codes[i] * scale))) AS linf_err,
+       |       ${PortableHash.md5num56Sql("array_to_string(codes, ',')")} AS code_checksum
+       |FROM q
+       |ORDER BY vec_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_dedup_clusters", dedupClusters, Some(dedupClustersSql), headline = true),
     QueryDef("q_repetition", repetition, Some(repetitionSql)),
     QueryDef("q_contamination", contamination, Some(contaminationSql)),
     QueryDef("q_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
-    QueryDef("q_heavy_hitters", heavyHitters, Some(heavyHittersSql))
+    QueryDef("q_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
+    QueryDef("q_incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
+    QueryDef("q_embed_quantize", embedQuantize, Some(embedQuantizeSql))
   )
 }

@@ -323,25 +323,34 @@ object TextMlQueries {
       .simHash(TestTables.documents(s, d), "doc_id", "text")
       .orderBy(col("doc_id"))
 
-  private val simHashSql = {
+  /** Shared oracle fragment: per-doc 56-bit SimHash as `sim(doc_id,
+    * simhash)`. Mirrors Dedup.simHash (md5 family). Expects `tok` in
+    * scope.
+    */
+  private[queries] lazy val simCte = {
     val votes = (0 until 56)
       .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
       .mkString(",\n         ")
     val hash = (0 until 56)
       .map(j => s"CASE WHEN v$j > 0 THEN (1::BIGINT << $j) ELSE 0 END")
       .mkString(" + ")
-    s"""WITH $tokCte,
-       |toked AS (
+    s"""toked AS (
        |  SELECT doc_id, ${PortableHash.md5num56Sql("unnest(toks)")} AS h FROM tok
        |), votes AS (
        |  SELECT doc_id,
        |         $votes
        |  FROM toked GROUP BY doc_id
-       |)
-       |SELECT doc_id, $hash AS simhash
-       |FROM votes
-       |ORDER BY doc_id""".stripMargin
+       |), sim AS (
+       |  SELECT doc_id, $hash AS simhash FROM votes
+       |)""".stripMargin
   }
+
+  private lazy val simHashSql =
+    s"""WITH $tokCte,
+       |$simCte
+       |SELECT doc_id, simhash
+       |FROM sim
+       |ORDER BY doc_id""".stripMargin
 
   // ---- similarity search -------------------------------------------
 

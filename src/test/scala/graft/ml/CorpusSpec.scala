@@ -91,6 +91,38 @@ class CorpusSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("simHashIncremental: planted near-dup found, disjoint doc clean") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    val d = Seq(
+      (1L, base), // existing
+      (2L, "one two three four five six seven eight nine ten " * 5), // existing, disjoint
+      (3L, base), // incoming: exact copy of doc 1 (Hamming 0)
+      (6L, "completely different unrelated vocabulary entirely elsewhere " * 5) // incoming, clean
+    ).toDF("doc_id", "text")
+    val out = Dedup
+      .simHashIncremental(d, "doc_id", "text", col("doc_id") % 3 === 0, maxHamming = 6)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toMap
+    assert(out(3L) == ((true, 1L)))
+    assert(out(6L) == ((false, -1L)))
+  }
+
+  test("Quantize.int8: codes reconstruct within scale/2, zero vector safe") {
+    val d = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 127.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val rows = Quantize.int8(d, "vec_id", "embedding").collect()
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    val r1 = byId(1L)
+    assert(math.abs(r1.getDouble(1) - 1.0) < 1e-12) // scale = 127/127
+    assert(r1.getInt(2) == 1) // only the 127.0 element saturates
+    assert(r1.getDouble(3) <= r1.getDouble(1) / 2 + 1e-12) // linf <= scale/2
+    val r2 = byId(2L)
+    assert(r2.getDouble(1) == 0.0 && r2.getDouble(3) == 0.0)
+  }
+
   test("dedup clusters: canonical docs are cluster minima covering all docs") {
     val out = graft.queries.Registry.byName("q_dedup_clusters").run(spark, sf001).collect()
     assert(out.length == 500)
