@@ -182,11 +182,19 @@ object Dedup {
     * is positive. Near-dup docs land within small Hamming distance.
     */
   def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // aggregate to (doc, token, count) BEFORE hashing: the md5 digest
+    // + hex conversion is the expensive projection, so run it once per
+    // distinct (doc, token) instead of once per token instance, and
+    // weight the bit votes by the count — algebraically identical
+    // (sum of per-instance +/-1 = +/-count), same simhash out.
     val toksDf = docs
       .select(col(idCol), explode(TextStats.tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
       .withColumn("h", PortableHash.md5num56(col("tok")))
     val bitVotes = (0 until 56).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$j")
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, col("cnt")).otherwise(-col("cnt")))
+        .as(s"v$j")
     }
     val voted = toksDf.groupBy(col(idCol)).agg(bitVotes.head, bitVotes.tail: _*)
     val hash = (0 until 56)
@@ -234,12 +242,16 @@ object Dedup {
     val ex = banded
       .filter(!incomingPred)
       .select(col(idCol).as("ex_id"), col("simhash").as("ex_h"), col("band"), col("bv"))
+    // hamming is a cheap xor+popcount projection: filter BEFORE the
+    // pair distinct so only true near-dups ride that shuffle (docs
+    // sharing several bands are exactly the near-dups, so the
+    // pre-distinct stream is where the duplication concentrates)
     val cand = inc
       .join(ex, Seq("band", "bv"))
-      .select("in_id", "in_h", "ex_id", "ex_h")
-      .distinct()
       .withColumn("hamming", hamming(col("in_h"), col("ex_h")))
       .filter(col("hamming") <= maxHamming)
+      .select("in_id", "ex_id", "hamming")
+      .distinct()
     val best = cand
       .withColumn(
         "rk",
@@ -289,8 +301,14 @@ object Dedup {
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
       .distinct()
       .localCheckpoint(false)
-    var labels = nodes
-      .select(col(idCol).as("node"), col(idCol).as("cluster_id"))
+    // iterate ONLY over nodes that appear in a pair — singletons can
+    // never change label, so they skip the loop and re-attach at the
+    // end. In a near-dup workload the pair-participating set is a
+    // small fraction of the corpus, so the per-round frames stay tiny.
+    var labels = sym
+      .select(col("src").as("node"))
+      .distinct()
+      .withColumn("cluster_id", col("node"))
       .localCheckpoint(false)
     var changed = 1L
     var iter = 0
@@ -302,21 +320,27 @@ object Dedup {
         )
         .groupBy(col("src").as("node"))
         .agg(min(col("nlabel")).as("nmin"))
+      // one materialization serves both the label update and the
+      // convergence check (the previous label rides along as __old)
       val next = labels
         .join(neighborMin, Seq("node"), "left")
         .select(
           col("node"),
-          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id")
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"),
+          col("cluster_id").as("__old")
         )
         .localCheckpoint(false)
-      changed = next
-        .join(labels.select(col("node"), col("cluster_id").as("old")), Seq("node"))
-        .filter(col("cluster_id") < col("old"))
-        .count()
-      labels = next
+      changed = next.filter(col("cluster_id") < col("__old")).count()
+      labels = next.drop("__old")
       iter += 1
     }
-    labels.select(col("node").as(idCol), col("cluster_id"))
+    nodes
+      .select(col(idCol).as("node"))
+      .join(labels, Seq("node"), "left")
+      .select(
+        col("node").as(idCol),
+        coalesce(col("cluster_id"), col("node")).as("cluster_id")
+      )
   }
 
   /** Production SimHash: the native one-pass Catalyst expression

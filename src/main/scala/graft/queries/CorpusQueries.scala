@@ -364,6 +364,101 @@ object CorpusQueries {
        |FROM q
        |ORDER BY vec_id""".stripMargin
 
+  // ---- per-source corpus profile (exact rank-selected quantiles) ---
+
+  /** Per-source document profile with EXACT p50/p90 length quantiles
+    * selected by rank (ceil(q*n)-th order statistic) — the portable,
+    * hash-checkable face of `approx_percentile`: same two-step shape
+    * (one shuffle on the group key, tiny per-group selection), swap in
+    * the t-digest/KLL sketch when a group's rows don't fit a
+    * partition.
+    */
+  private def sourceProfile(s: SparkSession, d: String): DataFrame = {
+    val docs = TestTables.documents(s, d).select(col("source"), col("doc_id"), col("n_chars"))
+    val ranked = docs
+      .withColumn(
+        "rk",
+        row_number().over(Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id")))
+      )
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+    val p50 = ranked.filter(col("rk") === expr("(n + 1) div 2")).select(col("source"), col("n_chars").as("p50_chars"))
+    val p90 = ranked.filter(col("rk") === expr("(9 * n + 9) div 10")).select(col("source"), col("n_chars").as("p90_chars"))
+    docs
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .join(p50, Seq("source"))
+      .join(p90, Seq("source"))
+      .orderBy(col("source"))
+  }
+
+  private lazy val sourceProfileSql =
+    """WITH ranked AS (
+      |  SELECT source, n_chars,
+      |         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rk,
+      |         count(*) OVER (PARTITION BY source) AS n
+      |  FROM documents
+      |), agg AS (
+      |  SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |  FROM documents GROUP BY 1
+      |)
+      |SELECT agg.source, n_docs, total_chars,
+      |       p50.n_chars AS p50_chars, p90.n_chars AS p90_chars
+      |FROM agg
+      |JOIN (SELECT source, n_chars FROM ranked WHERE rk = (n + 1) // 2) p50 ON p50.source = agg.source
+      |JOIN (SELECT source, n_chars FROM ranked WHERE rk = (9 * n + 9) // 10) p90 ON p90.source = agg.source
+      |ORDER BY agg.source""".stripMargin
+
+  // ---- TF-IDF distinctive terms ------------------------------------
+
+  /** Top-3 distinctive tokens per doc ranked by tf/df (corpus size N
+    * is constant per corpus so it drops out of the ranking; no log —
+    * libm rounding differs across engines, a single division doesn't).
+    * Two aggregates on (doc, token) and (token), both with map-side
+    * combine; the df side is dimension-sized and broadcast.
+    */
+  private def tfidf(s: SparkSession, d: String): DataFrame = {
+    val tf = TestTables
+      .documents(s, d)
+      .select(col("doc_id"), explode(TextStats.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = Window
+      .partitionBy(col("doc_id"))
+      .orderBy((col("tf").cast("double") / col("df")).desc, col("tok"))
+    tf.join(broadcast(df), Seq("tok"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(
+        col("doc_id"),
+        col("rk"),
+        col("tok"),
+        col("tf"),
+        col("df"),
+        round(col("tf").cast("double") / col("df"), 6).as("score")
+      )
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  private lazy val tfidfSql =
+    s"""WITH $tokCte,
+       |tf AS (
+       |  SELECT doc_id, tok, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(toks) AS tok FROM tok)
+       |  GROUP BY 1, 2
+       |), df AS (
+       |  SELECT tok, count(*) AS df FROM tf GROUP BY 1
+       |), r AS (
+       |  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+       |         row_number() OVER (
+       |           PARTITION BY tf.doc_id
+       |           ORDER BY tf.tf::DOUBLE / df.df DESC, tf.tok) AS rk
+       |  FROM tf JOIN df ON df.tok = tf.tok
+       |)
+       |SELECT doc_id, rk, tok, tf, df, round(tf::DOUBLE / df, 6) AS score
+       |FROM r WHERE rk <= 3
+       |ORDER BY doc_id, rk""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_dedup_clusters", dedupClusters, Some(dedupClustersSql), headline = true),
     QueryDef("q_repetition", repetition, Some(repetitionSql)),
@@ -371,6 +466,8 @@ object CorpusQueries {
     QueryDef("q_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     QueryDef("q_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     QueryDef("q_incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
-    QueryDef("q_embed_quantize", embedQuantize, Some(embedQuantizeSql))
+    QueryDef("q_embed_quantize", embedQuantize, Some(embedQuantizeSql)),
+    QueryDef("q_source_profile", sourceProfile, Some(sourceProfileSql)),
+    QueryDef("q_tfidf", tfidf, Some(tfidfSql))
   )
 }

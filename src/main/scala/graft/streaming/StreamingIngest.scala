@@ -97,6 +97,37 @@ object StreamingIngest {
       }
   }
 
+  /** One streamed document row (fingerprint = the portable 56-bit
+    * normalized-content hash, computed upstream at scan time).
+    */
+  final case class Doc(doc_id: Long, fingerprint: Long)
+
+  /** Streaming corpus dedup: the cross-batch face of exact/fingerprint
+    * deduplication — the FIRST doc carrying a fingerprint is emitted
+    * (ties within a micro-batch break toward the lower doc_id), every
+    * later arrival is dropped. State per fingerprint is one long (the
+    * canonical doc_id), sharded by the fingerprint key — the streaming
+    * twin of `ml.Dedup`'s batch hash-groupBy, for continuous crawl
+    * ingestion where re-running batch dedup over the full corpus per
+    * increment would rescan everything.
+    */
+  def dedupeByFingerprint(stream: DataFrame): org.apache.spark.sql.Dataset[Doc] = {
+    import stream.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    stream
+      .as[Doc]
+      .groupByKey(_.fingerprint)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[Doc], state: GroupState[Long]) =>
+          if (state.exists) Iterator.empty
+          else {
+            val first = rows.minBy(_.doc_id)
+            state.update(first.doc_id)
+            Iterator.single(first)
+          }
+      }
+  }
+
   /** Watermarked tumbling daily mean per series over a streaming
     * frame with (timeseries_id, datetime, value).
     */

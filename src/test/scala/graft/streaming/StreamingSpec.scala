@@ -70,6 +70,38 @@ class StreamingSpec extends SparkSpec {
     assert(vals == List(1.0, 2.0, 3.0)) // the replayed 02:00 was dropped
   }
 
+  test("dedupeByFingerprint drops cross-batch duplicate docs, keeps first") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("stream5").toString
+    val src = s"$base/src"; val cp = s"$base/cp"; val sink = s"$base/sink"
+    new java.io.File(src).mkdirs()
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("fingerprint", LongType)
+    ))
+    def run(): Unit = {
+      val q = StreamingIngest
+        .dedupeByFingerprint(spark.readStream.schema(schema).parquet(src))
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+    // batch 1: fp 100 arrives twice in one batch (lower id wins), fp 200 once
+    Seq((7L, 100L), (3L, 100L), (4L, 200L)).toDF("doc_id", "fingerprint").write.mode("append").parquet(src)
+    run()
+    val first = spark.read.parquet(sink).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(first == Set((3L, 100L), (4L, 200L)))
+    // batch 2: fp 100 replays with a NEW id (dropped), fp 300 is fresh
+    Seq((9L, 100L), (5L, 300L)).toDF("doc_id", "fingerprint").write.mode("append").parquet(src)
+    run()
+    val all = spark.read.parquet(sink).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all == Set((3L, 100L), (4L, 200L), (5L, 300L)))
+  }
+
   test("windowedDaily aggregates a stream into daily means") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("stream2").toString
