@@ -459,6 +459,121 @@ object CorpusQueries {
        |FROM r WHERE rk <= 3
        |ORDER BY doc_id, rk""".stripMargin
 
+  // ---- document chunking (context-window splits) -------------------
+
+  /** Split each doc into 50-token chunks with 10-token overlap
+    * (stride 40) — the context-window preprocessing step before
+    * packing. Pure array projection + explode: no shuffle at all; the
+    * chunk checksum makes the exact chunk contents hash-checkable
+    * without shipping the text twice.
+    */
+  private def docChunks(s: SparkSession, d: String): DataFrame =
+    TestTables
+      .documents(s, d)
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        col("toks"),
+        explode(
+          when(size(col("toks")) > 0, expr("sequence(1, size(toks), 40)"))
+            .otherwise(array().cast("array<int>"))
+        ).as("start")
+      )
+      .select(
+        col("doc_id"),
+        ((col("start") - 1) / 40).cast("int").as("chunk_no"),
+        size(expr("slice(toks, start, 50)")).as("chunk_len"),
+        PortableHash.md5num56(expr("array_join(slice(toks, start, 50), ' ')")).as("chunk_checksum")
+      )
+      .orderBy(col("doc_id"), col("chunk_no"))
+
+  private lazy val docChunksSql =
+    s"""WITH $tokCte,
+       |st AS (
+       |  SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 40)) AS start
+       |  FROM tok WHERE len(toks) > 0
+       |)
+       |SELECT doc_id,
+       |       CAST((start - 1) // 40 AS INT) AS chunk_no,
+       |       len(toks[start:start+49]) AS chunk_len,
+       |       ${PortableHash.md5num56Sql("array_to_string(toks[start:start+49], ' ')")} AS chunk_checksum
+       |FROM st
+       |ORDER BY doc_id, chunk_no""".stripMargin
+
+  // ---- deterministic sequence packing (token-budget bins) ----------
+
+  /** Pack docs into 4096-BPE-token training bins: docs are sharded by
+    * portable hash (8 shards), deterministically ordered within the
+    * shard, and binned by the running token count BEFORE each doc
+    * (prefix-sum bucketing). Everything is per-shard windows — no
+    * global sort: at 100 TB each shard's packing runs independently
+    * after one shuffle on the shard key, which is exactly how training
+    * shards are written.
+    */
+  private def seqPacking(s: SparkSession, d: String): DataFrame = {
+    val docs = TestTables
+      .documents(s, d)
+      .select(
+        col("doc_id"),
+        TextStats.bpeishTokenCount(col("text")).as("n_bpe"),
+        pmod(PortableHash.md5num56(col("doc_id").cast("string")), lit(8)).as("shard"),
+        PortableHash.md5num56(col("doc_id").cast("string")).as("h")
+      )
+    val order = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    val before = sum(col("n_bpe")).over(order.rowsBetween(Window.unboundedPreceding, -1))
+    docs
+      .withColumn("tokens_before", coalesce(before, lit(0L)))
+      .withColumn("bin", (col("tokens_before") / 4096).cast("bigint"))
+      .withColumn("pos", row_number().over(Window.partitionBy(col("shard"), col("bin")).orderBy(col("h"), col("doc_id"))))
+      .select(col("shard"), col("bin"), col("pos"), col("doc_id"), col("n_bpe"))
+      .orderBy(col("shard"), col("bin"), col("pos"))
+  }
+
+  private lazy val seqPackingSql = {
+    val pat = TextStats.BpeishPattern.replace("'", "''")
+    val h = PortableHash.md5num56Sql("doc_id::VARCHAR")
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |         len(regexp_extract_all(lower(text), '$pat')) AS n_bpe,
+       |         $h % 8 AS shard, $h AS h
+       |  FROM documents
+       |), cum AS (
+       |  SELECT *,
+       |         coalesce(sum(n_bpe) OVER (
+       |           PARTITION BY shard ORDER BY h, doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+       |  FROM base
+       |)
+       |SELECT shard, CAST(tokens_before // 4096 AS BIGINT) AS bin,
+       |       CAST(row_number() OVER (
+       |         PARTITION BY shard, tokens_before // 4096 ORDER BY h, doc_id) AS BIGINT) AS pos,
+       |       doc_id, n_bpe
+       |FROM cum
+       |ORDER BY shard, bin, pos""".stripMargin
+  }
+
+  // ---- distinct-token profile (exact; sketch path in spec) ---------
+
+  /** Exact per-language distinct token count — the oracle-checkable
+    * counterpart of the sketch path (`approx_count_distinct` HLL++,
+    * asserted within tolerance in CorpusSpec) a 100 TB profile would
+    * use when the distinct set no longer fits a shuffle.
+    */
+  private def distinctTokens(s: SparkSession, d: String): DataFrame =
+    TestTables
+      .documents(s, d)
+      .select(col("lang"), explode(TextStats.tokens(col("text"))).as("tok"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("tok")).as("n_distinct"), count(lit(1)).as("n_total"))
+      .orderBy(col("lang"))
+
+  private lazy val distinctTokensSql =
+    s"""WITH $tokCte,
+       |t AS (SELECT lang, unnest(toks) AS tok FROM tok)
+       |SELECT lang, count(DISTINCT tok) AS n_distinct, count(*) AS n_total
+       |FROM t GROUP BY lang
+       |ORDER BY lang""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_dedup_clusters", dedupClusters, Some(dedupClustersSql), headline = true),
     QueryDef("q_repetition", repetition, Some(repetitionSql)),
@@ -468,6 +583,9 @@ object CorpusQueries {
     QueryDef("q_incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
     QueryDef("q_embed_quantize", embedQuantize, Some(embedQuantizeSql)),
     QueryDef("q_source_profile", sourceProfile, Some(sourceProfileSql)),
-    QueryDef("q_tfidf", tfidf, Some(tfidfSql))
+    QueryDef("q_tfidf", tfidf, Some(tfidfSql)),
+    QueryDef("q_doc_chunks", docChunks, Some(docChunksSql)),
+    QueryDef("q_seq_packing", seqPacking, Some(seqPackingSql)),
+    QueryDef("q_distinct_tokens", distinctTokens, Some(distinctTokensSql))
   )
 }

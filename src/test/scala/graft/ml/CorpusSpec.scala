@@ -123,6 +123,51 @@ class CorpusSpec extends SparkSpec {
     assert(r2.getDouble(1) == 0.0 && r2.getDouble(3) == 0.0)
   }
 
+  test("doc chunks: stride-40 windows of 50 cover every token, checksums stable") {
+    val out = graft.queries.Registry
+      .byName("q_doc_chunks")
+      .run(spark, sf001)
+      .collect()
+    // every doc chunked; chunk 0 exists for each; only the last chunk
+    // of a doc may be short
+    val byDoc = out.groupBy(_.getLong(0))
+    assert(byDoc.size == 500)
+    byDoc.values.foreach { chunks =>
+      val sorted = chunks.sortBy(_.getInt(1))
+      assert(sorted.head.getInt(1) == 0)
+      // stride 40 < size 50: a non-terminal chunk can truncate at the
+      // doc end but still leaves >= 41 tokens (the next start exists)
+      sorted.init.foreach(c => assert(c.getInt(2) >= 41 && c.getInt(2) <= 50))
+    }
+  }
+
+  test("seq packing: bins respect the 4096-token budget prefix rule") {
+    val out = graft.queries.Registry
+      .byName("q_seq_packing")
+      .run(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getInt(4)))
+    assert(out.length == 500)
+    // within each (shard, bin), the running sum of all but the last doc
+    // stays under the budget (prefix-sum bucketing invariant)
+    out.groupBy(t => (t._1, t._2)).values.foreach { docs =>
+      val tokens = docs.sortBy(_._3).map(_._5.toLong)
+      assert(tokens.init.sum < 4096L)
+    }
+  }
+
+  test("distinct tokens: HLL sketch path lands within tolerance of the exact path") {
+    val docs = graft.tables.TestTables.documents(spark, sf001)
+    val toks = docs.select(col("lang"), explode(TextStats.tokens(col("text"))).as("tok"))
+    val exact = toks.groupBy("lang").agg(countDistinct(col("tok")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = toks.groupBy("lang").agg(approx_count_distinct(col("tok"), 0.05).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (lang, n) =>
+      assert(math.abs(approx(lang) - n) <= math.max(2L, (n * 0.15).toLong), s"$lang: $n vs ${approx(lang)}")
+    }
+  }
+
   test("dedup clusters: canonical docs are cluster minima covering all docs") {
     val out = graft.queries.Registry.byName("q_dedup_clusters").run(spark, sf001).collect()
     assert(out.length == 500)
