@@ -259,7 +259,10 @@ object Dedup {
       )
       .filter(col("rk") === 1)
       .select(col("in_id").as(idCol), col("ex_id").as("dup_of"), col("hamming"))
-    sims
+    // left-join from the FULL incoming doc set, not the simhash frame:
+    // a doc whose text tokenizes to empty has no simhash rows (the
+    // explode emits nothing) but must still surface with is_dup=false
+    docs
       .filter(incomingPred)
       .select(col(idCol))
       .join(best, Seq(idCol), "left")
@@ -277,70 +280,132 @@ object Dedup {
     * canonical representative — standard corpus-dedup clustering after
     * MinHash/SimHash pair generation).
     *
-    * Iterative min-label propagation: each round every node takes the
-    * min of its own label and its neighbors' labels; converges in
-    * O(graph diameter) rounds. Near-dup clusters are dense and
-    * shallow (dup groups, not long chains), so the diameter is small
-    * in practice; `localCheckpoint` truncates lineage each round so
-    * plans don't grow. Each round is one shuffle on the node id —
-    * at 100 TB the edge list is the small side (pairs above a high
-    * Jaccard threshold), so rounds stay cheap. For adversarial
-    * long-chain graphs swap the round body for alternating
-    * large-star/small-star (Kiveris et al., "Connected Components in
-    * MapReduce"), which converges in O(log n) rounds with identical
-    * output; the fixpoint loop here is the same driver shape.
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) —
+    * converges in O(log n) rounds on ANY graph shape, including
+    * adversarial long chains where plain min-label propagation needs
+    * O(diameter) rounds. Each round is two grouped-min shuffles over
+    * the CURRENT edge set only (singletons never enter the loop; the
+    * edge frame shrinks toward one star edge per non-root node), and
+    * `localCheckpoint` truncates lineage so plans don't grow. The
+    * convergence check rides the same action that materializes the
+    * round's checkpoint — an aggregate of (count, hash-sum) over the
+    * lazily-checkpointed frame — so each round is ONE job, not a
+    * materialize + a re-scan.
+    *
+    * Throws `IllegalStateException` if `maxIter` rounds don't reach the
+    * fixpoint (with O(log n) convergence the default 50 means a graph
+    * of ~2^50 pair-nodes — hitting it indicates a bug, and returning
+    * partially-propagated labels would silently violate the min-
+    * reachable-id contract).
+    *
+    * @param pairs  undirected edges; column names default to d1/d2,
+    *               override with srcCol/dstCol
     */
   def connectedComponents(
       nodes: DataFrame,
       idCol: String,
       pairs: DataFrame,
-      maxIter: Int = 50
-  ): DataFrame = {
-    val sym = pairs
-      .select(col("d1").as("src"), col("d2").as("dst"))
-      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      maxIter: Int = 50,
+      srcCol: String = "d1",
+      dstCol: String = "d2"
+  ): DataFrame =
+    connectedComponentsWithStats(nodes, idCol, pairs, maxIter, srcCol, dstCol)._1
+
+  /** [[connectedComponents]] plus the number of large/small-star
+    * rounds executed — lets specs assert the O(log n) bound.
+    */
+  def connectedComponentsWithStats(
+      nodes: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      maxIter: Int = 50,
+      srcCol: String = "d1",
+      dstCol: String = "d2"
+  ): (DataFrame, Int) = {
+    // canonical orientation (u > v), self-loops dropped; stars point
+    // from each node DOWN to the component minimum at the fixpoint
+    var edges = pairs
+      .select(
+        greatest(col(srcCol), col(dstCol)).as("u"),
+        least(col(srcCol), col(dstCol)).as("v")
+      )
+      .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(false)
-    // iterate ONLY over nodes that appear in a pair — singletons can
-    // never change label, so they skip the loop and re-attach at the
-    // end. In a near-dup workload the pair-participating set is a
-    // small fraction of the corpus, so the per-round frames stay tiny.
-    var labels = sym
-      .select(col("src").as("node"))
-      .distinct()
-      .withColumn("cluster_id", col("node"))
-      .localCheckpoint(false)
-    var changed = 1L
+
+    // large-star: every node u connects its LARGER neighbors to
+    // m = min(neighbors ∪ {u}); small-star: every node u connects its
+    // smaller-or-equal neighbors (and itself) to its min neighbor.
+    // Alternating the two halves the tree height per round.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym
+        .groupBy(col("u"))
+        .agg(min(col("v")).as("__mn"))
+        .select(col("u"), least(col("__mn"), col("u")).as("m"))
+      sym
+        .join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // canonical edges already have u > v, so min neighbor == m
+      val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val withM = e.join(mins, Seq("u"))
+      withM
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    // fingerprint(frame) = (row count, xor of row hashes): equal
+    // before/after a round ⇒ edge set unchanged (edges are distinct,
+    // so xor is a faithful set fingerprint) ⇒ fixpoint. Computed by
+    // ONE aggregate action on the lazily-checkpointed frame, which
+    // also materializes the checkpoint blocks — one job per round.
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val r = e.agg(
+          count(lit(1)).as("n"),
+          coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("hs")
+        )
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var fp = fingerprint(edges)
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      val neighborMin = sym
-        .join(
-          labels.select(col("node").as("dst"), col("cluster_id").as("nlabel")),
-          Seq("dst")
-        )
-        .groupBy(col("src").as("node"))
-        .agg(min(col("nlabel")).as("nmin"))
-      // one materialization serves both the label update and the
-      // convergence check (the previous label rides along as __old)
-      val next = labels
-        .join(neighborMin, Seq("node"), "left")
-        .select(
-          col("node"),
-          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"),
-          col("cluster_id").as("__old")
-        )
-        .localCheckpoint(false)
-      changed = next.filter(col("cluster_id") < col("__old")).count()
-      labels = next.drop("__old")
+    var converged = fp._1 == 0L
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
+      val nfp = fingerprint(next)
+      converged = nfp == fp
+      edges = next
+      fp = nfp
       iter += 1
     }
-    nodes
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter large/small-star rounds " +
+          "(O(log n) expected); refusing to return partially-propagated labels"
+      )
+
+    // fixpoint edges are stars (node -> component min); roots and
+    // singletons label themselves via the coalesce
+    val labels = edges.select(col("u").as("node"), col("v").as("cluster_id"))
+    val out = nodes
       .select(col(idCol).as("node"))
       .join(labels, Seq("node"), "left")
       .select(
         col("node").as(idCol),
         coalesce(col("cluster_id"), col("node")).as("cluster_id")
       )
+    (out, iter)
   }
 
   /** Production SimHash: the native one-pass Catalyst expression

@@ -203,7 +203,13 @@ object Similarity {
       .join(broadcast(queries), Seq("cluster"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", VectorOps.dot(col("q"), col("v")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    // deterministic-margin ranking: quantize the score to 4 decimals
+    // BEFORE ranking and break ties by id — sub-ulp cross-engine float
+    // summation differences can no longer reorder near-ties, so the
+    // exact top-k is engine-stable (hash-checkable against the oracle)
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(round(col("cos"), 4).desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -298,7 +304,12 @@ object Similarity {
       .join(corpus.select(col("neighbor_id"), col("v")), Seq("neighbor_id"))
       .withColumn("cos", nativeCosine(col("q"), col("v")))
       .select("query_id", "neighbor_id", "cos")
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    // deterministic-margin ranking (see ivfTopK): rank on the
+    // 4-decimal quantized score with id tie-break so the top-k set
+    // and order are engine-stable
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(round(col("cos"), 4).desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -224,11 +224,13 @@ object CorpusQueries {
 
   // ---- stratified quota sampling (mixture construction) ------------
 
-  /** Deterministic 20% quota per language stratum: docs ranked by
-    * portable content hash within each stratum, top ceil(n/5) kept.
-    * The rank is a pure function of the key — the same mixture comes
-    * out on every engine, run and partitioning (complements
-    * ml.Sampling's rate-based splits with exact per-stratum quotas).
+  /** Deterministic 20% quota per language stratum: docs ranked by a
+    * portable hash OF THE DOC ID within each stratum, top ceil(n/5)
+    * kept. The rank is a pure function of the id key — the same
+    * mixture comes out on every engine, run and partitioning, and is
+    * stable under content edits to a doc (hash the text instead if
+    * content-keyed resampling-on-change is what you want). Complements
+    * ml.Sampling's rate-based splits with exact per-stratum quotas.
     */
   private def stratifiedSample(s: SparkSession, d: String): DataFrame = {
     val w = Window
@@ -330,12 +332,12 @@ object CorpusQueries {
        |         row_number() OVER (PARTITION BY in_id ORDER BY hamming, ex_id) AS rk
        |  FROM ham
        |)
-       |SELECT sim.doc_id, b.ex_id IS NOT NULL AS is_dup, b.ex_id AS dup_of, b.hamming
-       |FROM sim
+       |SELECT d.doc_id, b.ex_id IS NOT NULL AS is_dup, b.ex_id AS dup_of, b.hamming
+       |FROM documents d
        |LEFT JOIN (SELECT in_id, ex_id, hamming FROM best WHERE rk = 1) b
-       |  ON b.in_id = sim.doc_id
-       |WHERE sim.doc_id % 3 = 0
-       |ORDER BY sim.doc_id""".stripMargin
+       |  ON b.in_id = d.doc_id
+       |WHERE d.doc_id % 3 = 0
+       |ORDER BY d.doc_id""".stripMargin
 
   // ---- int8 embedding quantization ---------------------------------
 

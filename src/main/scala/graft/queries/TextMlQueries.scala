@@ -424,8 +424,10 @@ object TextMlQueries {
       |ORDER BY a_id, b_id""".stripMargin
 
   /** Approximate ANN via random-hyperplane LSH buckets + 1-bit
-    * multiprobe — deterministic planes, but not SQL-expressible
-    * (plane constants from an integer mix): rows-only check.
+    * multiprobe. Fully hash-checked: the deterministic plane constants
+    * are inlined into the oracle SQL as literals (same discipline as
+    * q_lsh_buckets), and ranking quantizes the score to 4 decimals
+    * with id tie-break, so near-tie order is engine-stable.
     */
   private def annLsh(s: SparkSession, d: String): DataFrame =
     Similarity
@@ -501,9 +503,48 @@ object TextMlQueries {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** Full LSH-ANN oracle: bucket assignment with inlined plane
+    * literals, the 13-bucket multiprobe set (identity + 12 one-bit
+    * flips), candidate dedup, cosine scoring, quantized-margin rank.
+    */
+  private lazy val annLshSql = {
+    val planes = Similarity.hyperplanes(12, 64)
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val arr = p.mkString("[", ", ", "]")
+      s"CASE WHEN list_dot_product(v, $arr) >= 0 THEN ${1L << i} ELSE 0 END"
+    }
+    val probes = (0 until 12).map(i => s"xor(bucket, ${1L << i})").mkString(", ")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+       |), b AS (
+       |  SELECT vec_id, CAST(${bits.mkString("\n  + ")} AS BIGINT) AS bucket FROM e
+       |), qprobe AS (
+       |  SELECT vec_id AS query_id, unnest([bucket, $probes]) AS bucket
+       |  FROM b WHERE vec_id % 100 = 0
+       |), cand AS (
+       |  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+       |  FROM qprobe q JOIN b c USING (bucket)
+       |  WHERE c.vec_id <> q.query_id
+       |), scored AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |         list_dot_product(qe.v, ne.v)
+       |           / sqrt(list_dot_product(qe.v, qe.v) * list_dot_product(ne.v, ne.v)) AS cos
+       |  FROM cand
+       |  JOIN e qe ON qe.vec_id = cand.query_id
+       |  JOIN e ne ON ne.vec_id = cand.neighbor_id
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY round(cos, 4) DESC, neighbor_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** IVF ANN — inverted lists by nearest deterministic coarse
-    * centroid, nProbe-list probing (rows-only: centroid constants not
-    * SQL-expressible).
+    * centroid, nProbe-list probing. Fully hash-checked: centroid
+    * constants inlined in the oracle (q_ivf_clusters discipline),
+    * quantized-margin rank for engine-stable near-tie order.
     */
   private def ivfAnn(s: SparkSession, d: String): DataFrame =
     Similarity
@@ -518,6 +559,44 @@ object TextMlQueries {
       )
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
       .orderBy(col("query_id"), col("rank"))
+
+  /** Full IVF-ANN oracle: nearest-centroid lists + nProbe=4 probe
+    * sets from the same inlined centroid literals, normalized-vector
+    * dot scoring, quantized-margin rank.
+    */
+  private lazy val ivfAnnSql = {
+    val centroids = Similarity.normalizedCentroids(16, 64, 7L)
+    val structs = centroids.zipWithIndex.map { case (c, i) =>
+      val arr = c.mkString("[", ", ", "]")
+      s"{'s': list_dot_product(nv, $arr), 'c': $i}"
+    }
+    s"""WITH nv0 AS (
+       |  SELECT vec_id,
+       |         list_transform(
+       |           CAST(embedding AS DOUBLE[]),
+       |           x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+       |         ) AS nv
+       |  FROM embeddings
+       |), rankedc AS (
+       |  SELECT vec_id, nv, list_reverse_sort([${structs.mkString(",\n         ")}]) AS rc FROM nv0
+       |), corpus AS (
+       |  SELECT vec_id AS neighbor_id, nv AS v, CAST((rc[1]).c AS INT) AS cluster FROM rankedc
+       |), q AS (
+       |  SELECT vec_id AS query_id, nv AS qv,
+       |         CAST(unnest(list_transform(list_slice(rc, 1, 4), x -> x.c)) AS INT) AS cluster
+       |  FROM rankedc WHERE vec_id % 100 = 0
+       |), scored AS (
+       |  SELECT query_id, neighbor_id, list_dot_product(qv, v) AS cos
+       |  FROM q JOIN corpus USING (cluster)
+       |  WHERE neighbor_id <> query_id
+       |), r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY round(cos, 4) DESC, neighbor_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
+       |FROM r WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
 
   // ---- multimodal binary plumbing ----------------------------------
 
@@ -585,9 +664,9 @@ object TextMlQueries {
     QueryDef("q_simhash", simHash, Some(simHashSql), headline = true),
     QueryDef("q_cosine_topk", cosineTopK, Some(cosineTopKSql), headline = true),
     QueryDef("q_embed_neardup", embedNearDup, Some(embedNearDupSql)),
-    QueryDef("q_ann_lsh", annLsh, None, headline = true),
+    QueryDef("q_ann_lsh", annLsh, Some(annLshSql), headline = true),
     QueryDef("q_lsh_buckets", lshBuckets, Some(lshBucketsSql)),
-    QueryDef("q_ivf_ann", ivfAnn, None),
+    QueryDef("q_ivf_ann", ivfAnn, Some(ivfAnnSql)),
     QueryDef("q_ivf_clusters", ivfClusters, Some(ivfClustersSql)),
     QueryDef("q_multimodal_features", multimodalFeatures, Some(multimodalFeaturesSql)),
     QueryDef("q_frame_sample", frameSample, Some(frameSampleSql))

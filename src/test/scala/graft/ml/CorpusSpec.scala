@@ -40,6 +40,46 @@ class CorpusSpec extends SparkSpec {
     assert(a == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("connectedComponents: 1000-node chain converges in O(log n) large/small-star rounds") {
+    // adversarial diameter-999 chain: min-label propagation would need
+    // ~999 rounds; large/small-star must finish in O(log n)
+    val n = 1000L
+    val (out, rounds) = Dedup.connectedComponentsWithStats(
+      (1L to n).toDF("doc_id"),
+      "doc_id",
+      (1L until n).map(i => (i, i + 1)).toDF("d1", "d2")
+    )
+    assert(rounds <= 20, s"expected O(log2(1000)) ≈ 10 rounds, got $rounds")
+    val cc = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == (1L to n).map(_ -> 1L).toMap)
+  }
+
+  test("connectedComponents: custom src/dst column names") {
+    val cc = Dedup
+      .connectedComponents(
+        Seq(1L, 2L, 3L).toDF("doc_id"),
+        "doc_id",
+        Seq((2L, 3L)).toDF("left_id", "right_id"),
+        srcCol = "left_id",
+        dstCol = "right_id"
+      )
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(cc == Map(1L -> 1L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("connectedComponents: non-convergence throws instead of returning partial labels") {
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(
+        (1L to 40L).toDF("doc_id"),
+        "doc_id",
+        (1L until 40L).map(i => (i, i + 1)).toDF("d1", "d2"),
+        maxIter = 1
+      )
+    }
+  }
+
   test("repetition signals: duplicated tokens and n-grams are measured") {
     val d = Seq(
       (1L, "spam spam spam spam"), // one distinct token, one bigram repeated 3x

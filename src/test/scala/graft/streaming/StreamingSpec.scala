@@ -23,12 +23,12 @@ class StreamingSpec extends SparkSpec {
       StructField("value", DoubleType)
     ))
     val q = StreamingIngest.ingestAvailableNow(spark, src, schema, sink, cp)
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(60000), "stream did not terminate within 60s")
     assert(spark.read.parquet(sink).count() == 3)
 
     // second run with no new files: nothing re-ingested (checkpoint)
     val q2 = StreamingIngest.ingestAvailableNow(spark, src, schema, sink, cp)
-    q2.awaitTermination(60000)
+    assert(q2.awaitTermination(60000), "stream did not terminate within 60s")
     assert(spark.read.parquet(sink).count() == 3)
   }
 
@@ -52,7 +52,7 @@ class StreamingSpec extends SparkSpec {
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(60000)
+      assert(q.awaitTermination(60000), "stream did not terminate within 60s")
     }
     Seq(
       (1L, java.sql.Timestamp.valueOf("2023-01-01 00:00:00"), 1.0),
@@ -88,7 +88,7 @@ class StreamingSpec extends SparkSpec {
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(60000)
+      assert(q.awaitTermination(60000), "stream did not terminate within 60s")
     }
     // batch 1: fp 100 arrives twice in one batch (lower id wins), fp 200 once
     Seq((7L, 100L), (3L, 100L), (4L, 200L)).toDF("doc_id", "fingerprint").write.mode("append").parquet(src)
@@ -125,7 +125,7 @@ class StreamingSpec extends SparkSpec {
       .outputMode("complete")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(60000), "stream did not terminate within 60s")
     val rows = spark.sql("select * from daily_out order by date_start").collect()
     assert(rows.length == 2)
     assert(rows(0).getAs[Double]("value") == 3.0)
@@ -155,7 +155,7 @@ class StreamingSpec extends SparkSpec {
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(60000)
+      assert(q.awaitTermination(60000), "stream did not terminate within 60s")
     }
     // batch 1: two issues for the same (valid, tile) arrive together —
     // only the newer one must come out
