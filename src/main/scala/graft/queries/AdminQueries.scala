@@ -1,0 +1,288 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Boreholes
+import graft.tables.TestTables
+
+/** Administrative CRUD surface — the reference's manual-entry gates
+  * (`R/insertACBorehole.R`, `R/addACOrg.R`, `R/updateACDocument.R`,
+  * `R/db_dump.R`, `R/load_nhn.R`): borehole/well inserts with child
+  * tables, small upsert gates, staged vector-layer bulk import and
+  * table snapshots. Fixtures derive deterministically from the TPC-H
+  * tables (suppliers stand in for borehole candidates, nations for
+  * known locations) so every gate fires on some rows and the DuckDB
+  * oracle replays the identical arithmetic.
+  */
+object AdminQueries {
+
+  // ---- borehole / well insert gates --------------------------------
+
+  /** Batch borehole import over supplier-derived candidates: every
+    * validation gate of `insertACBorehole` fires somewhere in the
+    * batch (missing name, out-of-range latitude, unknown
+    * location/purpose, permafrost interval rules, bedrock-depth
+    * consistency, empty share_with, duplicate probe), and accepted
+    * rows fan out to permafrost / well / document-link child rows.
+    */
+  private def borehole(s: SparkSession, d: String): DataFrame = {
+    val sup = TestTables.supplier(s, d)
+    val k = col("s_suppkey")
+    val incoming = sup.select(
+      k.as("src_key"),
+      when(k % 17 === 0, lit(null)).otherwise(concat(lit("BH-"), col("s_name"))).as("borehole_name"),
+      ((k * 13) % 200 - 95 + lit(0.25)).as("latitude"),
+      ((k * 29) % 340 - 160 + lit(0.5)).as("longitude"),
+      when(k % 4 === 0, k % 30).as("location_id"),
+      when(k % 3 === 0, k % 8).as("purpose_id"),
+      when(k % 3 === 0, k % 8).as("well_purpose_id"),
+      (k % 5 === 0).as("permafrost_present"),
+      when(k % 10 === 0, lit(null)).otherwise((k % 7).cast("double")).as("permafrost_top_m"),
+      ((k % 7).cast("double") + when(k % 15 === 0, -1.0).otherwise(2.0)).as("permafrost_bot_m"),
+      when(k % 3 === 0, lit(true)).when(k % 3 === 1, lit(false)).as("bedrock_reached"),
+      when(k % 2 === 0, (k % 50).cast("double")).as("depth_to_bedrock_m"),
+      (k % 2 === 0).as("is_well"),
+      (lit(100) + k % 50).cast("double").as("casing_diameter_mm"),
+      (k % 20).cast("double").as("screen_top_depth_m"),
+      (k % 20 + 3).cast("double").as("screen_bottom_depth_m"),
+      when(k % 23 === 0, array().cast("array<string>"))
+        .otherwise(array(lit("public_reader"))).as("share_with"),
+      when(k % 6 === 0, k + 1000).as("document_id")
+    )
+    val locations = TestTables.nation(s, d).select(col("n_nationkey").cast("long").as("location_id"))
+    val purposes = s.range(0, 6).select(col("id").as("purpose_id"))
+    // pre-existing boreholes: the first five suppliers, same natural key
+    val existing = sup
+      .filter(k < 5)
+      .select(
+        (k + 1).as("borehole_id"),
+        concat(lit("BH-"), col("s_name")).as("borehole_name"),
+        ((k * 13) % 200 - 95 + lit(0.25)).as("latitude"),
+        ((k * 29) % 340 - 160 + lit(0.5)).as("longitude")
+      )
+    val imp = Boreholes.validate(incoming, locations, purposes, existing)
+    val np = imp.permafrost.groupBy("borehole_id").agg(count(lit(1)).cast("int").as("n_permafrost"))
+    val nw = imp.wells.groupBy("borehole_id").agg(count(lit(1)).cast("int").as("n_well"))
+    val nd = imp.docLinks
+      .groupBy("borehole_id")
+      .agg(count(lit(1)).cast("int").as("n_doc"), min(col("document_type")).as("document_type"))
+    val acceptedOut = imp.accepted
+      .join(np, Seq("borehole_id"), "left")
+      .join(nw, Seq("borehole_id"), "left")
+      .join(nd, Seq("borehole_id"), "left")
+      .select(
+        col("src_key"),
+        col("borehole_name"),
+        lit("accepted").as("status"),
+        col("borehole_id"),
+        coalesce(col("n_permafrost"), lit(0)).as("n_permafrost"),
+        coalesce(col("n_well"), lit(0)).as("n_well"),
+        coalesce(col("n_doc"), lit(0)).as("n_doc"),
+        col("document_type")
+      )
+    val rejectsOut = imp.rejects.select(
+      col("src_key"),
+      col("borehole_name"),
+      col("reject_reason").as("status"),
+      lit(null).cast("long").as("borehole_id"),
+      lit(0).as("n_permafrost"),
+      lit(0).as("n_well"),
+      lit(0).as("n_doc"),
+      lit(null).cast("string").as("document_type")
+    )
+    acceptedOut.unionByName(rejectsOut).orderBy(col("src_key"))
+  }
+
+  private val boreholeSql =
+    """WITH inc AS (
+      |  SELECT s_suppkey AS src_key,
+      |         CASE WHEN s_suppkey % 17 = 0 THEN NULL ELSE 'BH-' || s_name END AS borehole_name,
+      |         ((s_suppkey * 13) % 200 - 95 + 0.25) AS latitude,
+      |         ((s_suppkey * 29) % 340 - 160 + 0.5) AS longitude,
+      |         CASE WHEN s_suppkey % 4 = 0 THEN s_suppkey % 30 END AS location_id,
+      |         CASE WHEN s_suppkey % 3 = 0 THEN s_suppkey % 8 END AS purpose_id,
+      |         s_suppkey % 5 = 0 AS permafrost_present,
+      |         CASE WHEN s_suppkey % 10 = 0 THEN NULL ELSE CAST(s_suppkey % 7 AS DOUBLE) END AS permafrost_top_m,
+      |         CAST(s_suppkey % 7 AS DOUBLE) + CASE WHEN s_suppkey % 15 = 0 THEN -1.0 ELSE 2.0 END AS permafrost_bot_m,
+      |         CASE WHEN s_suppkey % 3 = 0 THEN TRUE WHEN s_suppkey % 3 = 1 THEN FALSE END AS bedrock_reached,
+      |         CASE WHEN s_suppkey % 2 = 0 THEN CAST(s_suppkey % 50 AS DOUBLE) END AS depth_to_bedrock_m,
+      |         s_suppkey % 2 = 0 AS is_well,
+      |         s_suppkey % 23 = 0 AS empty_share,
+      |         CASE WHEN s_suppkey % 6 = 0 THEN s_suppkey + 1000 END AS document_id
+      |  FROM supplier
+      |), gated AS (
+      |  SELECT *,
+      |         CASE
+      |           WHEN borehole_name IS NULL OR trim(borehole_name) = '' THEN 'missing_name'
+      |           WHEN latitude IS NULL OR abs(latitude) > 90.0 THEN 'bad_latitude'
+      |           WHEN longitude IS NULL OR abs(longitude) > 180.0 THEN 'bad_longitude'
+      |           WHEN location_id IS NOT NULL AND location_id NOT IN (SELECT n_nationkey FROM nation) THEN 'unknown_location'
+      |           WHEN purpose_id IS NOT NULL AND purpose_id NOT IN (0, 1, 2, 3, 4, 5) THEN 'unknown_purpose'
+      |           WHEN is_well AND purpose_id IS NOT NULL AND purpose_id NOT IN (0, 1, 2, 3, 4, 5) THEN 'unknown_well_purpose'
+      |           WHEN permafrost_present AND (permafrost_top_m IS NULL OR permafrost_bot_m IS NULL) THEN 'missing_permafrost_depths'
+      |           WHEN permafrost_present AND permafrost_bot_m <= permafrost_top_m THEN 'bad_permafrost_interval'
+      |           WHEN bedrock_reached = TRUE AND depth_to_bedrock_m IS NULL THEN 'missing_depth_to_bedrock'
+      |           WHEN bedrock_reached = FALSE AND depth_to_bedrock_m IS NOT NULL THEN 'unexpected_depth_to_bedrock'
+      |           WHEN depth_to_bedrock_m < 0 THEN 'negative_depth_to_bedrock'
+      |           WHEN empty_share THEN 'missing_share_with'
+      |           WHEN src_key < 5 THEN 'duplicate_borehole'
+      |         END AS reject_reason
+      |  FROM inc
+      |), ids AS (
+      |  SELECT *,
+      |         CASE WHEN reject_reason IS NULL
+      |              THEN 5 + row_number() OVER (
+      |                     PARTITION BY (reject_reason IS NULL)
+      |                     ORDER BY lower(borehole_name), latitude, longitude)
+      |         END AS borehole_id
+      |  FROM gated
+      |)
+      |SELECT src_key, borehole_name,
+      |       coalesce(reject_reason, 'accepted') AS status,
+      |       borehole_id,
+      |       CAST(CASE WHEN reject_reason IS NULL AND permafrost_present THEN 1 ELSE 0 END AS INT) AS n_permafrost,
+      |       CAST(CASE WHEN reject_reason IS NULL AND is_well THEN 1 ELSE 0 END AS INT) AS n_well,
+      |       CAST(CASE WHEN reject_reason IS NULL AND document_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS n_doc,
+      |       CASE WHEN reject_reason IS NULL AND document_id IS NOT NULL
+      |            THEN CASE WHEN is_well THEN 'well log' ELSE 'borehole log' END
+      |       END AS document_type
+      |FROM ids
+      |ORDER BY src_key""".stripMargin
+
+  // ---- NHN basin/vector-layer bulk loader --------------------------
+
+  /** Staged NHN import over nation-derived fixture layers: region
+    * clip ('01'..'06'), bounding-box envelope filter, per-layer
+    * feature naming (basins key on dataset_name, others on
+    * dataset_name + nid), validity gate (one planted open ring),
+    * overwrite of one pre-existing basin, and location-code prefix
+    * generation from the accepted basin polygons (the
+    * `generateACLocationCode` feed).
+    */
+  private def basinLoad(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val k = col("n_nationkey")
+    val x0 = (k % 12) * 10 - 60
+    val y0 = (k % 8) * 10 - 40
+    // valid closed square, except k % 11 == 7 drops the closing vertex
+    def pt(x: Column, y: Column) = concat(x, lit(" "), y)
+    val closing = when(k % 11 === 7, lit("")).otherwise(concat(lit(", "), pt(x0, y0)))
+    val wkt = concat(
+      lit("POLYGON (("),
+      pt(x0, y0), lit(", "),
+      pt(x0 + 4, y0), lit(", "),
+      pt(x0 + 4, y0 + 4), lit(", "),
+      pt(x0, y0 + 4),
+      closing,
+      lit("))")
+    )
+    val features = TestTables.nation(s, d).select(
+      element_at(
+        array(graft.sources.NhnLoader.ValidTargets.map(lit): _*),
+        (k % 8 + 1).cast("int")
+      ).as("target"),
+      concat(lpad((k * 7) % 11 + 1, 2, "0"), lit("-"), col("n_name")).as("dataset_name"),
+      concat(lit("N"), k.cast("string")).as("nid"),
+      (k % 3 + 1).cast("string").as("edition"),
+      (k % 4).cast("string").as("version"),
+      wkt.as("wkt")
+    )
+    val existing = Seq(
+      ("National Hydro Network - Basins", "01-NATION_0", "POLYGON")
+    ).toDF("layer_name", "feature_name", "geom_type")
+    val load = graft.sources.NhnLoader.stage(
+      features,
+      clip = Some(Seq("01", "02", "03", "04", "05", "06")),
+      bbox = Some((-65.0, 20.0, -45.0, 45.0)),
+      existing = existing,
+      overwrite = true
+    )
+    val codes = load.accepted
+      .filter(col("target") === "basins")
+      .withColumn(
+        "basin_code",
+        concat(
+          substring(col("feature_name"), 1, 2),
+          lit("-"),
+          lpad(
+            row_number().over(
+              Window.partitionBy(substring(col("feature_name"), 1, 2)).orderBy(col("feature_name"))
+            ),
+            3,
+            "0"
+          )
+        )
+      )
+      .select(col("feature_name"), col("basin_code"))
+    val acceptedOut = load.accepted
+      .join(codes, Seq("feature_name"), "left")
+      .select(
+        col("feature_name"),
+        col("layer_name"),
+        col("action").as("status"),
+        col("geom_type"),
+        col("basin_code")
+      )
+    val rejectsOut = load.rejects.select(
+      col("feature_name"),
+      col("layer_name"),
+      col("reject_reason").as("status"),
+      lit(null).cast("string").as("geom_type"),
+      lit(null).cast("string").as("basin_code")
+    )
+    acceptedOut.unionByName(rejectsOut).orderBy(col("feature_name"))
+  }
+
+  private val basinLoadSql =
+    """WITH f AS (
+      |  SELECT n_nationkey AS k, n_name,
+      |         ['basins','junctions','flowpaths','littoral','banks',
+      |          'watercourses','waterbodies','islands'][(n_nationkey % 8) + 1] AS target,
+      |         lpad(CAST((n_nationkey * 7) % 11 + 1 AS VARCHAR), 2, '0') || '-' || n_name AS dataset_name,
+      |         'N' || CAST(n_nationkey AS VARCHAR) AS nid,
+      |         (n_nationkey % 12) * 10 - 60 AS x0,
+      |         (n_nationkey % 8) * 10 - 40 AS y0
+      |  FROM nation
+      |), staged AS (
+      |  SELECT *,
+      |         CASE target
+      |           WHEN 'basins' THEN 'National Hydro Network - Basins'
+      |           WHEN 'junctions' THEN 'National Hydro Network - Hydro Junctions'
+      |           WHEN 'flowpaths' THEN 'National Hydro Network - Flowpaths'
+      |           WHEN 'littoral' THEN 'National Hydro Network - Littoral'
+      |           WHEN 'banks' THEN 'National Hydro Network - Banks'
+      |           WHEN 'watercourses' THEN 'National Hydro Network - Watercourses'
+      |           WHEN 'waterbodies' THEN 'National Hydro Network - Waterbodies'
+      |           WHEN 'islands' THEN 'National Hydro Network - Islands'
+      |         END AS layer_name,
+      |         CASE WHEN target = 'basins' THEN dataset_name
+      |              ELSE dataset_name || '_' || nid END AS feature_name,
+      |         k % 11 = 7 AS open_ring
+      |  FROM f
+      |  WHERE substr(dataset_name, 1, 2) IN ('01', '02', '03', '04', '05', '06')
+      |    AND x0 <= 20 AND x0 + 4 >= -65 AND y0 <= 45 AND y0 + 4 >= -45
+      |), gated AS (
+      |  SELECT *,
+      |         CASE WHEN open_ring THEN 'open_ring'
+      |              WHEN target = 'basins' AND feature_name = '01-NATION_0' THEN 'replaced'
+      |              ELSE 'inserted' END AS status
+      |  FROM staged
+      |), codes AS (
+      |  SELECT feature_name,
+      |         substr(dataset_name, 1, 2) || '-' ||
+      |           lpad(CAST(row_number() OVER (
+      |             PARTITION BY substr(dataset_name, 1, 2) ORDER BY feature_name) AS VARCHAR), 3, '0') AS basin_code
+      |  FROM gated WHERE target = 'basins' AND status IN ('inserted', 'replaced')
+      |)
+      |SELECT g.feature_name, g.layer_name, g.status,
+      |       CASE WHEN g.status <> 'open_ring' THEN 'POLYGON' END AS geom_type,
+      |       c.basin_code
+      |FROM gated g LEFT JOIN codes c USING (feature_name)
+      |ORDER BY g.feature_name""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_borehole", borehole, Some(boreholeSql)),
+    QueryDef("q_basin_load", basinLoad, Some(basinLoadSql))
+  )
+}

@@ -20,7 +20,8 @@ object Registry {
     CoreQueries.defs ++ TimeseriesQueries.defs ++ DerivedQueries.defs ++
       StatsQueries.defs ++ SyncQueries.defs ++ LifecycleQueries.defs ++
       IngestQueries.defs ++ TextMlQueries.defs ++ PipelineQueries.defs ++
-      CorpusQueries.defs ++ RasterQueries.defs ++ MaintenanceQueries.defs
+      CorpusQueries.defs ++ RasterQueries.defs ++ MaintenanceQueries.defs ++
+      AdminQueries.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 
