@@ -281,8 +281,113 @@ object AdminQueries {
       |FROM gated g LEFT JOIN codes c USING (feature_name)
       |ORDER BY g.feature_name""".stripMargin
 
+  // ---- document update gates ---------------------------------------
+
+  /** Batch document updates over the documents table: every
+    * `updateACDocument` gate fires somewhere (unknown id, too-short
+    * description, unknown type label, rename collision with another
+    * stored doc, no resolvable geom ids), accepted rows coalesce
+    * new-over-old fields, and geom associations replace the old set
+    * (two of three requested geoms resolve, mirroring the reference's
+    * partial-association warning path).
+    */
+  private def docUpdate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = TestTables.documents(s, d).select(
+      col("doc_id").as("document_id"),
+      concat(lit("doc_"), col("doc_id")).as("name"),
+      (col("doc_id") % 4).as("type_id"),
+      col("source").as("description"),
+      lit(null).cast("string").as("url")
+    )
+    val types = Seq(
+      (0L, "report"), (1L, "thesis"), (2L, "map"), (3L, "well log"), (4L, "graph")
+    ).toDF("document_type_id", "document_type_en")
+    val vectors = TestTables.nation(s, d).select(col("n_nationkey").cast("long").as("geom_id"))
+    val existingLinks = TestTables.documents(s, d)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("document_id"), (col("doc_id") % 25).as("geom_id"))
+    val k = col("doc_id")
+    val updates = TestTables.documents(s, d)
+      .filter(k % 3 === 0)
+      .select(
+        when(k % 30 === 0, k + 1000000).otherwise(k).as("document_id"),
+        when(k % 21 === 0, concat(lit("doc_"), (k - 3)))
+          .otherwise(concat(lit("renamed_"), k)).as("new_name"),
+        when(k % 9 === 0, lit("memo")).otherwise(lit("Report")).as("new_type"),
+        when(k % 15 === 0, lit("tiny")).as("new_description"),
+        when(k % 6 === 0, concat(lit("https://example.org/"), k)).as("new_url"),
+        when(k % 12 === 0, array(lit(90L), lit(91L)))
+          .otherwise(array(k % 25, (k + 7) % 25, k % 25 + 30)).as("new_geoms")
+      )
+    val upd = graft.operators.AdminOps.updateDocuments(updates, docs, types, vectors, existingLinks)
+    val counts = upd.geomLinks
+      .groupBy(col("document_id"))
+      .agg(count(lit(1)).cast("int").as("__n_links"))
+    val acceptedOut = upd.updated
+      .join(counts, Seq("document_id"), "left")
+      .select(
+        col("document_id"),
+        lit("updated").as("status"),
+        col("name"),
+        col("type_id"),
+        col("description"),
+        col("url"),
+        coalesce(col("__n_links"), lit(0)).as("n_geom_links")
+      )
+    val rejectsOut = upd.rejects.select(
+      col("document_id"),
+      col("reject_reason").as("status"),
+      lit(null).cast("string").as("name"),
+      lit(null).cast("long").as("type_id"),
+      lit(null).cast("string").as("description"),
+      lit(null).cast("string").as("url"),
+      lit(0).as("n_geom_links")
+    )
+    acceptedOut.unionByName(rejectsOut).orderBy(col("document_id"))
+  }
+
+  private val docUpdateSql =
+    """WITH docs AS (
+      |  SELECT doc_id AS document_id, 'doc_' || CAST(doc_id AS VARCHAR) AS name,
+      |         doc_id % 4 AS type_id, source AS description
+      |  FROM documents
+      |), upd AS (
+      |  SELECT CASE WHEN doc_id % 30 = 0 THEN doc_id + 1000000 ELSE doc_id END AS document_id,
+      |         CASE WHEN doc_id % 21 = 0 THEN 'doc_' || CAST(doc_id - 3 AS VARCHAR)
+      |              ELSE 'renamed_' || CAST(doc_id AS VARCHAR) END AS new_name,
+      |         CASE WHEN doc_id % 9 = 0 THEN 'memo' ELSE 'Report' END AS new_type,
+      |         CASE WHEN doc_id % 15 = 0 THEN 'tiny' END AS new_description,
+      |         CASE WHEN doc_id % 6 = 0 THEN 'https://example.org/' || CAST(doc_id AS VARCHAR) END AS new_url,
+      |         doc_id % 12 = 0 AS bad_geoms
+      |  FROM documents WHERE doc_id % 3 = 0
+      |), gated AS (
+      |  SELECT u.*, d.name AS old_name, d.type_id AS old_type_id,
+      |         d.description AS old_description,
+      |         CASE
+      |           WHEN d.document_id IS NULL THEN 'unknown_document'
+      |           WHEN u.new_description IS NOT NULL AND length(u.new_description) < 5 THEN 'short_description'
+      |           WHEN lower(u.new_type) NOT IN ('report', 'thesis', 'map', 'well log', 'graph') THEN 'unknown_type'
+      |           WHEN h.document_id IS NOT NULL AND h.document_id <> u.document_id THEN 'duplicate_name'
+      |           WHEN u.bad_geoms THEN 'no_valid_geoms'
+      |         END AS reject_reason
+      |  FROM upd u
+      |  LEFT JOIN docs d USING (document_id)
+      |  LEFT JOIN docs h ON h.name = u.new_name
+      |)
+      |SELECT document_id,
+      |       coalesce(reject_reason, 'updated') AS status,
+      |       CASE WHEN reject_reason IS NULL THEN coalesce(new_name, old_name) END AS name,
+      |       CAST(CASE WHEN reject_reason IS NULL THEN 0 END AS BIGINT) AS type_id,
+      |       CASE WHEN reject_reason IS NULL THEN coalesce(new_description, old_description) END AS description,
+      |       CASE WHEN reject_reason IS NULL THEN new_url END AS url,
+      |       CAST(CASE WHEN reject_reason IS NULL THEN 2 ELSE 0 END AS INT) AS n_geom_links
+      |FROM gated
+      |ORDER BY document_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_borehole", borehole, Some(boreholeSql)),
-    QueryDef("q_basin_load", basinLoad, Some(basinLoadSql))
+    QueryDef("q_basin_load", basinLoad, Some(basinLoadSql)),
+    QueryDef("q_doc_update", docUpdate, Some(docUpdateSql))
   )
 }

@@ -497,7 +497,149 @@ object LifecycleQueries {
        |ORDER BY user_id, ts_us""".stripMargin
   }
 
+  // ---- the full dailyUpdate slice, end to end ----------------------
+
+  /** SURVEY §7.2 as ONE oracle-checked pipeline — the exact stage
+    * chain of `R/dailyUpdate.R:27`: deterministic fixture series
+    * (hourly 2021-2023; modular arithmetic instead of trig so both
+    * engines generate bit-identical doubles) → incremental ingest of
+    * series 1 (store below 2023-07-01, overlapping fetch window,
+    * last-point watermark filter, merge) → the fixture correction
+    * (offset_linear +0.25 on series 1, 2023-01-03..05, via the
+    * Corrections fold) → compound series 10 resolved from temp/cond
+    * members (`cond / (1 + 0.0191*(temp-25))`, the reference's own
+    * fixture expression) → type-dispatched daily aggregate → DOY
+    * historical stats. Answer: corrected daily mean + q10/q90 +
+    * percent_historic_range for series 1 and 10 over 2023.
+    */
+  private def dailyUpdateE2e(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.{Compound, Corrections, DailyAggregate, DoyStats}
+    // fixture gen: 3 non-leap years of hourly points
+    val base = s
+      .range(0, 26280)
+      .select(expr("timestampadd(HOUR, cast(id as int), timestamp'2021-01-01 00:00:00')").as("ts"))
+      .withColumn("doy", dayofyear(col("ts")))
+      .withColumn("h", hour(col("ts")))
+      .withColumn("yr", year(col("ts")) - 2021)
+    // year term keeps prior-year DOY pools distinct (29/31/37 share no
+    // factor with the moduli), so min < max in every history window.
+    // INTEGER hourly values on purpose: integer sums are
+    // order-independent, so both engines' daily means are the exact
+    // same double and the quantile grid (k/240) never sits on a
+    // round-half boundary — the cross-engine determinism argument.
+    val s1 = base.select(col("ts"), (lit(10) + (col("doy") * 13 + col("h") * 5 + col("yr") * 29) % 97).cast("double").as("value"))
+    val temp = base.select(col("ts"), (lit(5) + (col("doy") * 7 + col("h") * 3 + col("yr") * 31) % 53).cast("double").as("value"))
+    val cond = base.select(col("ts"), (lit(200) + (col("doy") * 11 + col("h") * 2 + col("yr") * 37) % 83).cast("double").as("value"))
+
+    // incremental ingest of series 1: overlapping fetch window, only
+    // points past the store's last-point watermark append
+    val store = s1.filter(col("ts") < lit("2023-07-01 00:00:00").cast("timestamp"))
+    val batch = s1.filter(col("ts") >= lit("2023-06-01 00:00:00").cast("timestamp"))
+    val wm = store.agg(max(col("ts")).as("wm"))
+    val appended = batch.crossJoin(broadcast(wm)).filter(col("ts") > col("wm")).drop("wm")
+    val merged = store.unionByName(appended).withColumn("series_id", lit(1L))
+
+    // the fixture correction: offset linear +0.25 on series 1
+    val corrDim = Seq(
+      (1L, 1L, "2023-01-03 00:00:00", "2023-01-05 00:00:00", "offset_linear",
+        Some(0.25), None: Option[Double], None: Option[Long], None: Option[String], 1)
+    ).toDF("correction_id", "series_id", "start_s", "end_s", "ctype",
+      "value1", "value2", "window_seconds", "equation", "priority")
+      .withColumn("start_dt", to_timestamp(col("start_s")))
+      .withColumn("end_dt", to_timestamp(col("end_s")))
+      .drop("start_s", "end_s")
+    val corrected = Corrections(merged, corrDim, seriesId = "series_id", dtCol = "ts", valueCol = "value")
+      .select(col("series_id"), col("ts"), col("corrected").as("value"))
+
+    // compound series 10 from the temp/cond members
+    val comp = Compound
+      .expressionCompound(
+        Seq("temp" -> temp.withColumn("k", lit(1)), "cond" -> cond.withColumn("k", lit(1))),
+        expression = "cond / (1 + 0.0191 * (temp - 25))",
+        keyCols = Seq("k"),
+        dtCol = "ts"
+      )
+      .select(lit(10L).as("series_id"), col("ts"), col("value"))
+
+    // daily aggregate (mean, no tz offset) -> DOY historical stats
+    val daily = DailyAggregate(
+      corrected.unionByName(comp)
+        .withColumn("agg_type", lit("mean"))
+        .withColumn("offset_hours", lit(0)),
+      keyCols = Seq("series_id"),
+      datetime = "ts",
+      value = "value"
+    )
+    DoyStats(daily.select(col("series_id").cast("string").as("series_key"), col("date"), col("value")))
+      .filter(year(col("date")) === 2023)
+      .select(
+        col("series_key"),
+        col("date"),
+        round(col("value"), 4).as("value"),
+        col("doy_count"),
+        round(col("q10"), 4).as("q10"),
+        round(col("q90"), 4).as("q90"),
+        round(col("percent_historic_range"), 4).as("percent_historic_range")
+      )
+      .orderBy(col("series_key"), col("date"))
+  }
+
+  private val dailyUpdateE2eSql =
+    """WITH base AS (
+      |  SELECT range AS ts, dayofyear(range) AS doy, hour(range) AS h,
+      |         year(range) - 2021 AS yr
+      |  FROM range(TIMESTAMP '2021-01-01', TIMESTAMP '2024-01-01', INTERVAL 1 HOUR)
+      |), s1 AS (
+      |  SELECT ts, CAST(10 + (doy * 13 + h * 5 + yr * 29) % 97 AS DOUBLE) AS value FROM base
+      |), temp AS (
+      |  SELECT ts, CAST(5 + (doy * 7 + h * 3 + yr * 31) % 53 AS DOUBLE) AS value FROM base
+      |), cond AS (
+      |  SELECT ts, CAST(200 + (doy * 11 + h * 2 + yr * 37) % 83 AS DOUBLE) AS value FROM base
+      |), s1m AS (
+      |  SELECT ts, value FROM s1 WHERE ts < TIMESTAMP '2023-07-01'
+      |  UNION ALL
+      |  SELECT ts, value FROM s1
+      |  WHERE ts >= TIMESTAMP '2023-06-01'
+      |    AND ts > (SELECT max(ts) FROM s1 WHERE ts < TIMESTAMP '2023-07-01')
+      |), corrected AS (
+      |  SELECT 1 AS series_id, ts,
+      |         CASE WHEN ts >= TIMESTAMP '2023-01-03' AND ts <= TIMESTAMP '2023-01-05'
+      |              THEN value + 0.25 ELSE value END AS value
+      |  FROM s1m
+      |), comp AS (
+      |  SELECT 10 AS series_id, temp.ts,
+      |         cond.value / (1 + 0.0191 * (temp.value - 25)) AS value
+      |  FROM temp JOIN cond USING (ts)
+      |), daily AS (
+      |  SELECT CAST(series_id AS VARCHAR) AS series_key, CAST(ts AS DATE) AS date,
+      |         avg(value) AS value
+      |  FROM (SELECT * FROM corrected UNION ALL SELECT * FROM comp)
+      |  GROUP BY 1, 2
+      |), norm AS (
+      |  SELECT series_key, date, value,
+      |         CASE WHEN month(date) = 2 AND day(date) = 29 THEN NULL
+      |              WHEN ((year(date) % 4 = 0 AND year(date) % 100 <> 0) OR year(date) % 400 = 0)
+      |                   AND dayofyear(date) > 60 THEN dayofyear(date) - 1
+      |              ELSE dayofyear(date) END AS ndoy
+      |  FROM daily
+      |)
+      |SELECT t.series_key, t.date, round(t.value, 4) AS value,
+      |       count(p.value) AS doy_count,
+      |       round(quantile_cont(p.value, 0.10), 4) AS q10,
+      |       round(quantile_cont(p.value, 0.90), 4) AS q90,
+      |       round(CASE WHEN max(p.value) = min(p.value) THEN NULL
+      |             ELSE (t.value - min(p.value)) / (max(p.value) - min(p.value)) * 100.0 END, 4)
+      |         AS percent_historic_range
+      |FROM norm t
+      |LEFT JOIN norm p
+      |  ON p.series_key = t.series_key AND p.ndoy = t.ndoy AND p.date < t.date
+      |WHERE t.ndoy IS NOT NULL AND year(t.date) = 2023
+      |GROUP BY t.series_key, t.date, t.value
+      |ORDER BY t.series_key, t.date""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_daily_update_e2e", dailyUpdateE2e, Some(dailyUpdateE2eSql), headline = true),
     QueryDef("q_asof_snapshot", asOfSnapshot, Some(asOfSnapshotSql)),
     QueryDef("q_corrected_asof", correctedAsOf, Some(correctedAsOfSql)),
     QueryDef("q_compound_closure", compoundClosure, Some(compoundClosureSql)),

@@ -5,10 +5,12 @@ import org.apache.spark.sql.functions._
 
 /** Gridded-product source adapters — the portable layer of
   * `R/downloadERA5.R:17-100` / `R/downloadHRDPA.R` / `R/downloadHRDPS.R`
-  * / `R/downloadCaLDAS.R` (YukonWRB/AquaCache). The GRIB/NetCDF codec
-  * and the HTTP transport are NOT reproduced (no codec libs, zero
-  * egress) — like `ml.Multimodal.MediaDecoder`, the decode step is a
-  * pluggable trait and everything around it is real:
+  * / `R/downloadCaLDAS.R` (YukonWRB/AquaCache). The decode step is a
+  * pluggable trait: [[Grib2Decoder]] parses real GRIB2 bytes (regular
+  * grid, simple packing — the fixture product shapes) via the pure-JVM
+  * [[Grib2]] reader; [[ParquetStubDecoder]] reads pre-decoded cells;
+  * only the HTTP transport remains environment-bound (zero egress).
+  * Everything around the decoder is real:
   *
   *   - availability clamping: ERA5-Land lags ~5 days behind realtime;
   *     requests past the availability horizon are clamped, and a
@@ -37,6 +39,38 @@ object GriddedAdapter {
   object ParquetStubDecoder extends GridDecoder {
     override def decode(spark: SparkSession, path: String): DataFrame =
       spark.read.parquet(path)
+  }
+
+  /** Real-byte decoder: GRIB2 regular-grid files (simple packing)
+    * via [[Grib2.decodeMessages]]. Distributed end-to-end — the
+    * `binaryFile` source splits files across executors and the pure
+    * byte parser runs inside `flatMap`; one file never needs to fit
+    * on the driver. Cell coordinates are grid indices (x west->east,
+    * y north->south), valid_ts = reference time + forecast offset.
+    */
+  object Grib2Decoder extends GridDecoder {
+    override def decode(spark: SparkSession, path: String): DataFrame = {
+      import spark.implicits._
+      spark.read
+        .format("binaryFile")
+        .load(path)
+        .select(col("content"))
+        .as[Array[Byte]]
+        .flatMap { bytes =>
+          Grib2.decodeMessages(bytes).iterator.flatMap { g =>
+            val validSec = g.refEpochSec + g.forecastHours * 3600L
+            val ts = new java.sql.Timestamp(validSec * 1000L)
+            var i = 0
+            val rows = new scala.collection.mutable.ArrayBuffer[(Int, Int, Double, java.sql.Timestamp, String)](g.values.length)
+            while (i < g.values.length) {
+              rows += ((i % g.ni, i / g.ni, g.values(i), ts, g.band))
+              i += 1
+            }
+            rows
+          }
+        }
+        .toDF("x", "y", "value", "valid_ts", "band")
+    }
   }
 
   /** Parse + validate the reference's `hrs` argument: "0,6,12,18" or
