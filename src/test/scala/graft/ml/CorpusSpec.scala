@@ -208,6 +208,61 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("source profile: approx_percentile lands within tolerance of the exact rank-selected quantiles") {
+    // the registered q_source_profile uses exact rank selection; this
+    // pins the documented t-digest/approx_percentile swap-in. sf0.01
+    // gives ~100 docs per source — enough mass for the 1k-bucket
+    // sketch to sit within 10% of the exact order statistic.
+    val docs = graft.tables.TestTables.documents(spark, "/root/testdata/sf0.01")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+    val ranked = docs
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
+    def exactAt(qNum: Int, qDen: Int) = ranked
+      .filter(col("rk") === expr(s"($qNum * n + $qNum) div $qDen"))
+      .select(col("source"), col("n_chars"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactP50 = exactAt(1, 2)
+    val exactP90 = exactAt(9, 10)
+    val approx = docs.groupBy("source")
+      .agg(expr("percentile_approx(n_chars, array(0.5, 0.9), 1000)").as("qs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    approx.foreach { case (src, Seq(a50, a90)) =>
+      assert(math.abs(a50 - exactP50(src)).toDouble <= 0.10 * exactP50(src), s"$src p50: $a50 vs ${exactP50(src)}")
+      assert(math.abs(a90 - exactP90(src)).toDouble <= 0.10 * exactP90(src), s"$src p90: $a90 vs ${exactP90(src)}")
+    }
+  }
+
+  test("heavy hitters: count-min sketch estimates bound the exact counts") {
+    // the registered q_heavy_hitters is exact; this pins the
+    // documented CMS swap-in: estimate >= exact (CMS never
+    // undercounts) and <= exact + eps * total-token-mass at the
+    // sketch's stated eps = 0.001, per language.
+    val toks = graft.tables.TestTables.documents(spark, "/root/testdata/sf0.01")
+      .select(col("lang"), explode(TextStats.tokens(col("text"))).as("tok"))
+      .localCheckpoint(false)
+    val exactTop = toks.groupBy("lang", "tok").agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lang")).orderBy(col("n").desc, col("tok"))))
+      .filter(col("rk") <= 5)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val totals = toks.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sketches = toks.groupBy("lang")
+      .agg(expr("count_min_sketch(tok, 0.001d, 0.99d, 42)").as("cms"))
+      .collect().map { r =>
+        r.getString(0) -> org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+      }.toMap
+    exactTop.foreach { case ((lang, tok), n) =>
+      val est = sketches(lang).estimateCount(tok)
+      assert(est >= n, s"$lang/$tok: CMS undercounted $est < $n")
+      assert(est <= n + math.max(1L, (0.001 * totals(lang)).ceil.toLong), s"$lang/$tok: $est vs $n")
+    }
+  }
+
   test("dedup clusters: canonical docs are cluster minima covering all docs") {
     val out = graft.queries.Registry.byName("q_dedup_clusters").run(spark, sf001).collect()
     assert(out.length == 500)

@@ -2,9 +2,12 @@ package graft.queries
 
 import graft.SparkSpec
 
-/** Plan-quality assertions for the round-3 query surface: the scale
+/** Plan-quality assertions over the full query registry: the scale
   * properties SURVEY §8.4 claims must be visible in the physical
-  * plan, not just argued.
+  * plan, not just argued. The no-cartesian sweep runs on every
+  * registered query (`Registry.all`), so new rounds are covered
+  * automatically; the shape assertions below pin the specific plans
+  * the 100 TB story depends on.
   */
 class PlanAuditSpec extends SparkSpec {
 
@@ -33,5 +36,23 @@ class PlanAuditSpec extends SparkSpec {
   test("discrete sync is one full-outer join per level (no extra shuffle of the fact side)") {
     val p = plan("q_discrete_sync")
     assert(p.contains("FullOuter"), p)
+  }
+
+  test("tfidf keeps the df side broadcast — the corpus never shuffles by term") {
+    val p = plan("q_tfidf")
+    assert(p.contains("BroadcastHashJoin"), s"df join must broadcast:\n$p")
+  }
+
+  test("contamination screens via a broadcast semi join of the eval shingle set") {
+    val p = plan("q_contamination")
+    assert(
+      p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"eval shingles must reach the train side as a broadcast semi filter:\n$p"
+    )
+  }
+
+  test("the e2e lifecycle slice broadcasts its dimension sides (corrections, watermark)") {
+    val p = plan("q_daily_update_e2e")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
   }
 }
