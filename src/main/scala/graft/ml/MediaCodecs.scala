@@ -1,0 +1,180 @@
+package graft.ml
+
+import java.awt.RenderingHints
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+/** Real media codecs on the pure-JDK `javax.imageio` /
+  * `javax.sound.sampled` stacks (java.desktop module — no external
+  * libraries): PNG/JPEG/BMP/GIF image decode, headless bilinear
+  * resize, and 16-bit PCM WAV decode. These replace the byte-level
+  * stub decoder for the image and audio legs of the multimodal
+  * pipeline (reference: R/insertACImage.R stores and serves the same
+  * payloads via magick); video decode stays behind the documented
+  * stub — no container/codec support ships with the JDK.
+  *
+  * Everything here is driver/executor-local scalar code invoked from
+  * `mapPartitions` (see [[Multimodal]]): payloads are decoded where
+  * they are read and only fixed-width feature projections move on, so
+  * none of this shuffles binary data at 100 TB.
+  *
+  * All entry points are total: undecodable bytes yield `None`, never
+  * an exception, so a corrupt blob cannot kill a 1000-executor stage.
+  */
+object MediaCodecs {
+
+  // ImageIO defaults to spilling through temp files; decode fully
+  // in-memory (payloads arrive as byte arrays anyway) and never touch
+  // the display pipeline.
+  System.setProperty("java.awt.headless", "true")
+  ImageIO.setUseCache(false)
+
+  /** Per-image decoded features: dimensions plus exact per-channel
+    * pixel sums (sRGB). Sums rather than means so integer arithmetic
+    * stays exact end-to-end (oracle-hashable).
+    */
+  final case class ImageFeatures(
+      width: Int,
+      height: Int,
+      sumR: Long,
+      sumG: Long,
+      sumB: Long
+  )
+
+  /** Decode any ImageIO-supported format (PNG/JPEG/BMP/GIF/WBMP).
+    * Returns None for unrecognized or truncated payloads.
+    */
+  def decodeImage(bytes: Array[Byte]): Option[ImageFeatures] =
+    readImage(bytes).map { img =>
+      val w = img.getWidth
+      val h = img.getHeight
+      var r = 0L; var g = 0L; var b = 0L
+      val row = new Array[Int](w)
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, row, 0, w)
+        var x = 0
+        while (x < w) {
+          val p = row(x)
+          r += (p >>> 16) & 0xff
+          g += (p >>> 8) & 0xff
+          b += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      ImageFeatures(w, h, r, g, b)
+    }
+
+  /** Decode + bilinear resize to (w, h), re-encoded as PNG. Headless
+    * Graphics2D — no display needed.
+    */
+  def resizeImage(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+    require(w > 0 && h > 0)
+    readImage(bytes).map { src =>
+      val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val g2 = dst.createGraphics()
+      try {
+        g2.setRenderingHint(
+          RenderingHints.KEY_INTERPOLATION,
+          RenderingHints.VALUE_INTERPOLATION_BILINEAR
+        )
+        g2.drawImage(src, 0, 0, w, h, null)
+      } finally g2.dispose()
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(dst, "png", bos)
+      bos.toByteArray
+    }
+  }
+
+  /** Encode a procedural RGB image (pixel (x, y) = `rgb(x, y)` packed
+    * 0xRRGGBB) in any ImageIO-writable format. PNG is lossless, so an
+    * encode/decode round trip through [[decodeImage]] reproduces the
+    * exact pixel sums — the fixture generator for the codec oracles.
+    */
+  def encodeImage(width: Int, height: Int, rgb: (Int, Int) => Int, format: String = "png"): Array[Byte] = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y, rgb(x, y) & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, format, bos)
+    bos.toByteArray
+  }
+
+  private def readImage(bytes: Array[Byte]): Option[BufferedImage] =
+    try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+    catch { case _: java.io.IOException => None }
+
+  /** Per-clip decoded features: format metadata plus exact integer
+    * sample aggregates (16-bit PCM values in [-32768, 32767]).
+    */
+  final case class WavFeatures(
+      sampleRate: Int,
+      nSamples: Long,
+      sumSamples: Long,
+      peakAbs: Int
+  )
+
+  /** Decode a RIFF/WAVE payload (16-bit signed PCM, any channel
+    * count — frames are summed across channels sample-by-sample).
+    * Returns None for non-WAV bytes or unsupported sample widths.
+    */
+  def decodeWav(bytes: Array[Byte]): Option[WavFeatures] =
+    try {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED)
+          None
+        else {
+          val data = ais.readAllBytes()
+          val le = !fmt.isBigEndian
+          var i = 0
+          var n = 0L; var sum = 0L; var peak = 0
+          while (i + 1 < data.length) {
+            val lo = data(i) & 0xff
+            val hi = data(i + 1) & 0xff
+            val s = (if (le) (hi << 8) | lo else (lo << 8) | hi).toShort.toInt
+            n += 1
+            sum += s
+            val a = math.abs(s)
+            if (a > peak) peak = a
+            i += 2
+          }
+          Some(WavFeatures(fmt.getSampleRate.round, n, sum, peak))
+        }
+      } finally ais.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException                               => None
+    }
+
+  /** Encode mono 16-bit PCM samples as a WAV container — the fixture
+    * generator for the audio oracle (WAV PCM is lossless, so decode
+    * reproduces the exact samples).
+    */
+  def encodeWav(samples: Array[Short], sampleRate: Float): Array[Byte] = {
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new ByteArrayOutputStream()
+    try AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    finally ais.close()
+    bos.toByteArray
+  }
+}

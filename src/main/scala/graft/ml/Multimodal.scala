@@ -7,17 +7,22 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed in partition-local batches.
   *
-  * The actual media decode (JPEG/wav/frame-sample) is STUBBED — the
-  * decode libraries are not in this container — behind the
-  * `MediaDecoder` trait; `DeterministicStubDecoder` computes real
-  * byte-level features (length, first byte, md5-derived checksum) so
-  * the Spark-side plumbing (schema, batching, partitioning, feature
-  * schema) is fully real and oracle-testable.
+  * Image (PNG/JPEG/BMP/GIF) and audio (16-bit PCM WAV) decode is REAL
+  * — pure-JDK codecs via [[MediaCodecs]] (`javax.imageio` /
+  * `javax.sound.sampled`): see [[imageFeatures]], [[audioFeatures]],
+  * [[resizeImages]]. Only VIDEO decode remains stubbed behind the
+  * `MediaDecoder` trait (no container/codec support ships with the
+  * JDK); `DeterministicStubDecoder` computes real byte-level features
+  * (length, first byte, md5-derived checksum) so the video plumbing
+  * (schema, batching, partitioning, feature schema) stays real and
+  * oracle-testable.
   *
   * Scale: `mapPartitions` keeps decode batched and partition-local
   * (the PySpark equivalent is `mapInPandas` with an Arrow batch per
   * call); binary payloads never shuffle — features are extracted at
   * scan time and only the (id, features) projection moves on.
+  * Undecodable payloads surface as NULL-feature rows, never silent
+  * drops and never stage-killing exceptions.
   */
 object Multimodal {
 
@@ -109,6 +114,79 @@ object Multimodal {
       it.map { r =>
         val bytes = r.getAs[Array[Byte]](1)
         Row(r.getLong(0), java.util.Arrays.copyOf(bytes, targetBytes))
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** REAL image decode over a binary column (PNG/JPEG/BMP/GIF via
+    * `javax.imageio`): output (idCol, width, height, sum_r, sum_g,
+    * sum_b) with exact per-channel pixel sums. Undecodable payloads
+    * keep their row with NULL features.
+    */
+  def imageFeatures(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val schema = StructType(
+      Seq(
+        StructField(idCol, LongType, nullable = false),
+        StructField("width", IntegerType, nullable = true),
+        StructField("height", IntegerType, nullable = true),
+        StructField("sum_r", LongType, nullable = true),
+        StructField("sum_g", LongType, nullable = true),
+        StructField("sum_b", LongType, nullable = true)
+      )
+    )
+    val prepared = df.select(col(idCol).cast(LongType), col(binCol).cast(BinaryType))
+    prepared.mapPartitions { it =>
+      it.map { r =>
+        MediaCodecs.decodeImage(r.getAs[Array[Byte]](1)) match {
+          case Some(f) => Row(r.getLong(0), f.width, f.height, f.sumR, f.sumG, f.sumB)
+          case None    => Row(r.getLong(0), null, null, null, null, null)
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** REAL audio decode over a binary column (16-bit PCM WAV via
+    * `javax.sound.sampled`): output (idCol, sample_rate, n_samples,
+    * sum_samples, peak_abs) with exact integer sample aggregates.
+    * Undecodable payloads keep their row with NULL features.
+    */
+  def audioFeatures(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val schema = StructType(
+      Seq(
+        StructField(idCol, LongType, nullable = false),
+        StructField("sample_rate", IntegerType, nullable = true),
+        StructField("n_samples", LongType, nullable = true),
+        StructField("sum_samples", LongType, nullable = true),
+        StructField("peak_abs", IntegerType, nullable = true)
+      )
+    )
+    val prepared = df.select(col(idCol).cast(LongType), col(binCol).cast(BinaryType))
+    prepared.mapPartitions { it =>
+      it.map { r =>
+        MediaCodecs.decodeWav(r.getAs[Array[Byte]](1)) match {
+          case Some(f) => Row(r.getLong(0), f.sampleRate, f.nSamples, f.sumSamples, f.peakAbs)
+          case None    => Row(r.getLong(0), null, null, null, null)
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** REAL image resize (decode -> headless bilinear scale -> PNG
+    * re-encode) to fixed (w, h) — the production form of
+    * [[resizeStub]]. Undecodable payloads keep their row with a NULL
+    * media column.
+    */
+  def resizeImages(df: DataFrame, idCol: String, binCol: String, w: Int, h: Int): DataFrame = {
+    val schema = StructType(
+      Seq(
+        StructField(idCol, LongType, nullable = false),
+        StructField("media", BinaryType, nullable = true)
+      )
+    )
+    val prepared = df.select(col(idCol).cast(LongType), col(binCol).cast(BinaryType))
+    prepared.mapPartitions { it =>
+      it.map { r =>
+        Row(r.getLong(0), MediaCodecs.resizeImage(r.getAs[Array[Byte]](1), w, h).orNull)
       }
     }(Encoders.row(schema))
   }

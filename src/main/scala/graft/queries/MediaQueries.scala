@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ml.{MediaCodecs, Multimodal}
+import graft.tables.TestTables
+
+/** Real-codec media queries: each one synthesizes a procedural
+  * image/audio payload per document, round-trips it through the REAL
+  * pure-JDK codec ([[graft.ml.MediaCodecs]] — `javax.imageio` /
+  * `javax.sound.sampled`), and emits exact integer pixel/sample
+  * aggregates of the DECODED output. Because the fixture content is a
+  * closed-form integer function of `doc_id` and the codecs are
+  * lossless (PNG, PCM WAV), DuckDB can compute the expected
+  * aggregates arithmetically — a full hash check of a real
+  * encode->decode cycle with no codec on the oracle side.
+  *
+  * Reference anchor: R/insertACImage.R:1-120 decodes/normalizes
+  * station images with magick before storing; these queries prove the
+  * Spark-side equivalent (decode + resize + feature extraction at
+  * scan time, partition-local, binary never shuffled).
+  */
+object MediaQueries {
+
+  private val ImgW = 16
+  private val ImgH = 12
+  private val OutW = 8
+  private val OutH = 6
+  private val NSamples = 256
+  private val SampleRate = 8000f
+
+  private val mediaSchema = StructType(
+    Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("media", BinaryType, nullable = false)
+    )
+  )
+
+  /** One 16x12 PNG per doc: pixel (x, y) channels are small-prime
+    * linear mixes of (doc_id, x, y) mod 256 — a gradient, so decode
+    * sums exercise every pixel position distinctly.
+    */
+  private def gradientImages(s: SparkSession, d: String): DataFrame = {
+    val ids = TestTables.documents(s, d).select(col("doc_id").cast(LongType))
+    ids.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val png = MediaCodecs.encodeImage(
+          ImgW,
+          ImgH,
+          (x, y) => {
+            val rr = ((id * 7 + x * 13 + y * 31) % 256).toInt
+            val gg = ((id * 11 + x * 3 + y * 17) % 256).toInt
+            val bb = ((id * 5 + x * 19 + y * 23) % 256).toInt
+            (rr << 16) | (gg << 8) | bb
+          }
+        )
+        Row(id, png)
+      }
+    }(Encoders.row(mediaSchema))
+  }
+
+  /** One constant-color 16x12 PNG per doc — bilinear interpolation of
+    * equal values is exact, so the resized image's sums stay in
+    * closed form (verified exhaustively in MediaCodecsSpec).
+    */
+  private def flatImages(s: SparkSession, d: String): DataFrame = {
+    val ids = TestTables.documents(s, d).select(col("doc_id").cast(LongType))
+    ids.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val rr = ((id * 7) % 256).toInt
+        val gg = ((id * 11) % 256).toInt
+        val bb = ((id * 5) % 256).toInt
+        Row(id, MediaCodecs.encodeImage(ImgW, ImgH, (_, _) => (rr << 16) | (gg << 8) | bb))
+      }
+    }(Encoders.row(mediaSchema))
+  }
+
+  /** One 256-sample mono WAV per doc: sample i is a sawtooth
+    * `(doc_id*31 + i*7) % 4096 - 2048` — integer-valued 16-bit PCM,
+    * losslessly recoverable.
+    */
+  private def sawtoothWavs(s: SparkSession, d: String): DataFrame = {
+    val ids = TestTables.documents(s, d).select(col("doc_id").cast(LongType))
+    ids.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val samples = Array.tabulate(NSamples)(i => ((id * 31 + i * 7) % 4096 - 2048).toShort)
+        Row(id, MediaCodecs.encodeWav(samples, SampleRate))
+      }
+    }(Encoders.row(mediaSchema))
+  }
+
+  /** PNG encode -> ImageIO decode -> exact per-channel pixel sums. */
+  private def imageDecode(s: SparkSession, d: String): DataFrame =
+    Multimodal
+      .imageFeatures(gradientImages(s, d), "doc_id", "media")
+      .orderBy(col("doc_id"))
+
+  private val imageDecodeSql =
+    s"""WITH px AS (
+       |  SELECT doc_id, x, y
+       |  FROM documents,
+       |       LATERAL (SELECT unnest(range(0, $ImgW)) AS x),
+       |       LATERAL (SELECT unnest(range(0, $ImgH)) AS y)
+       |)
+       |SELECT doc_id,
+       |       CAST($ImgW AS INT) AS width,
+       |       CAST($ImgH AS INT) AS height,
+       |       CAST(SUM((doc_id * 7 + x * 13 + y * 31) % 256) AS BIGINT) AS sum_r,
+       |       CAST(SUM((doc_id * 11 + x * 3 + y * 17) % 256) AS BIGINT) AS sum_g,
+       |       CAST(SUM((doc_id * 5 + x * 19 + y * 23) % 256) AS BIGINT) AS sum_b
+       |FROM px
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  /** PNG encode -> decode -> REAL bilinear resize (16x12 -> 8x6) ->
+    * PNG re-encode -> decode: two full codec cycles plus Java2D
+    * scaling, with closed-form expected sums (constant-color input).
+    */
+  private def imageResize(s: SparkSession, d: String): DataFrame = {
+    val resized = Multimodal.resizeImages(flatImages(s, d), "doc_id", "media", OutW, OutH)
+    Multimodal
+      .imageFeatures(resized, "doc_id", "media")
+      .orderBy(col("doc_id"))
+  }
+
+  private val imageResizeSql =
+    s"""SELECT doc_id,
+       |       CAST($OutW AS INT) AS width,
+       |       CAST($OutH AS INT) AS height,
+       |       CAST(${OutW * OutH} * ((doc_id * 7) % 256) AS BIGINT) AS sum_r,
+       |       CAST(${OutW * OutH} * ((doc_id * 11) % 256) AS BIGINT) AS sum_g,
+       |       CAST(${OutW * OutH} * ((doc_id * 5) % 256) AS BIGINT) AS sum_b
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  /** WAV encode -> javax.sound decode -> exact sample aggregates. */
+  private def audioDecode(s: SparkSession, d: String): DataFrame =
+    Multimodal
+      .audioFeatures(sawtoothWavs(s, d), "doc_id", "media")
+      .orderBy(col("doc_id"))
+
+  private val audioDecodeSql =
+    s"""WITH smp AS (
+       |  SELECT doc_id, (doc_id * 31 + i * 7) % 4096 - 2048 AS s
+       |  FROM documents,
+       |       LATERAL (SELECT unnest(range(0, $NSamples)) AS i)
+       |)
+       |SELECT doc_id,
+       |       CAST(${SampleRate.toInt} AS INT) AS sample_rate,
+       |       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       |       CAST(SUM(s) AS BIGINT) AS sum_samples,
+       |       CAST(MAX(ABS(s)) AS INT) AS peak_abs
+       |FROM smp
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_image_decode", imageDecode, Some(imageDecodeSql)),
+    QueryDef("q_image_resize", imageResize, Some(imageResizeSql)),
+    QueryDef("q_audio_decode", audioDecode, Some(audioDecodeSql))
+  )
+}

@@ -1,0 +1,146 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Real pure-JDK media codecs: lossless round trips (PNG, PCM WAV)
+  * are exact; lossy/indexed formats (JPEG, GIF) are decoded and
+  * bounded; corrupt payloads surface as NULL-feature rows rather than
+  * exceptions or silent drops.
+  */
+class MediaCodecsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def gradient(id: Long)(x: Int, y: Int): Int = {
+    val r = ((id * 7 + x * 13 + y * 31) % 256).toInt
+    val g = ((id * 11 + x * 3 + y * 17) % 256).toInt
+    val b = ((id * 5 + x * 19 + y * 23) % 256).toInt
+    (r << 16) | (g << 8) | b
+  }
+
+  private def expectedSums(id: Long, w: Int, h: Int): (Long, Long, Long) = {
+    var r = 0L; var g = 0L; var b = 0L
+    for (x <- 0 until w; y <- 0 until h) {
+      val p = gradient(id)(x, y)
+      r += (p >>> 16) & 0xff
+      g += (p >>> 8) & 0xff
+      b += p & 0xff
+    }
+    (r, g, b)
+  }
+
+  test("PNG round trip reproduces exact pixel sums") {
+    val bytes = MediaCodecs.encodeImage(16, 12, gradient(42))
+    val f = MediaCodecs.decodeImage(bytes).get
+    val (r, g, b) = expectedSums(42, 16, 12)
+    assert(f.width == 16 && f.height == 12)
+    assert((f.sumR, f.sumG, f.sumB) == ((r, g, b)))
+  }
+
+  test("BMP round trip is also lossless; JPEG decodes with bounded error") {
+    val bmp = MediaCodecs.encodeImage(16, 12, gradient(7), format = "bmp")
+    val fb = MediaCodecs.decodeImage(bmp).get
+    val (r, g, b) = expectedSums(7, 16, 12)
+    assert((fb.sumR, fb.sumG, fb.sumB) == ((r, g, b)))
+
+    val jpg = MediaCodecs.encodeImage(16, 12, gradient(7), format = "jpg")
+    val fj = MediaCodecs.decodeImage(jpg).get
+    assert(fj.width == 16 && fj.height == 12)
+    // lossy: per-channel mean must stay within ~16/255 of the source
+    val n = 16 * 12
+    assert(math.abs(fj.sumR - r) <= 16L * n)
+    assert(math.abs(fj.sumG - g) <= 16L * n)
+    assert(math.abs(fj.sumB - b) <= 16L * n)
+  }
+
+  test("bilinear resize of a constant-color image is exactly value-preserving") {
+    // exhaustive over every channel value an oracle fixture can take
+    for (id <- 0L until 256L) {
+      val c = (id * 7 % 256).toInt
+      val bytes = MediaCodecs.encodeImage(16, 12, (_, _) => (c << 16) | (c << 8) | c)
+      val out = MediaCodecs.resizeImage(bytes, 8, 6).get
+      val f = MediaCodecs.decodeImage(out).get
+      assert(f.width == 8 && f.height == 6)
+      assert(f.sumR == 48L * c && f.sumG == 48L * c && f.sumB == 48L * c, s"channel $c")
+    }
+  }
+
+  test("resize of a gradient keeps dimensions and approximate brightness") {
+    val bytes = MediaCodecs.encodeImage(32, 24, gradient(3))
+    val f = MediaCodecs.decodeImage(MediaCodecs.resizeImage(bytes, 16, 12).get).get
+    assert(f.width == 16 && f.height == 12)
+    val (r, _, _) = expectedSums(3, 32, 24)
+    val srcMeanR = r.toDouble / (32 * 24)
+    val dstMeanR = f.sumR.toDouble / (16 * 12)
+    assert(math.abs(srcMeanR - dstMeanR) < 24.0) // interpolation, not garbage
+  }
+
+  test("WAV round trip reproduces exact 16-bit PCM samples") {
+    val samples = Array.tabulate(256)(i => ((31L * 9 + i * 7) % 4096 - 2048).toShort)
+    val bytes = MediaCodecs.encodeWav(samples, 8000f)
+    val f = MediaCodecs.decodeWav(bytes).get
+    assert(f.sampleRate == 8000)
+    assert(f.nSamples == 256L)
+    assert(f.sumSamples == samples.map(_.toLong).sum)
+    assert(f.peakAbs == samples.map(s => math.abs(s.toInt)).max)
+  }
+
+  test("corrupt payloads yield None, not exceptions") {
+    assert(MediaCodecs.decodeImage("not an image".getBytes).isEmpty)
+    assert(MediaCodecs.decodeImage(Array.emptyByteArray).isEmpty)
+    assert(MediaCodecs.resizeImage("nope".getBytes, 4, 4).isEmpty)
+    assert(MediaCodecs.decodeWav("not audio".getBytes).isEmpty)
+    assert(MediaCodecs.decodeWav(Array.emptyByteArray).isEmpty)
+    // truncated PNG: valid signature, sliced body
+    val png = MediaCodecs.encodeImage(16, 12, gradient(1))
+    assert(MediaCodecs.decodeImage(png.take(20)).isEmpty)
+  }
+
+  test("Multimodal.imageFeatures keeps undecodable rows with NULL features") {
+    val ok = MediaCodecs.encodeImage(4, 4, (_, _) => 0x804020)
+    val df = Seq((1L, ok), (2L, "garbage".getBytes)).toDF("doc_id", "media")
+    val rows = Multimodal
+      .imageFeatures(df, "doc_id", "media")
+      .orderBy("doc_id")
+      .collect()
+    assert(rows.length == 2)
+    assert(rows(0) == Row(1L, 4, 4, 16L * 0x80, 16L * 0x40, 16L * 0x20))
+    assert(rows(1).getLong(0) == 2L && rows(1).isNullAt(1) && rows(1).isNullAt(3))
+  }
+
+  test("Multimodal.audioFeatures keeps undecodable rows with NULL features") {
+    val ok = MediaCodecs.encodeWav(Array.tabulate(8)(i => (i * 100).toShort), 16000f)
+    val df = Seq((1L, ok), (2L, Array[Byte](1, 2, 3))).toDF("doc_id", "media")
+    val rows = Multimodal
+      .audioFeatures(df, "doc_id", "media")
+      .orderBy("doc_id")
+      .collect()
+    assert(rows(0) == Row(1L, 16000, 8L, (0 until 8).map(_ * 100L).sum, 700))
+    assert(rows(1).getLong(0) == 2L && rows(1).isNullAt(1))
+  }
+
+  test("stereo WAV decodes: frames sum across channels") {
+    // hand-build interleaved stereo PCM through the AudioSystem writer
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    val left = Array[Short](100, 200, 300)
+    val right = Array[Short](-50, -100, -150)
+    val pcm = new Array[Byte](12)
+    for (i <- 0 until 3) {
+      pcm(4 * i) = (left(i) & 0xff).toByte
+      pcm(4 * i + 1) = ((left(i) >> 8) & 0xff).toByte
+      pcm(4 * i + 2) = (right(i) & 0xff).toByte
+      pcm(4 * i + 3) = ((right(i) >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 2, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, 3)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    val f = MediaCodecs.decodeWav(bos.toByteArray).get
+    assert(f.nSamples == 6L)
+    assert(f.sumSamples == (left ++ right).map(_.toLong).sum)
+    assert(f.peakAbs == 300)
+  }
+}
