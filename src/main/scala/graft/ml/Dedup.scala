@@ -420,4 +420,125 @@ object Dedup {
       graft.functions.SimHash64.simhash64(TextStats.tokens(col(textCol))).as("simhash")
     )
   }
+
+  /** SemDeDup-style embedding near-dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): assign every embedding to its nearest coarse
+    * centroid, then mark within-cluster cosine near-duplicates.
+    * Output: (idCol, cluster, kept) for EVERY input row.
+    *
+    * Deviation from the paper, for engine-stable determinism: the
+    * paper keeps the cluster member with the lowest centroid
+    * similarity per epsilon-ball; here a row is dropped iff a
+    * SMALLER-ID row in the same cluster is within `threshold` — the
+    * keep-min-id convention used across this repo's dedup family.
+    *
+    * Scale: this is the whole point of SemDeDup — candidate pairs are
+    * bounded to within-cluster, never corpus-wide all-pairs. The pair
+    * join shuffles on cluster id (one partition per inverted list,
+    * the same sharding as [[Similarity.ivfTopK]]'s index); at 100 TB
+    * the codebook is thousands of k-means centroids fit offline and
+    * broadcast, so per-cluster candidate sets stay small and skew is
+    * bounded by cluster granularity. Here the codebook is the
+    * deterministic unit-vector family so a SQL oracle can recompute
+    * the full pipeline.
+    */
+  def semDedup(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nCentroids: Int = 16,
+      seed: Long = 7L,
+      dim: Int = 64
+  ): DataFrame = {
+    import graft.functions.VectorOps
+    VectorOps.register(emb.sparkSession)
+    val centroids = Similarity.normalizedCentroids(nCentroids, dim, seed)
+    val ranked = sort_array(
+      array(centroids.zipWithIndex.map { case (c, i) =>
+        struct(VectorOps.dot(col("nv"), array(c.map(lit): _*)).as("s"), lit(i).as("c"))
+      }: _*),
+      asc = false
+    )
+    // one materialization feeds the a-side, b-side and the flag-back
+    // join — without it the normalize+assign scan runs three times
+    val e = Similarity
+      .normalizedVecs(emb, idCol, vecCol)
+      .withColumn("cluster", ranked.getItem(0).getField("c"))
+      .localCheckpoint(false)
+    val a = e.select(col("cluster"), col("id").as("a_id"), col("nv").as("va"))
+    val b = e.select(col("cluster"), col("id").as("b_id"), col("nv").as("vb"))
+    val dupIds = a
+      .join(b, Seq("cluster"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(VectorOps.dot(col("va"), col("vb")) >= threshold)
+      .select(col("b_id").as("id"))
+      .distinct()
+    e.select(col("id"), col("cluster"))
+      .join(dupIds.withColumn("dup", lit(true)), Seq("id"), "left")
+      .select(col("id").as(idCol), col("cluster"), col("dup").isNull.as("kept"))
+  }
+
+  /** Incremental [[semDedup]]: flag each INCOMING embedding that is a
+    * semantic near-dup (cosine >= threshold) of any CORPUS embedding
+    * in the same cluster — the new-crawl-vs-corpus screening shape of
+    * [[simHashIncremental]], for embeddings instead of token hashes.
+    * Output: (idCol, cluster, is_dup) for EVERY incoming row,
+    * including rows whose cluster holds no corpus vectors.
+    *
+    * Scale: the corpus side's (id, normalized vec, cluster) is a
+    * precomputable projection — at 100 TB it is written once,
+    * bucketed by cluster, and only the new batch (orders of magnitude
+    * smaller) is normalized and assigned per run; the join touches
+    * only the incoming batch's clusters (cluster-key equi join, so
+    * partition pruning on a cluster-bucketed corpus table applies).
+    * Incoming-vs-incoming pairs are NOT flagged here — run
+    * [[semDedup]] on the accepted batch afterwards, exactly like the
+    * SimHash incremental path.
+    */
+  def semDedupIncremental(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      incomingPred: Column,
+      threshold: Double,
+      nCentroids: Int = 16,
+      seed: Long = 7L,
+      dim: Int = 64
+  ): DataFrame = {
+    import graft.functions.VectorOps
+    VectorOps.register(emb.sparkSession)
+    val centroids = Similarity.normalizedCentroids(nCentroids, dim, seed)
+    val ranked = sort_array(
+      array(centroids.zipWithIndex.map { case (c, i) =>
+        struct(VectorOps.dot(col("nv"), array(c.map(lit): _*)).as("s"), lit(i).as("c"))
+      }: _*),
+      asc = false
+    )
+    val assigned = emb
+      .select(
+        col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("vd"),
+        incomingPred.as("__incoming")
+      )
+      .withColumn("norm", sqrt(VectorOps.dot(col("vd"), col("vd"))))
+      .withColumn("nv", transform(col("vd"), x => x / col("norm")))
+      .withColumn("cluster", ranked.getItem(0).getField("c"))
+      .select("id", "nv", "cluster", "__incoming")
+      .localCheckpoint(false)
+    val incoming = assigned.filter(col("__incoming"))
+    val corpus = assigned
+      .filter(!col("__incoming"))
+      .select(col("cluster"), col("nv").as("cv"))
+    val dupIds = incoming
+      .select(col("cluster"), col("id"), col("nv"))
+      .join(corpus, Seq("cluster"))
+      .filter(VectorOps.dot(col("nv"), col("cv")) >= threshold)
+      .select("id")
+      .distinct()
+    incoming
+      .select(col("id"), col("cluster"))
+      .join(dupIds.withColumn("dup", lit(true)), Seq("id"), "left")
+      .select(col("id").as(idCol), col("cluster"), col("dup").isNotNull.as("is_dup"))
+  }
 }

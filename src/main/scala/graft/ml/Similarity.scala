@@ -219,7 +219,7 @@ object Similarity {
   /** id + L2-normalized double vector; the norm is materialized as its
     * own column so it is computed once per row, not once per element.
     */
-  private def normalizedVecs(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+  private[ml] def normalizedVecs(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
     emb
       .select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
       .withColumn("norm", sqrt(VectorOps.dot(col("v"), col("v"))))

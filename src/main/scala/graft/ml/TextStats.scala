@@ -83,4 +83,43 @@ object TextStats {
           (lit(1.0) - least(lit(1.0), (punct.cast("double") / greatest(nChars, lit(1))) * 10.0)) * 0.3
       )
   }
+
+  /** PII patterns, written to behave identically under java.util.regex
+    * (Spark codegen) and RE2 (DuckDB): no lookaround, no backrefs, no
+    * ambiguous alternation — leftmost match and greedy quantifiers
+    * agree in both engines for these shapes. `\b` is the ASCII word
+    * boundary in both.
+    */
+  val EmailPattern = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val Ipv4Pattern = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+  val PhonePattern = """\b\d{3}-\d{3}-\d{4}\b"""
+
+  /** PII detection + redaction over a text column: per-row match
+    * counts for emails / IPv4 addresses / NANP-style phone numbers,
+    * plus the text with every match replaced by a typed tag. Order
+    * matters — emails are redacted first so an address-with-digits
+    * host can't be re-matched as an IP fragment.
+    *
+    * Pure codegen'd projection (regexp_extract_all/regexp_replace) —
+    * zero shuffles, runs map-side at scan speed at 100 TB; a training
+    * pipeline puts this between quality filtering and packing.
+    */
+  def piiScan(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col(idCol),
+      size(regexp_extract_all(t, lit(EmailPattern), lit(0))).as("n_emails"),
+      size(regexp_extract_all(t, lit(Ipv4Pattern), lit(0))).as("n_ips"),
+      size(regexp_extract_all(t, lit(PhonePattern), lit(0))).as("n_phones"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, EmailPattern, "[EMAIL]"),
+          Ipv4Pattern,
+          "[IP]"
+        ),
+        PhonePattern,
+        "[PHONE]"
+      ).as("redacted")
+    )
+  }
 }

@@ -177,23 +177,22 @@ object CorpusQueries {
 
   /** Train/eval contamination: the fraction of each training doc's
     * distinct 3-gram shingles that also occur in the (broadcast-small)
-    * eval split. The eval shingle set is a broadcast semi-join — the
-    * 100 TB shape is a map-side bloom/semi filter, never a shuffle of
-    * the training corpus by shingle.
+    * eval split. The eval shingle set reaches the train side as a
+    * broadcast hit-marker left join — the 100 TB shape is a map-side
+    * bloom/semi filter, never a shuffle of the training corpus by
+    * shingle — and BOTH per-doc counts (total, overlapping) come out
+    * of ONE doc_id aggregation (count + conditional count), not two
+    * aggregations stitched by a join.
     */
   private def contamination(s: SparkSession, d: String): DataFrame = {
     val sh =
       Dedup.shingles(TestTables.documents(s, d), "doc_id", "text", 3).localCheckpoint(false)
     val evalSh = sh.filter(col("doc_id") % 50 === 0).select("shingle").distinct()
     val train = sh.filter(col("doc_id") % 50 =!= 0)
-    val sizes = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val overlap = train
-      .join(broadcast(evalSh), Seq("shingle"), "left_semi")
+    train
+      .join(broadcast(evalSh.withColumn("hit", lit(true))), Seq("shingle"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_overlap"))
-    sizes
-      .join(overlap, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("n_overlap"))
+      .agg(count(lit(1)).as("n_sh"), count(col("hit")).as("n_overlap"))
       .select(
         col("doc_id"),
         col("n_sh"),
@@ -576,8 +575,88 @@ object CorpusQueries {
        |FROM t GROUP BY lang
        |ORDER BY lang""".stripMargin
 
+  // ---- SemDeDup (embedding-cluster near-dedup) ---------------------
+
+  /** Semantic dedup over the embeddings table: IVF-codebook cluster
+    * assignment, then within-cluster cosine >= 0.42 marks the
+    * higher-id member as a duplicate ([[Dedup.semDedup]]). The 0.42
+    * threshold sits in a verified margin of the fixture's cosine
+    * distribution (nearest pair is >= 1.7e-4 away at every SF), so
+    * the unrounded >= filter is engine-stable.
+    */
+  private def semDedup(s: SparkSession, d: String): DataFrame =
+    graft.ml.Dedup
+      .semDedup(TestTables.embeddings(s, d), "vec_id", "embedding", threshold = 0.42)
+      .orderBy(col("vec_id"))
+
+  /** Shared oracle CTEs: normalized embeddings + nearest-centroid
+    * assignment with the deterministic IVF codebook inlined as
+    * literals (same discipline as q_ivf_clusters).
+    */
+  private lazy val ivfAsgCtes = {
+    val centroids = graft.ml.Similarity.normalizedCentroids(16, 64, 7L)
+    val structs = centroids.zipWithIndex.map { case (c, i) =>
+      val arr = c.mkString("[", ", ", "]")
+      s"{'s': list_inner_product(nv, $arr), 'c': $i}"
+    }
+    s"""e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+       |  FROM e
+       |), asg AS (
+       |  SELECT vec_id, nv,
+       |         CAST((list_max([${structs.mkString(",\n           ")}])).c AS INT) AS cluster
+       |  FROM n
+       |)""".stripMargin
+  }
+
+  private lazy val semDedupSql =
+    s"""WITH $ivfAsgCtes, dups AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE list_dot_product(a.nv, b.nv) >= 0.42
+       |)
+       |SELECT asg.vec_id, cluster,
+       |       asg.vec_id NOT IN (SELECT vec_id FROM dups) AS kept
+       |FROM asg
+       |ORDER BY asg.vec_id""".stripMargin
+
+  /** Incremental SemDeDup: vec_id % 10 < 2 plays the incoming crawl,
+    * the rest the standing corpus ([[Dedup.semDedupIncremental]]).
+    * Same 0.42 verified-margin threshold — incoming-vs-corpus pairs
+    * are a subset of the pairs the margin was measured on.
+    */
+  private def semDedupIncr(s: SparkSession, d: String): DataFrame =
+    graft.ml.Dedup
+      .semDedupIncremental(
+        TestTables.embeddings(s, d),
+        "vec_id",
+        "embedding",
+        incomingPred = col("vec_id") % 10 < 2,
+        threshold = 0.42
+      )
+      .orderBy(col("vec_id"))
+
+  private lazy val semDedupIncrSql =
+    s"""WITH $ivfAsgCtes, inc AS (
+       |  SELECT * FROM asg WHERE vec_id % 10 < 2
+       |), corp AS (
+       |  SELECT * FROM asg WHERE vec_id % 10 >= 2
+       |), dups AS (
+       |  SELECT DISTINCT i.vec_id
+       |  FROM inc i JOIN corp c ON i.cluster = c.cluster
+       |  WHERE list_dot_product(i.nv, c.nv) >= 0.42
+       |)
+       |SELECT inc.vec_id, cluster,
+       |       inc.vec_id IN (SELECT vec_id FROM dups) AS is_dup
+       |FROM inc
+       |ORDER BY inc.vec_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_dedup_clusters", dedupClusters, Some(dedupClustersSql), headline = true),
+    QueryDef("q_semdedup", semDedup, Some(semDedupSql)),
+    QueryDef("q_semdedup_incr", semDedupIncr, Some(semDedupIncrSql)),
     QueryDef("q_repetition", repetition, Some(repetitionSql)),
     QueryDef("q_contamination", contamination, Some(contaminationSql)),
     QueryDef("q_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),

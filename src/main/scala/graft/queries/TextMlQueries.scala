@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.PortableHash
-import graft.ml.{Dedup, Multimodal, Similarity, TextStats}
+import graft.ml.{Dedup, Multimodal, Similarity, TextStats, UrlFilter}
 import graft.tables.TestTables
 
 /** Training-data-pipeline operators over `documents` / `embeddings`:
@@ -653,8 +653,138 @@ object TextMlQueries {
        |FROM frames
        |ORDER BY doc_id, frame_no""".stripMargin
 
+  /** PII detection/redaction ([[TextStats.piiScan]]): deterministic
+    * PII-bearing suffixes (email / IPv4 / phone, keyed on doc_id mod
+    * classes so every count 0..1+ occurs) are appended to each doc in
+    * BOTH engines, then counts + a hash of the redacted text are
+    * compared — proving the Java-regex and RE2 matchers agree on
+    * these patterns, replacements included.
+    */
+  private def piiRedact(s: SparkSession, d: String): DataFrame = {
+    val docs = TestTables.documents(s, d)
+    val idStr = col("doc_id").cast("string")
+    val withPii = docs.withColumn(
+      "pii_text",
+      concat(
+        col("text"),
+        when(
+          col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), idStr, lit("@example.com now"))
+        ).otherwise(lit("")),
+        when(
+          col("doc_id") % 4 === 0,
+          concat(
+            lit(" from 10."),
+            (col("doc_id") % 256).cast("string"),
+            lit(".0."),
+            (col("doc_id") % 200 + 1).cast("string"),
+            lit(" logged")
+          )
+        ).otherwise(lit("")),
+        when(
+          col("doc_id") % 5 === 0,
+          concat(
+            lit(" call 555-"),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+            lit("-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")
+          )
+        ).otherwise(lit(""))
+      )
+    )
+    TextStats
+      .piiScan(withPii, "doc_id", "pii_text")
+      .select(
+        col("doc_id"),
+        col("n_emails"),
+        col("n_ips"),
+        col("n_phones"),
+        PortableHash.md5num56(col("redacted")).as("redacted_hash")
+      )
+      .orderBy(col("doc_id"))
+  }
+
+  private val piiRedactSql = {
+    val email = TextStats.EmailPattern
+    val ip = TextStats.Ipv4Pattern
+    val phone = TextStats.PhonePattern
+    val redacted =
+      s"regexp_replace(regexp_replace(regexp_replace(pii_text, '$email', '[EMAIL]', 'g'), '$ip', '[IP]', 'g'), '$phone', '[PHONE]', 'g')"
+    s"""WITH pii AS (
+       |  SELECT doc_id,
+       |         text ||
+       |         CASE WHEN doc_id % 3 = 0
+       |              THEN ' contact user' || doc_id || '@example.com now' ELSE '' END ||
+       |         CASE WHEN doc_id % 4 = 0
+       |              THEN ' from 10.' || (doc_id % 256) || '.0.' || (doc_id % 200 + 1) || ' logged'
+       |              ELSE '' END ||
+       |         CASE WHEN doc_id % 5 = 0
+       |              THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
+       |                   '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |              ELSE '' END AS pii_text
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |       CAST(len(regexp_extract_all(pii_text, '$email')) AS INT) AS n_emails,
+       |       CAST(len(regexp_extract_all(pii_text, '$ip')) AS INT) AS n_ips,
+       |       CAST(len(regexp_extract_all(pii_text, '$phone')) AS INT) AS n_phones,
+       |       ${PortableHash.md5num56Sql(redacted)} AS redacted_hash
+       |FROM pii
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** URL/domain blocklist gate ([[UrlFilter.filterByBlocklist]]):
+    * a deterministic URL (domain keyed on doc_id mod 6, two of the
+    * six domains blocklisted) is appended to each doc in BOTH
+    * engines; the Spark side extracts the host by regex, reduces to
+    * the registered domain, and broadcast-joins the blocklist.
+    */
+  private def urlFilter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val domains =
+      Seq("news.example", "blog.example", "spam.example", "docs.example", "ads.example", "wiki.example")
+    val docs = TestTables.documents(s, d).withColumn(
+      "url_text",
+      concat(
+        col("text"),
+        lit(" see https://www."),
+        element_at(array(domains.map(lit): _*), (col("doc_id") % 6).cast("int") + 1),
+        lit("/p/"),
+        col("doc_id").cast("string")
+      )
+    )
+    val blocklist = Seq("spam.example", "ads.example").toDF("domain")
+    UrlFilter
+      .filterByBlocklist(docs, "doc_id", "url_text", blocklist)
+      .orderBy(col("doc_id"))
+  }
+
+  private val urlFilterSql =
+    s"""WITH u AS (
+       |  SELECT doc_id,
+       |         text || ' see https://www.' ||
+       |         (['news.example', 'blog.example', 'spam.example',
+       |           'docs.example', 'ads.example', 'wiki.example'])[CAST(doc_id % 6 AS INT) + 1] ||
+       |         '/p/' || doc_id AS url_text
+       |  FROM documents
+       |), h AS (
+       |  SELECT doc_id, regexp_extract(url_text, '${UrlFilter.UrlPattern}', 1) AS host FROM u
+       |), d AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(string_split(host, '.')) >= 2
+       |              THEN array_to_string(list_slice(string_split(host, '.'), -2, -1), '.')
+       |              ELSE host END AS domain
+       |  FROM h
+       |)
+       |SELECT doc_id, domain,
+       |       domain NOT IN ('spam.example', 'ads.example') AS kept
+       |FROM d
+       |ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_dedup_exact", dedupExact, Some(dedupExactSql)),
+    QueryDef("q_pii_redact", piiRedact, Some(piiRedactSql)),
+    QueryDef("q_url_filter", urlFilter, Some(urlFilterSql)),
     QueryDef("q_token_stats", tokenStats, Some(tokenStatsSql)),
     QueryDef("q_quality_score", qualityScore, Some(qualityScoreSql)),
     QueryDef("q_lang_id", langId, Some(langIdSql)),

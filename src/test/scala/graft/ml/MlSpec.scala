@@ -222,4 +222,102 @@ class MlSpec extends SparkSpec {
     assert(out(1L) == ((3L, 'a'.toInt)))
     assert(out(2L) == ((0L, -1)))
   }
+
+  test("TextStats.piiScan: counts and typed redaction tags") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail bob.smith+x@sub.example.org and carol@ex.co thanks"),
+      (2L, "server at 192.168.0.1 and backup 10.0.255.3"),
+      (3L, "call 555-867-5309 or 555-123-4567 today"),
+      (4L, "no pii here, just 1.2 version and a@b (not an email)"),
+      (5L, "mixed x@y.io from 8.8.8.8 dial 555-000-1111")
+    ).toDF("doc_id", "text")
+    val out = TextStats
+      .piiScan(df, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))))
+      .toMap
+    assert(out(1L)._1 == 2 && out(1L)._4 == "mail [EMAIL] and [EMAIL] thanks")
+    assert(out(2L)._2 == 2 && out(2L)._4 == "server at [IP] and backup [IP]")
+    assert(out(3L)._3 == 2 && out(3L)._4 == "call [PHONE] or [PHONE] today")
+    assert(out(4L) == ((0, 0, 0, "no pii here, just 1.2 version and a@b (not an email)")))
+    assert(out(5L) == ((1, 1, 1, "mixed [EMAIL] from [IP] dial [PHONE]")))
+  }
+
+  test("Dedup.semDedup: within-cluster near-dups drop the higher id, across-cluster don't") {
+    // two orthogonal directions -> two clusters under any codebook;
+    // vectors 1/2 are nearly parallel (cos ~ 1), 3 is distinct in the
+    // same direction-1 halfspace is NOT a dup at 0.99; 4 lives alone.
+    def vec(primary: Int, eps: Double): Array[Float] = {
+      val v = Array.fill(64)(0.0)
+      v(primary) = 1.0
+      v((primary + 1) % 64) = eps
+      v.map(_.toFloat)
+    }
+    import spark.implicits._
+    val df = Seq(
+      (1L, vec(0, 0.0)),
+      (2L, vec(0, 0.01)), // cos vs 1 ~ 0.99995 -> dup of 1
+      (3L, vec(0, 0.9)),  // cos vs 1 ~ 0.74 -> kept
+      (4L, vec(32, 0.0))
+    ).toDF("vec_id", "embedding")
+    val out = Dedup
+      .semDedup(df, "vec_id", "embedding", threshold = 0.99)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2))))
+      .toMap
+    assert(out.size == 4)
+    assert(out(1L)._1 == out(2L)._1, "near-parallel twins share the argmax centroid")
+    assert(out(1L)._2 && !out(2L)._2, "2 is the higher-id near-parallel twin of 1")
+    assert(out(3L)._2, "cos ~0.74 below 0.99 threshold")
+    assert(out(4L)._2, "singleton cluster member")
+  }
+
+  test("Dedup.semDedupIncremental: incoming flagged only against corpus members") {
+    import spark.implicits._
+    def vec(primary: Int, eps: Double): Array[Float] = {
+      val v = Array.fill(64)(0.0)
+      v(primary) = 1.0
+      v((primary + 1) % 64) = eps
+      v.map(_.toFloat)
+    }
+    // corpus: 1 (dir 0), 2 (dir 32); incoming: 10 (twin of 1),
+    // 11 (dir 16, no corpus twin), 12 (twin of 11 — incoming-incoming
+    // pairs are NOT flagged by the incremental pass)
+    val df = Seq(
+      (1L, vec(0, 0.0)),
+      (2L, vec(32, 0.0)),
+      (10L, vec(0, 0.01)),
+      (11L, vec(16, 0.0)),
+      (12L, vec(16, 0.01))
+    ).toDF("vec_id", "embedding")
+    val out = Dedup
+      .semDedupIncremental(df, "vec_id", "embedding", col("vec_id") >= 10, threshold = 0.99)
+      .collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2))
+      .toMap
+    assert(out.keySet == Set(10L, 11L, 12L), "every incoming row surfaces, corpus rows don't")
+    assert(out(10L), "twin of a corpus vector is flagged")
+    assert(!out(11L) && !out(12L), "incoming-incoming twins are left to the batch pass")
+  }
+
+  test("UrlFilter: host extraction, registered domain, blocklist flags") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "read https://www.news.example/a/1 daily"),
+      (2L, "spam at http://tracker.spam.example/pixel now"),
+      (3L, "bare host https://localhost/admin page"),
+      (4L, "no url at all in this document")
+    ).toDF("doc_id", "text")
+    val bl = Seq("spam.example").toDF("domain")
+    val out = UrlFilter
+      .filterByBlocklist(df, "doc_id", "text", bl)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2))))
+      .toMap
+    assert(out(1L) == (("news.example", true)))
+    assert(out(2L) == (("spam.example", false)), "subdomain reduces to blocked registered domain")
+    assert(out(3L) == (("localhost", true)), "single-label host passes through unchanged")
+    assert(out(4L) == (("", true)), "no URL -> empty domain, kept")
+  }
 }

@@ -43,16 +43,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"df join must broadcast:\n$p")
   }
 
-  test("contamination screens via a broadcast semi join of the eval shingle set") {
+  test("contamination screens via a broadcast of the eval shingle set, one doc aggregation") {
     val p = plan("q_contamination")
     assert(
-      p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
-      s"eval shingles must reach the train side as a broadcast semi filter:\n$p"
+      p.contains("BroadcastHashJoin"),
+      s"eval shingles must reach the train side as a broadcast filter:\n$p"
     )
+    assert(!p.contains("SortMergeJoin"), s"the corpus must never shuffle by shingle:\n$p")
   }
 
   test("the e2e lifecycle slice broadcasts its dimension sides (corrections, watermark)") {
     val p = plan("q_daily_update_e2e")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("media codec queries are pure map-side pipelines — no joins at all") {
+    for (q <- Seq("q_image_decode", "q_image_resize", "q_audio_decode", "q_pii_redact")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must stay a scan-side projection:\n$p")
+    }
+  }
+
+  test("semdedup's pair join is equi on cluster id — never a nested-loop scan") {
+    val p = plan("q_semdedup")
+    assert(!p.contains("NestedLoop"), s"within-cluster candidates must hash-partition:\n$p")
+  }
+
+  test("url filter broadcasts the blocklist — the corpus never shuffles by domain") {
+    val p = plan("q_url_filter")
+    assert(p.contains("BroadcastHashJoin"), s"blocklist join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
   }
 }
