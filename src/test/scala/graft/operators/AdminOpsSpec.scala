@@ -103,4 +103,30 @@ class AdminOpsSpec extends SparkSpec {
     val back = spark.read.parquet(withData.tableFiles("vals"))
     assert(back.as[(Long, Double)].collect().toSeq == Seq((2L, 0.5)))
   }
+
+  test("DbDump.restore: clean round trip, schema deviations reported not thrown") {
+    val dir = java.nio.file.Files.createTempDirectory("dbrestore").toString
+    val t1 = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    val t2 = Seq((2L, 0.5)).toDF("k", "v")
+    graft.jobs.DbDump.dump(Map("orgs" -> t1, "vals" -> t2), s"$dir/full", withData = true)
+    val clean = graft.jobs.DbDump.restore(spark, s"$dir/full")
+    assert(clean.mismatches.isEmpty, clean.mismatches.mkString("; "))
+    assert(clean.tables.keySet == Set("orgs", "vals"))
+    assert(clean.tables("orgs").count() == 2 && clean.tables("vals").count() == 1)
+
+    // schema-only dump: data legs missing -> reported, no tables attached
+    graft.jobs.DbDump.dump(Map("orgs" -> t1), s"$dir/schemaonly")
+    val partial = graft.jobs.DbDump.restore(spark, s"$dir/schemaonly")
+    assert(partial.tables.isEmpty)
+    assert(partial.mismatches == Seq("orgs: no data leg in dump (schema-only)"))
+
+    // drifted data: overwrite a table dir with a different schema
+    Seq((1L, "a", true)).toDF("id", "renamed", "extra")
+      .write.mode("overwrite").parquet(s"$dir/full/orgs")
+    val drifted = graft.jobs.DbDump.restore(spark, s"$dir/full")
+    assert(drifted.tables.keySet == Set("orgs", "vals"))
+    assert(drifted.mismatches.exists(_.contains("orgs.name: in manifest, missing")))
+    assert(drifted.mismatches.exists(_.contains("orgs.extra: in parquet, not in manifest")))
+    assert(drifted.mismatches.exists(_.contains("orgs.renamed: in parquet, not in manifest")))
+  }
 }
