@@ -85,8 +85,10 @@ object DbDump {
     * every table whose parquet data leg exists, and validate the
     * on-disk schema against the manifest column-by-column (name, type,
     * manifest-nullable must admit the data). The restore-side analog
-    * of `R/db_dump.R`'s psql replay; lake-native, so "replay" is just
-    * re-attaching directories — data never moves.
+    * of `R/restore_seed_db.R:1-60`'s psql replay (which drops and
+    * recreates the target database, then replays the pg_dump SQL);
+    * lake-native, so "replay" is just re-attaching directories — data
+    * never moves.
     *
     * Deviations are REPORTED, not thrown: a restore onto a newer
     * engine (extra columns) or a partial dump (missing data leg) is a

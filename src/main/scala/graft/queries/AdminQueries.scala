@@ -385,9 +385,165 @@ object AdminQueries {
       |FROM gated
       |ORDER BY document_id""".stripMargin
 
+  // ---- discrete sample/results insertion gates ---------------------
+
+  /** addNewDiscrete over an orders-derived fixture batch
+    * ([[graft.jobs.AddDiscrete]]): every ~97th order becomes one
+    * sample with three results; the modular classes plant every
+    * sample gate (missing location/datetime/media) and result gate
+    * (unknown parameter, null result, censored-without-limit, missing
+    * fraction/speciation), matrix states default from the sample's
+    * media, and ids assign above max(existing)=1000.
+    */
+  private def addDiscrete(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = col("o_orderkey")
+    val base = TestTables.orders(s, d).filter(k % 97 === 0)
+    val samples = base.select(
+      k.as("sample_key"),
+      when(k % 7 === 0, lit(null)).otherwise(k % 50).as("location_id"),
+      when(k % 11 === 0, lit(null).cast("timestamp"))
+        .otherwise(col("o_orderdate").cast("timestamp"))
+        .as("datetime"),
+      when(k % 13 === 0, lit(null)).otherwise(k % 3 + 1).as("media_id")
+    )
+    val results = base
+      .select(k.as("sample_key"), explode(array(lit(0L), lit(1L), lit(2L))).as("r"))
+      .select(
+        col("sample_key"),
+        col("r"),
+        ((col("sample_key") / 97).cast("long") + col("r")) % 6 as "parameter_id",
+        when((col("sample_key") + col("r")) % 17 === 0, lit(null).cast("double"))
+          .otherwise((col("sample_key") % 100 + col("r")).cast("double"))
+          .as("result"),
+        lit(1L).as("result_type_id"),
+        when((col("sample_key") + col("r")) % 17 === 0 && col("r") % 2 === 1, lit(1L))
+          .as("result_condition_id"),
+        when(
+          (col("sample_key") + col("r")) % 17 === 0 && col("r") % 2 === 1 &&
+            (col("sample_key") + col("r")) % 34 =!= 0,
+          lit(0.005)
+        ).as("result_condition_value"),
+        when((col("sample_key") + col("r")) % 23 === 0, lit(null)).otherwise(lit(19L))
+          .as("sample_fraction_id"),
+        when((col("sample_key") + col("r")) % 29 === 0, lit(null)).otherwise(lit(3L))
+          .as("result_speciation_id"),
+        when((col("sample_key") + col("r")) % 31 === 0, lit(null)).otherwise(lit(7L))
+          .as("matrix_state_id")
+      )
+    val parameters = Seq(
+      (1L, false, false),
+      (2L, true, false),
+      (3L, false, true),
+      (4L, false, false)
+    ).toDF("parameter_id", "needs_fraction", "needs_speciation")
+    val mediaDefaults = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("media_id", "default_matrix_state_id")
+    val existing = Seq(Tuple1(1000L)).toDF("sample_id")
+
+    val out = graft.jobs.AddDiscrete.run(samples, results, parameters, mediaDefaults, existing)
+    val acceptedOut = out.results
+      .join(out.samples.select(col("sample_key"), col("sample_id")), Seq("sample_id"))
+      .select(
+        col("sample_key").as("src_key"),
+        col("parameter_id"),
+        lit("accepted").as("status"),
+        col("sample_id"),
+        col("result"),
+        col("matrix_state_id")
+      )
+    val resultRejectsOut = out.resultRejects.select(
+      col("sample_key").as("src_key"),
+      col("parameter_id"),
+      col("reject_reason").as("status"),
+      lit(null).cast("long").as("sample_id"),
+      lit(null).cast("double").as("result"),
+      lit(null).cast("long").as("matrix_state_id")
+    )
+    val sampleRejectsOut = out.sampleRejects.select(
+      col("sample_key").as("src_key"),
+      lit(null).cast("long").as("parameter_id"),
+      col("reject_reason").as("status"),
+      lit(null).cast("long").as("sample_id"),
+      lit(null).cast("double").as("result"),
+      lit(null).cast("long").as("matrix_state_id")
+    )
+    acceptedOut
+      .unionByName(resultRejectsOut)
+      .unionByName(sampleRejectsOut)
+      .orderBy(col("src_key"), coalesce(col("parameter_id"), lit(-1L)), col("status"))
+  }
+
+  private val addDiscreteSql =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 97 = 0
+      |), smp AS (
+      |  SELECT k AS sample_key,
+      |         CASE WHEN k % 7 = 0 THEN NULL ELSE k % 50 END AS location_id,
+      |         CASE WHEN k % 11 = 0 THEN TRUE ELSE FALSE END AS null_dt,
+      |         CASE WHEN k % 13 = 0 THEN NULL ELSE k % 3 + 1 END AS media_id
+      |  FROM base
+      |), sgated AS (
+      |  SELECT *,
+      |         CASE WHEN location_id IS NULL THEN 'missing_location'
+      |              WHEN null_dt THEN 'missing_datetime'
+      |              WHEN media_id IS NULL THEN 'missing_media'
+      |         END AS sample_reject
+      |  FROM smp
+      |), ids AS (
+      |  SELECT *,
+      |         CASE WHEN sample_reject IS NULL
+      |              THEN 1000 + row_number() OVER (
+      |                     PARTITION BY (sample_reject IS NULL) ORDER BY sample_key)
+      |         END AS sample_id
+      |  FROM sgated
+      |), res AS (
+      |  SELECT sample_key, r,
+      |         (CAST(sample_key // 97 AS BIGINT) + r) % 6 AS parameter_id,
+      |         CASE WHEN (sample_key + r) % 17 = 0 THEN NULL
+      |              ELSE CAST(sample_key % 100 + r AS DOUBLE) END AS result,
+      |         CASE WHEN (sample_key + r) % 17 = 0 AND r % 2 = 1 THEN 1 END AS cond_id,
+      |         CASE WHEN (sample_key + r) % 17 = 0 AND r % 2 = 1 AND (sample_key + r) % 34 <> 0
+      |              THEN 0.005 END AS cond_value,
+      |         CASE WHEN (sample_key + r) % 23 = 0 THEN NULL ELSE 19 END AS fraction_id,
+      |         CASE WHEN (sample_key + r) % 29 = 0 THEN NULL ELSE 3 END AS speciation_id,
+      |         CASE WHEN (sample_key + r) % 31 = 0 THEN NULL ELSE 7 END AS matrix_id
+      |  FROM smp, LATERAL (SELECT unnest([0, 1, 2]) AS r)
+      |), rgated AS (
+      |  SELECT res.*, ids.sample_id, ids.sample_reject, ids.media_id,
+      |         CASE WHEN ids.sample_reject IS NOT NULL THEN 'sample_rejected'
+      |              WHEN res.parameter_id NOT IN (1, 2, 3, 4) THEN 'unknown_parameter'
+      |              WHEN res.result IS NULL AND res.cond_id IS NULL THEN 'null_result'
+      |              WHEN res.cond_id IN (1, 2) AND res.cond_value IS NULL THEN 'missing_condition_value'
+      |              WHEN res.parameter_id = 2 AND res.fraction_id IS NULL THEN 'missing_fraction'
+      |              WHEN res.parameter_id = 3 AND res.speciation_id IS NULL THEN 'missing_speciation'
+      |         END AS result_reject
+      |  FROM res JOIN ids USING (sample_key)
+      |), accepted AS (
+      |  SELECT sample_key AS src_key, parameter_id, 'accepted' AS status, sample_id, result,
+      |         CAST(coalesce(matrix_id, media_id * 10) AS BIGINT) AS matrix_state_id
+      |  FROM rgated WHERE result_reject IS NULL
+      |), rrej AS (
+      |  SELECT sample_key AS src_key, parameter_id, result_reject AS status,
+      |         CAST(NULL AS BIGINT) AS sample_id, CAST(NULL AS DOUBLE) AS result,
+      |         CAST(NULL AS BIGINT) AS matrix_state_id
+      |  FROM rgated WHERE result_reject IS NOT NULL
+      |), srej AS (
+      |  SELECT sample_key AS src_key, CAST(NULL AS BIGINT) AS parameter_id,
+      |         sample_reject AS status, CAST(NULL AS BIGINT) AS sample_id,
+      |         CAST(NULL AS DOUBLE) AS result, CAST(NULL AS BIGINT) AS matrix_state_id
+      |  FROM sgated WHERE sample_reject IS NOT NULL
+      |)
+      |SELECT * FROM (
+      |  SELECT * FROM accepted
+      |  UNION ALL SELECT * FROM rrej
+      |  UNION ALL SELECT * FROM srej
+      |)
+      |ORDER BY src_key, coalesce(parameter_id, -1), status""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_borehole", borehole, Some(boreholeSql)),
     QueryDef("q_basin_load", basinLoad, Some(basinLoadSql)),
-    QueryDef("q_doc_update", docUpdate, Some(docUpdateSql))
+    QueryDef("q_doc_update", docUpdate, Some(docUpdateSql)),
+    QueryDef("q_add_discrete", addDiscrete, Some(addDiscreteSql))
   )
 }

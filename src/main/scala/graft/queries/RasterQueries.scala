@@ -205,10 +205,123 @@ object RasterQueries {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  /** Raster-series registration gates
+    * ([[graft.sources.RasterIngest.registerSeries]], the
+    * `addACRasterSeries` analog) over a part-derived fixture batch:
+    * the modular classes plant every reject (missing model / start /
+    * fetch fx, bad type, unknown parameter / fetch fx, multi-state
+    * ambiguity, z without units, duplicate series) and the accepted
+    * rows prove matrix-state defaulting, id seeding above
+    * max(existing), and the start_datetime watermark seed.
+    */
+  private def rasterSeries(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = col("p_partkey")
+    val incoming = TestTables.part(s, d)
+      .filter(k % 13 === 0)
+      .select(
+        k.as("src_key"),
+        when(k % 17 === 0, lit(null).cast("string"))
+          .otherwise(element_at(array(lit("ERA5"), lit("HRDPS"), lit("HRDPA"), lit("CaLDAS")), (k % 4 + 1).cast("int")))
+          .as("model"),
+        ((k % 29) % 6).as("parameter_id"),
+        when(k % 19 === 0, lit(null).cast("timestamp"))
+          .otherwise(timestamp_seconds(unix_timestamp(lit("2024-01-01 00:00:00")) + (k % 30) * 86400))
+          .as("start_datetime"),
+        when(k % 23 === 0, lit(null).cast("string"))
+          .otherwise(element_at(array(lit("downloadERA5"), lit("downloadHRDPS"), lit("downloadFTP")), (k % 3 + 1).cast("int")))
+          .as("source_fx"),
+        element_at(array(lit("forecast"), lit("reanalysis"), lit("nowcast")), ((k % 7) % 3 + 1).cast("int"))
+          .as("raster_type"),
+        when(k % 5 === 0, k % 3 + 1).as("media_id"),
+        when(k % 11 === 0, lit(42L)).as("matrix_state_id"),
+        when(k % 7 === 0, (k % 100).cast("double")).as("z_value"),
+        when(k % 14 === 0, lit("m")).as("z_units")
+      )
+    val parameters = Seq[(Long, Option[Long], Boolean)](
+      (1L, Some(10L), false),
+      (2L, None, true),
+      (3L, Some(30L), false),
+      (4L, Some(40L), false)
+    ).toDF("parameter_id", "default_matrix_state_id", "multi_state")
+    val knownFx = Seq("downloadERA5", "downloadHRDPS", "downloadHRDPA").toDF("source_fx")
+    val existing = Seq((7L, "HRDPA", 4L, "reanalysis"))
+      .toDF("raster_series_id", "model", "parameter_id", "raster_type")
+    val out = graft.sources.RasterIngest.registerSeries(incoming, parameters, knownFx, existing)
+    val acceptedOut = out.accepted.select(
+      col("src_key"),
+      lit("accepted").as("status"),
+      col("raster_series_id"),
+      col("matrix_state_id"),
+      unix_micros(col("end_datetime")).as("end_us"),
+      col("active")
+    )
+    val rejectsOut = out.rejects.select(
+      col("src_key"),
+      col("reject_reason").as("status"),
+      lit(null).cast("long").as("raster_series_id"),
+      lit(null).cast("long").as("matrix_state_id"),
+      lit(null).cast("long").as("end_us"),
+      lit(null).cast("boolean").as("active")
+    )
+    acceptedOut.unionByName(rejectsOut).orderBy(col("src_key"))
+  }
+
+  private val rasterSeriesSql =
+    """WITH inc AS (
+      |  SELECT p_partkey AS src_key,
+      |         CASE WHEN p_partkey % 17 = 0 THEN NULL
+      |              ELSE (['ERA5', 'HRDPS', 'HRDPA', 'CaLDAS'])[CAST(p_partkey % 4 AS INT) + 1] END AS model,
+      |         (p_partkey % 29) % 6 AS parameter_id,
+      |         CASE WHEN p_partkey % 19 = 0 THEN NULL
+      |              ELSE TIMESTAMP '2024-01-01 00:00:00' + (p_partkey % 30) * INTERVAL 1 DAY END AS start_datetime,
+      |         CASE WHEN p_partkey % 23 = 0 THEN NULL
+      |              ELSE (['downloadERA5', 'downloadHRDPS', 'downloadFTP'])[CAST(p_partkey % 3 AS INT) + 1] END AS source_fx,
+      |         (['forecast', 'reanalysis', 'nowcast'])[CAST((p_partkey % 7) % 3 AS INT) + 1] AS raster_type,
+      |         CASE WHEN p_partkey % 5 = 0 THEN p_partkey % 3 + 1 END AS media_id,
+      |         CASE WHEN p_partkey % 11 = 0 THEN 42 END AS matrix_state_id,
+      |         CASE WHEN p_partkey % 7 = 0 THEN CAST(p_partkey % 100 AS DOUBLE) END AS z_value,
+      |         CASE WHEN p_partkey % 14 = 0 THEN 'm' END AS z_units
+      |  FROM part WHERE p_partkey % 13 = 0
+      |), dims AS (
+      |  SELECT * FROM (VALUES (1, 10, FALSE), (2, NULL, TRUE), (3, 30, FALSE), (4, 40, FALSE))
+      |         AS t(parameter_id, default_matrix_state_id, multi_state)
+      |), gated AS (
+      |  SELECT inc.*, d.default_matrix_state_id, d.multi_state,
+      |         CASE WHEN model IS NULL THEN 'missing_model'
+      |              WHEN start_datetime IS NULL THEN 'missing_start'
+      |              WHEN source_fx IS NULL THEN 'missing_source_fx'
+      |              WHEN raster_type NOT IN ('forecast', 'reanalysis') THEN 'bad_type'
+      |              WHEN d.parameter_id IS NULL THEN 'unknown_parameter'
+      |              WHEN source_fx NOT IN ('downloadERA5', 'downloadHRDPS', 'downloadHRDPA') THEN 'unknown_source_fx'
+      |              WHEN matrix_state_id IS NULL AND d.multi_state AND media_id IS NULL THEN 'ambiguous_matrix_state'
+      |              WHEN z_value IS NOT NULL AND z_units IS NULL THEN 'missing_z_units'
+      |              WHEN model = 'HRDPA' AND inc.parameter_id = 4 AND raster_type = 'reanalysis' THEN 'duplicate_series'
+      |         END AS reject_reason
+      |  FROM inc LEFT JOIN dims d ON d.parameter_id = inc.parameter_id
+      |), ids AS (
+      |  SELECT *,
+      |         CASE WHEN reject_reason IS NULL
+      |              THEN 7 + row_number() OVER (
+      |                     PARTITION BY (reject_reason IS NULL) ORDER BY src_key)
+      |         END AS raster_series_id
+      |  FROM gated
+      |)
+      |SELECT src_key,
+      |       coalesce(reject_reason, 'accepted') AS status,
+      |       raster_series_id,
+      |       CAST(CASE WHEN reject_reason IS NULL
+      |                 THEN coalesce(matrix_state_id, default_matrix_state_id) END AS BIGINT) AS matrix_state_id,
+      |       CASE WHEN reject_reason IS NULL THEN epoch_us(start_datetime) END AS end_us,
+      |       CASE WHEN reject_reason IS NULL THEN TRUE END AS active
+      |FROM ids
+      |ORDER BY src_key""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_raster_zonal", rasterZonal, Some(rasterZonalSql), headline = true),
     QueryDef("q_raster_pyramid", rasterPyramid, Some(rasterPyramidSql)),
     QueryDef("q_raster_supersede", rasterSupersede, Some(rasterSupersedeSql)),
-    QueryDef("q_image_latest", imageLatest, Some(imageLatestSql))
+    QueryDef("q_image_latest", imageLatest, Some(imageLatestSql)),
+    QueryDef("q_raster_series", rasterSeries, Some(rasterSeriesSql))
   )
 }

@@ -122,4 +122,88 @@ object RasterIngest {
       .withColumn("last_issue", coalesce(greatest(col("__new_issue"), col("last_issue")), col("__new_issue"), col("last_issue")))
       .drop("__new_end", "__new_issue")
   }
+
+  final case class RegisterResult(accepted: DataFrame, rejects: DataFrame)
+
+  /** Raster-series registration — `R/addACRasterSeries.R:25-120`
+    * (YukonWRB/AquaCache): validates model / parameter / fetch
+    * function / type, resolves the matrix state from the parameter's
+    * default unless the parameter is multi-state (then an explicit
+    * media or matrix state is required), refuses duplicate
+    * (model, parameter, type) series, and seeds the new catalog row's
+    * watermark at `start_datetime` so the fetch driver ([[fetchPlan]])
+    * begins exactly there. Batch-first (reference is one-at-a-time,
+    * stop-on-error); every dim is broadcast and ids assign above
+    * max(existing) — same convention as the other CRUD gates.
+    *
+    * @param incoming   src_key, model, parameter_id, start_datetime,
+    *                   source_fx, raster_type (+ optional media_id,
+    *                   matrix_state_id, z_value, z_units)
+    * @param parameters parameter_id, default_matrix_state_id,
+    *                   multi_state
+    * @param knownFx    single column source_fx of fetchable functions
+    * @param existing   raster_series_id, model, parameter_id,
+    *                   raster_type
+    */
+  def registerSeries(
+      incoming: DataFrame,
+      parameters: DataFrame,
+      knownFx: DataFrame,
+      existing: DataFrame
+  ): RegisterResult = {
+    import org.apache.spark.sql.expressions.Window
+    val dims = broadcast(
+      parameters.select(
+        col("parameter_id"),
+        col("default_matrix_state_id"),
+        col("multi_state"),
+        lit(true).as("__known_param")
+      )
+    )
+    val fx = broadcast(knownFx.select(col("source_fx"), lit(true).as("__known_fx")))
+    val dupes = broadcast(
+      existing
+        .select(col("model"), col("parameter_id"), col("raster_type"), lit(true).as("__dup"))
+        .distinct()
+    )
+    val flagged = incoming
+      .join(dims, Seq("parameter_id"), "left")
+      .join(fx, Seq("source_fx"), "left")
+      .join(dupes, Seq("model", "parameter_id", "raster_type"), "left")
+      .withColumn(
+        "reject_reason",
+        when(col("model").isNull, "missing_model")
+          .when(col("start_datetime").isNull, "missing_start")
+          .when(col("source_fx").isNull, "missing_source_fx")
+          .when(!col("raster_type").isin("forecast", "reanalysis"), "bad_type")
+          .when(col("__known_param").isNull, "unknown_parameter")
+          .when(col("__known_fx").isNull, "unknown_source_fx")
+          .when(
+            col("matrix_state_id").isNull && col("multi_state") && col("media_id").isNull,
+            "ambiguous_matrix_state"
+          )
+          .when(col("z_value").isNotNull && col("z_units").isNull, "missing_z_units")
+          .when(col("__dup").isNotNull, "duplicate_series")
+      )
+    val rejects = flagged
+      .filter(col("reject_reason").isNotNull)
+      .select(col("src_key"), col("reject_reason"))
+    val maxId =
+      existing.agg(coalesce(max(col("raster_series_id")), lit(0L)).as("__max_id"))
+    val w = Window.orderBy(col("src_key"))
+    val accepted = flagged
+      .filter(col("reject_reason").isNull)
+      .crossJoin(broadcast(maxId))
+      .withColumn("raster_series_id", col("__max_id") + row_number().over(w))
+      .withColumn(
+        "matrix_state_id",
+        coalesce(col("matrix_state_id"), col("default_matrix_state_id"))
+      )
+      // the fetch driver's watermark: fetching starts at start_datetime
+      .withColumn("end_datetime", col("start_datetime"))
+      .withColumn("last_issue", lit(null).cast("timestamp"))
+      .withColumn("active", lit(true))
+      .drop("__max_id", "__known_param", "__known_fx", "__dup", "default_matrix_state_id", "multi_state", "reject_reason")
+    RegisterResult(accepted, rejects)
+  }
 }

@@ -121,6 +121,45 @@ class MediaCodecsSpec extends SparkSpec {
     assert(rows(1).getLong(0) == 2L && rows(1).isNullAt(1))
   }
 
+  test("property: PNG and WAV round trips are lossless for arbitrary content") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val imgGen = for {
+      w <- Gen.choose(1, 40)
+      h <- Gen.choose(1, 40)
+      seed <- Gen.choose(0L, Long.MaxValue - 1)
+    } yield (w, h, seed)
+    val pImg = Prop.forAll(imgGen) { case (w, h, seed) =>
+      // deterministic per-seed pixels via a splitmix-style mix
+      def px(x: Int, y: Int): Int = {
+        var z = seed + 0x9e3779b97f4a7c15L * (x * 40L + y + 1)
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        (z ^ (z >>> 27)).toInt & 0xffffff
+      }
+      var r = 0L; var g = 0L; var b = 0L
+      for (x <- 0 until w; y <- 0 until h) {
+        val p = px(x, y)
+        r += (p >>> 16) & 0xff; g += (p >>> 8) & 0xff; b += p & 0xff
+      }
+      val f = MediaCodecs.decodeImage(MediaCodecs.encodeImage(w, h, px)).get
+      f.width == w && f.height == h && f.sumR == r && f.sumG == g && f.sumB == b
+    }
+    val wavGen = for {
+      n <- Gen.choose(1, 2000)
+      seed <- Gen.choose(0L, Long.MaxValue - 1)
+    } yield (n, seed)
+    val pWav = Prop.forAll(wavGen) { case (n, seed) =>
+      val samples = Array.tabulate(n)(i => ((seed + i * 31L) % 65536 - 32768).toShort)
+      val f = MediaCodecs.decodeWav(MediaCodecs.encodeWav(samples, 8000f)).get
+      f.nSamples == n.toLong &&
+      f.sumSamples == samples.map(_.toLong).sum &&
+      f.peakAbs == samples.map(s => math.abs(s.toInt)).max
+    }
+    for (p <- Seq(pImg, pWav)) {
+      val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(50), p)
+      assert(res.passed, res.status.toString)
+    }
+  }
+
   test("stereo WAV decodes: frames sum across channels") {
     // hand-build interleaved stereo PCM through the AudioSystem writer
     import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}

@@ -78,4 +78,52 @@ class RasterIngestSpec extends SparkSpec {
     assert(marks(3L)._2 == ts("2024-01-31 12:00:00"))
     assert(marks(5L)._1 == ts("2024-02-01 00:00:00")) // untouched series unchanged
   }
+
+  test("registerSeries: every addACRasterSeries gate fires; accepted rows seed the watermark") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val incoming = Seq[(Long, Option[String], Long, Option[java.sql.Timestamp], Option[String], String, Option[Long], Option[Long], Option[Double], Option[String])](
+      // (src_key, model, parameter_id, start, source_fx, type, media, matrix, z, z_units)
+      (1L, Some("HRDPS"), 1L, Some(t0), Some("downloadHRDPS"), "forecast", None, None, None, None),
+      (2L, None, 1L, Some(t0), Some("downloadHRDPS"), "forecast", None, None, None, None),      // missing_model
+      (3L, Some("ERA5"), 1L, None, Some("downloadERA5"), "reanalysis", None, None, None, None), // missing_start
+      (4L, Some("ERA5"), 1L, Some(t0), None, "reanalysis", None, None, None, None),             // missing_source_fx
+      (5L, Some("ERA5"), 1L, Some(t0), Some("downloadERA5"), "nowcast", None, None, None, None), // bad_type
+      (6L, Some("ERA5"), 9L, Some(t0), Some("downloadERA5"), "reanalysis", None, None, None, None), // unknown_parameter
+      (7L, Some("ERA5"), 1L, Some(t0), Some("downloadFTP"), "reanalysis", None, None, None, None),  // unknown_source_fx
+      (8L, Some("ERA5"), 2L, Some(t0), Some("downloadERA5"), "reanalysis", None, None, None, None), // multi-state, no media -> ambiguous
+      (9L, Some("ERA5"), 2L, Some(t0), Some("downloadERA5"), "reanalysis", Some(3L), None, None, None), // multi-state + media: OK
+      (10L, Some("ERA5"), 1L, Some(t0), Some("downloadERA5"), "reanalysis", None, None, Some(500.0), None), // missing_z_units
+      (11L, Some("HRDPA"), 1L, Some(t0), Some("downloadHRDPA"), "forecast", None, None, None, None) // dup of existing
+    ).toDF(
+      "src_key", "model", "parameter_id", "start_datetime", "source_fx", "raster_type",
+      "media_id", "matrix_state_id", "z_value", "z_units"
+    )
+    val parameters = Seq((1L, Some(10L), false), (2L, None, true))
+      .toDF("parameter_id", "default_matrix_state_id", "multi_state")
+    val knownFx = Seq("downloadHRDPS", "downloadERA5", "downloadHRDPA").toDF("source_fx")
+    val existing = Seq((7L, "HRDPA", 1L, "forecast"))
+      .toDF("raster_series_id", "model", "parameter_id", "raster_type")
+
+    val out = graft.sources.RasterIngest.registerSeries(incoming, parameters, knownFx, existing)
+    val rej = out.rejects.as[(Long, String)].collect().toMap
+    assert(
+      rej == Map(
+        2L -> "missing_model", 3L -> "missing_start", 4L -> "missing_source_fx",
+        5L -> "bad_type", 6L -> "unknown_parameter", 7L -> "unknown_source_fx",
+        8L -> "ambiguous_matrix_state", 10L -> "missing_z_units", 11L -> "duplicate_series"
+      )
+    )
+    val acc = out.accepted
+      .select("src_key", "raster_series_id", "matrix_state_id", "end_datetime", "active")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), Option(r.get(2)), r.getTimestamp(3), r.getBoolean(4))))
+      .toMap
+    assert(acc.keySet == Set(1L, 9L))
+    assert(acc(1L)._1 == 8L && acc(9L)._1 == 9L, "ids above max(existing)=7")
+    assert(acc(1L)._2.contains(10L), "matrix defaulted from parameter")
+    assert(acc(9L)._2.isEmpty, "multi-state with media resolves downstream, stays null here")
+    assert(acc(1L)._3 == t0 && acc(1L)._4, "watermark seeded at start, series active")
+  }
 }
