@@ -110,9 +110,14 @@ object MediaCodecs {
     bos.toByteArray
   }
 
+  // NonFatal, not just IOException: individual ImageIO plugin readers
+  // throw unchecked exceptions on some malformed payloads, and a null
+  // binary cell must degrade like any other undecodable payload
   private def readImage(bytes: Array[Byte]): Option[BufferedImage] =
-    try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
-    catch { case _: java.io.IOException => None }
+    if (bytes == null) None
+    else
+      try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+      catch { case scala.util.control.NonFatal(_) => None }
 
   /** Per-clip decoded features: format metadata plus exact integer
     * sample aggregates (16-bit PCM values in [-32768, 32767]).
@@ -129,7 +134,8 @@ object MediaCodecs {
     * Returns None for non-WAV bytes or unsupported sample widths.
     */
   def decodeWav(bytes: Array[Byte]): Option[WavFeatures] =
-    try {
+    if (bytes == null) None
+    else try {
       val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
       try {
         val fmt = ais.getFormat
@@ -154,8 +160,7 @@ object MediaCodecs {
         }
       } finally ais.close()
     } catch {
-      case _: javax.sound.sampled.UnsupportedAudioFileException => None
-      case _: java.io.IOException                               => None
+      case scala.util.control.NonFatal(_) => None
     }
 
   /** Encode mono 16-bit PCM samples as a WAV container — the fixture

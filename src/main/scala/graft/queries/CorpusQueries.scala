@@ -221,6 +221,76 @@ object CorpusQueries {
        |LEFT JOIN ov ON ov.doc_id = sizes.doc_id
        |ORDER BY sizes.doc_id""".stripMargin
 
+  // ---- vocabulary / OOV quality signal (CCNet-style LM proxy) ------
+
+  /** Out-of-vocabulary scoring — the language-model quality-filter
+    * shape (CCNet/KenLM filtering) without the log-prob arithmetic
+    * (libm rounding differs cross-engine; a set-membership fraction
+    * doesn't): build the corpus's top-500 bigram vocabulary
+    * (document frequency, deterministic tie-break), broadcast it
+    * back, and score each doc by the fraction of its distinct bigrams
+    * that fall outside the vocabulary.
+    *
+    * Scale: the vocabulary is a two-phase (map-side partial) count
+    * + global top-K — the only full-corpus shuffle is on the bigram
+    * key once; the scoring pass is the same broadcast hit-marker +
+    * fused single aggregation as q_contamination, so the corpus never
+    * shuffles by bigram again. At 100 TB the vocab build is a
+    * periodic job and the broadcast table is the artifact.
+    */
+  private def oovScore(s: SparkSession, d: String): DataFrame = {
+    val sh2 =
+      Dedup.shingles(TestTables.documents(s, d), "doc_id", "text", 2).localCheckpoint(false)
+    val vocab = sh2
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("shingle"))
+      .limit(500)
+      .select(col("shingle"), lit(true).as("iv"))
+    sh2
+      .join(broadcast(vocab), Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        count(when(col("iv").isNull, 1)).as("n_oov")
+      )
+      .select(
+        col("doc_id"),
+        col("n_bigrams"),
+        col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_bigrams"), 6).as("oov_frac"),
+        (col("n_oov").cast("double") / col("n_bigrams") >= 0.5).as("low_quality")
+      )
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val oovScoreSql =
+    s"""WITH $tokCte, sh2 AS (
+       |  SELECT DISTINCT doc_id, shingle
+       |  FROM (
+       |    SELECT doc_id,
+       |           unnest(list_transform(range(1, greatest(len(toks), 2)),
+       |                                 i -> array_to_string(toks[i:i+1], ' '))) AS shingle
+       |    FROM tok
+       |  )
+       |  WHERE shingle <> ''
+       |), vocab AS (
+       |  SELECT shingle FROM (
+       |    SELECT shingle, count(*) AS df
+       |    FROM sh2 GROUP BY 1
+       |    ORDER BY df DESC, shingle
+       |    LIMIT 500
+       |  )
+       |)
+       |SELECT sh2.doc_id,
+       |       count(*) AS n_bigrams,
+       |       count(CASE WHEN v.shingle IS NULL THEN 1 END) AS n_oov,
+       |       round(count(CASE WHEN v.shingle IS NULL THEN 1 END)::DOUBLE / count(*), 6) AS oov_frac,
+       |       count(CASE WHEN v.shingle IS NULL THEN 1 END)::DOUBLE / count(*) >= 0.5 AS low_quality
+       |FROM sh2 LEFT JOIN vocab v USING (shingle)
+       |GROUP BY sh2.doc_id
+       |ORDER BY sh2.doc_id""".stripMargin
+
   // ---- stratified quota sampling (mixture construction) ------------
 
   /** Deterministic 20% quota per language stratum: docs ranked by a
@@ -657,6 +727,7 @@ object CorpusQueries {
     QueryDef("q_dedup_clusters", dedupClusters, Some(dedupClustersSql), headline = true),
     QueryDef("q_semdedup", semDedup, Some(semDedupSql)),
     QueryDef("q_semdedup_incr", semDedupIncr, Some(semDedupIncrSql)),
+    QueryDef("q_oov_score", oovScore, Some(oovScoreSql)),
     QueryDef("q_repetition", repetition, Some(repetitionSql)),
     QueryDef("q_contamination", contamination, Some(contaminationSql)),
     QueryDef("q_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),

@@ -201,13 +201,15 @@ object IngestQueries {
       .filter(col("user_id") % 5 === 0)
       .select(col("user_id").as("target"), col("hour_ts"), col("value").as("t_v"))
     val dh = hourly.select(col("user_id").as("donor"), col("hour_ts"), col("value").as("d_v"))
-    // hour-align FIRST (equi join on the hour key), aggregate offsets
-    // with map-side partial aggregation, and only then apply the
-    // distance filter: the co-observed pair space is far smaller than
+    // hour-align FIRST (equi join on the hour key), then restrict to
+    // nearby pairs with a broadcast semi BEFORE aggregating — far
+    // pairs never enter the aggregation state — and attach dist_km
+    // after: the co-observed pair space is far smaller than
     // (nearby pairs x target hours)
     val offsets = th
       .join(dh, Seq("hour_ts"))
       .filter(col("target") =!= col("donor"))
+      .join(broadcast(nearby.select("target", "donor")), Seq("target", "donor"), "left_semi")
       .groupBy(col("target"), col("donor"))
       .agg(
         avg((col("t_v") - col("d_v")).cast("double")).as("avg_offset"),

@@ -90,6 +90,9 @@ class MediaCodecsSpec extends SparkSpec {
   test("corrupt payloads yield None, not exceptions") {
     assert(MediaCodecs.decodeImage("not an image".getBytes).isEmpty)
     assert(MediaCodecs.decodeImage(Array.emptyByteArray).isEmpty)
+    assert(MediaCodecs.decodeImage(null).isEmpty, "NULL binary cell degrades, not NPEs")
+    assert(MediaCodecs.decodeWav(null).isEmpty)
+    assert(MediaCodecs.resizeImage(null, 4, 4).isEmpty)
     assert(MediaCodecs.resizeImage("nope".getBytes, 4, 4).isEmpty)
     assert(MediaCodecs.decodeWav("not audio".getBytes).isEmpty)
     assert(MediaCodecs.decodeWav(Array.emptyByteArray).isEmpty)
