@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.PortableHash
-import graft.ml.{Dedup, TextStats}
+import graft.ml.{Dedup, FineDedup, TextStats}
 import graft.tables.TestTables
 
 /** Corpus-construction operators a large-scale training-data pipeline
@@ -290,6 +290,132 @@ object CorpusQueries {
        |FROM sh2 LEFT JOIN vocab v USING (shingle)
        |GROUP BY sh2.doc_id
        |ORDER BY sh2.doc_id""".stripMargin
+
+  // ---- sub-document dedup: boilerplate lines + duplicate spans -----
+
+  /** Line-level boilerplate stripping (CCNet preprocessing shape):
+    * build a "line" view of each doc (10-token windows, stride 10 —
+    * the fixture text has no newline structure, so fixed windows stand
+    * in for real lines; [[FineDedup.stripFrequentLines]] itself is
+    * delimiter-agnostic), drop every line whose content appears in >=2
+    * distinct docs, and emit per-doc kept/removed counts plus a
+    * checksum of the cleaned text.
+    *
+    * Scale: one line-hash-keyed shuffle to find the frequent set, a
+    * broadcast anti join back (the boilerplate set is df-thresholded
+    * and tiny relative to the corpus), one doc-keyed shuffle for the
+    * final per-doc aggregate.
+    */
+  private def boilerplate(s: SparkSession, d: String): DataFrame = {
+    val lines = TestTables
+      .documents(s, d)
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), explode(expr("sequence(1, size(toks), 10)")).as("start"), col("toks"))
+      .select(
+        col("doc_id"),
+        ((col("start") - 1) / 10).cast("int").as("line_no"),
+        expr("array_join(slice(toks, start, 10), ' ')").as("line")
+      )
+    val kept = FineDedup.stripFrequentLines(lines, "doc_id", "line", minDocs = 2)
+    val totals = lines.groupBy(col("doc_id")).agg(count(lit(1)).as("n_lines"))
+    val keptAgg = kept
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        PortableHash
+          .md5num56(
+            expr("array_join(transform(array_sort(collect_list(struct(line_no, line))), x -> x.line), ' ')")
+          )
+          .as("clean_checksum")
+      )
+    totals
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_checksum"), PortableHash.md5num56(lit(""))).as("clean_checksum")
+      )
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val boilerplateSql =
+    s"""WITH $tokCte, ln AS (
+       |  SELECT doc_id,
+       |         CAST((start - 1) // 10 AS INT) AS line_no,
+       |         array_to_string(toks[start:start+9], ' ') AS line
+       |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 10)) AS start
+       |        FROM tok WHERE len(toks) > 0)
+       |), freq AS (
+       |  SELECT line FROM (
+       |    SELECT line, count(*) AS df
+       |    FROM (SELECT DISTINCT line, doc_id FROM ln)
+       |    GROUP BY 1
+       |  ) WHERE df >= 2
+       |), kept AS (
+       |  SELECT * FROM ln WHERE line NOT IN (SELECT line FROM freq)
+       |), tot AS (
+       |  SELECT doc_id, count(*) AS n_lines FROM ln GROUP BY 1
+       |), ka AS (
+       |  SELECT doc_id, count(*) AS n_kept,
+       |         ${PortableHash.md5num56Sql("string_agg(line, ' ' ORDER BY line_no)")} AS clean_checksum
+       |  FROM kept GROUP BY 1
+       |)
+       |SELECT tot.doc_id, tot.n_lines,
+       |       COALESCE(ka.n_kept, 0) AS n_kept,
+       |       tot.n_lines - COALESCE(ka.n_kept, 0) AS n_removed,
+       |       COALESCE(ka.clean_checksum, ${PortableHash.md5num56Sql("''")}) AS clean_checksum
+       |FROM tot LEFT JOIN ka USING (doc_id)
+       |ORDER BY tot.doc_id""".stripMargin
+
+  /** Exact duplicate-substring spans (Lee et al. 2022 shape): maximal
+    * token spans covered by 8-grams occurring in >=2 distinct docs.
+    * One row per merged span — the cut list a masking pass would
+    * apply. Oracle mirrors the gaps-and-islands window algebra
+    * exactly.
+    */
+  private def dupSpans(s: SparkSession, d: String): DataFrame =
+    FineDedup
+      .duplicatedSpans(TestTables.documents(s, d), "doc_id", "text", n = 8, minDocs = 2)
+      .orderBy(col("doc_id"), col("span_start"))
+
+  private lazy val dupSpansSql =
+    s"""WITH $tokCte, g AS (
+       |  SELECT doc_id, CAST(pos AS INT) AS pos,
+       |         array_to_string(toks[pos:pos+7], ' ') AS gram
+       |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS pos
+       |        FROM tok WHERE len(toks) >= 8)
+       |), dup AS (
+       |  SELECT gram FROM (
+       |    SELECT gram, count(*) AS df
+       |    FROM (SELECT DISTINCT gram, doc_id FROM g)
+       |    GROUP BY 1
+       |  ) WHERE df >= 2
+       |), hits AS (
+       |  SELECT doc_id, pos, pos + 7 AS end_pos
+       |  FROM g WHERE gram IN (SELECT gram FROM dup)
+       |), isl AS (
+       |  SELECT doc_id, pos, end_pos,
+       |         CASE WHEN max(end_pos) OVER w IS NULL
+       |                OR pos > max(end_pos) OVER w + 1
+       |              THEN 1 ELSE 0 END AS new_span
+       |  FROM hits
+       |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |), sp AS (
+       |  SELECT doc_id, pos, end_pos,
+       |         sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+       |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+       |  FROM isl
+       |)
+       |SELECT doc_id,
+       |       CAST(min(pos) AS INT) AS span_start,
+       |       CAST(max(end_pos) AS INT) AS span_end,
+       |       CAST(max(end_pos) - min(pos) + 1 AS INT) AS span_len
+       |FROM sp GROUP BY doc_id, span_id
+       |ORDER BY doc_id, span_start""".stripMargin
 
   // ---- stratified quota sampling (mixture construction) ------------
 
@@ -728,6 +854,8 @@ object CorpusQueries {
     QueryDef("q_semdedup", semDedup, Some(semDedupSql)),
     QueryDef("q_semdedup_incr", semDedupIncr, Some(semDedupIncrSql)),
     QueryDef("q_oov_score", oovScore, Some(oovScoreSql)),
+    QueryDef("q_boilerplate", boilerplate, Some(boilerplateSql)),
+    QueryDef("q_dup_spans", dupSpans, Some(dupSpansSql)),
     QueryDef("q_repetition", repetition, Some(repetitionSql)),
     QueryDef("q_contamination", contamination, Some(contaminationSql)),
     QueryDef("q_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),

@@ -69,6 +69,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("NestedLoop"), s"within-cluster candidates must hash-partition:\n$p")
   }
 
+  test("boilerplate strip anti-joins against a BROADCAST frequent-line set") {
+    val p = plan("q_boilerplate")
+    assert(
+      p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"the df-thresholded line set must broadcast back, not shuffle the corpus:\n$p"
+    )
+  }
+
+  test("duplicate-span semi join broadcasts the repeated-gram set") {
+    val p = plan("q_dup_spans")
+    assert(
+      p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"the dup-gram set must broadcast; the corpus shuffles by gram only once:\n$p"
+    )
+  }
+
   test("url filter broadcasts the blocklist — the corpus never shuffles by domain") {
     val p = plan("q_url_filter")
     assert(p.contains("BroadcastHashJoin"), s"blocklist join must broadcast:\n$p")
