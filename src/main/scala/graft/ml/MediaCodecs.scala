@@ -110,6 +110,52 @@ object MediaCodecs {
     bos.toByteArray
   }
 
+  /** Difference-hash (dHash) perceptual fingerprint: decode, reduce to
+    * a 9x7 luminance grid, emit one bit per horizontal neighbor pair
+    * (bit i = y*8+x set iff gray(x+1,y) > gray(x,y)) — 56 bits, kept
+    * inside the positive `Long` range so the hash survives the same
+    * signed-BIGINT round trips as the other portable 56-bit hashes.
+    *
+    * Luminance is the integer ITU-R 601 mix `(299r + 587g + 114b) /
+    * 1000` (truncating division) — exact integer arithmetic, so for a
+    * losslessly-coded grayscale image the whole hash is a closed-form
+    * function of the pixel values (oracle-computable). Images already
+    * 9x7 are hashed on their native grid; anything else is bilinearly
+    * reduced first (that path is perceptual, not closed-form).
+    */
+  def dHash56(bytes: Array[Byte]): Option[Long] =
+    readImage(bytes).map { img0 =>
+      val img =
+        if (img0.getWidth == 9 && img0.getHeight == 7) img0
+        else {
+          val dst = new BufferedImage(9, 7, BufferedImage.TYPE_INT_RGB)
+          val g2 = dst.createGraphics()
+          try {
+            g2.setRenderingHint(
+              RenderingHints.KEY_INTERPOLATION,
+              RenderingHints.VALUE_INTERPOLATION_BILINEAR
+            )
+            g2.drawImage(img0, 0, 0, 9, 7, null)
+          } finally g2.dispose()
+          dst
+        }
+      def gray(x: Int, y: Int): Int = {
+        val p = img.getRGB(x, y)
+        (299 * ((p >>> 16) & 0xff) + 587 * ((p >>> 8) & 0xff) + 114 * (p & 0xff)) / 1000
+      }
+      var h = 0L
+      var y = 0
+      while (y < 7) {
+        var x = 0
+        while (x < 8) {
+          if (gray(x + 1, y) > gray(x, y)) h |= 1L << (y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+      h
+    }
+
   // NonFatal, not just IOException: individual ImageIO plugin readers
   // throw unchecked exceptions on some malformed payloads, and a null
   // binary cell must degrade like any other undecodable payload

@@ -216,4 +216,28 @@ object Multimodal {
       }
     }(Encoders.row(schema))
   }
+
+  /** Perceptual difference-hash over a binary image column
+    * ([[MediaCodecs.dHash56]]): output (idCol, dhash), 56-bit positive
+    * Long, NULL for undecodable payloads. Scan-local projection —
+    * binary never shuffles; only the 8-byte hash moves downstream,
+    * which is what makes Hamming near-dup joins feasible at 100 TB.
+    */
+  def imageDHashes(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val schema = StructType(
+      Seq(
+        StructField(idCol, LongType, nullable = false),
+        StructField("dhash", LongType, nullable = true)
+      )
+    )
+    val prepared = df.select(col(idCol).cast(LongType), col(binCol).cast(BinaryType))
+    prepared.mapPartitions { it =>
+      it.map { r =>
+        MediaCodecs.dHash56(r.getAs[Array[Byte]](1)) match {
+          case Some(h) => Row(r.getLong(0), h)
+          case None    => Row(r.getLong(0), null)
+        }
+      }
+    }(Encoders.row(schema))
+  }
 }

@@ -137,6 +137,109 @@ object MediaQueries {
        |FROM documents
        |ORDER BY doc_id""".stripMargin
 
+  // ---- perceptual hash (dHash) + Hamming near-dup ------------------
+
+  private val DhW = 9
+  private val DhH = 7
+
+  /** One 9x7 GRAYSCALE PNG per doc, pixel value a closed-form integer
+    * mix of (doc_id % 97, x, y): docs sharing `doc_id % 97` render the
+    * same pattern, except odd docs perturb one cell (+60 at (4,3)) —
+    * so each pattern group yields exact-dup AND small-Hamming pairs.
+    * Grayscale (r=g=b=v) makes the ITU-601 luminance reduce to v
+    * exactly, keeping the whole dHash closed-form for the oracle.
+    */
+  private def dhashImages(s: SparkSession, d: String): DataFrame = {
+    val ids = TestTables.documents(s, d).select(col("doc_id").cast(LongType))
+    ids.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val png = MediaCodecs.encodeImage(
+          DhW,
+          DhH,
+          (x, y) => {
+            val g = id % 97
+            // the x*y*(g+3) cross term makes the comparison STRUCTURE
+            // differ across groups (a constant brightness shift alone
+            // barely changes neighbor comparisons, which would leave
+            // every doc Hamming-close to every other — degenerate LSH
+            // buckets); odd docs perturb one cell for small-Hamming pairs
+            val pert = if (x == 4 && y == 3 && id % 2 == 1) 60 else 0
+            val v = ((g * 37 + x * 13 + y * 31 + (x * y * (g + 3)) % 97 + pert) % 256).toInt
+            (v << 16) | (v << 8) | v
+          }
+        )
+        Row(id, png)
+      }
+    }(Encoders.row(mediaSchema))
+  }
+
+  /** The fixture pixel value as DuckDB SQL (mirrors dhashImages). */
+  private def vSql(xe: String, ye: String): String =
+    s"((doc_id % 97) * 37 + ($xe) * 13 + ($ye) * 31 + (($xe) * ($ye) * (doc_id % 97 + 3)) % 97 + " +
+      s"CASE WHEN ($xe) = 4 AND ($ye) = 3 AND doc_id % 2 = 1 THEN 60 ELSE 0 END) % 256"
+
+  private val dhashCte =
+    s"""b AS (
+       |  SELECT doc_id, y * 8 + x AS i,
+       |         CASE WHEN ${vSql("x + 1", "y")} > ${vSql("x", "y")} THEN 1 ELSE 0 END AS bit
+       |  FROM documents,
+       |       LATERAL (SELECT unnest(range(0, ${DhW - 1})) AS x),
+       |       LATERAL (SELECT unnest(range(0, $DhH)) AS y)
+       |), h AS (
+       |  SELECT doc_id, CAST(SUM(bit * (CAST(1 AS BIGINT) << i)) AS BIGINT) AS dhash
+       |  FROM b GROUP BY doc_id
+       |)""".stripMargin
+
+  /** PNG encode -> REAL decode -> 56-bit perceptual dHash; the oracle
+    * computes the same bits arithmetically from the closed-form pixel
+    * function (no codec on the oracle side — lossless PNG + grayscale
+    * luminance identity make decode exact).
+    */
+  private def imagePhash(s: SparkSession, d: String): DataFrame =
+    Multimodal
+      .imageDHashes(dhashImages(s, d), "doc_id", "media")
+      .orderBy(col("doc_id"))
+
+  private val imagePhashSql =
+    s"""WITH $dhashCte
+       |SELECT doc_id, dhash FROM h ORDER BY doc_id""".stripMargin
+
+  /** Near-duplicate image pairs at Hamming <= 4 over the dHashes,
+    * found via 7x8-bit LSH banding (pigeonhole: <= 6 flipped bits
+    * leave >= 1 band intact, so recall at threshold 4 is complete and
+    * the banded result EQUALS the oracle's exhaustive self-join).
+    * Only the 8-byte hash ever shuffles; candidate pairs are bounded
+    * to band-bucket collisions — the 100 TB path, vs the oracle's
+    * O(n^2) scan which exists only as the small-SF ground truth.
+    */
+  private def imageNearDup(s: SparkSession, d: String): DataFrame = {
+    val h = Multimodal
+      .imageDHashes(dhashImages(s, d), "doc_id", "media")
+      .filter(col("dhash").isNotNull)
+    val banded = h
+      .select(col("doc_id"), col("dhash"), explode(expr("sequence(0, 6)")).as("band"))
+      .withColumn("band_key", expr("(dhash >> (band * 8)) & 255"))
+    val l = banded.select(col("doc_id").as("d1"), col("dhash").as("h1"), col("band"), col("band_key"))
+    val r = banded.select(col("doc_id").as("d2"), col("dhash").as("h2"), col("band"), col("band_key"))
+    l.join(r, Seq("band", "band_key"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), col("h1"), col("h2"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(h1 ^ h2)"))
+      .filter(col("hamming") <= 4)
+      .select(col("d1"), col("d2"), col("hamming"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  private val imageNearDupSql =
+    s"""WITH $dhashCte
+       |SELECT a.doc_id AS d1, c.doc_id AS d2,
+       |       CAST(bit_count(xor(a.dhash, c.dhash)) AS INT) AS hamming
+       |FROM h a JOIN h c ON a.doc_id < c.doc_id
+       |WHERE bit_count(xor(a.dhash, c.dhash)) <= 4
+       |ORDER BY d1, d2""".stripMargin
+
   /** WAV encode -> javax.sound decode -> exact sample aggregates. */
   private def audioDecode(s: SparkSession, d: String): DataFrame =
     Multimodal
@@ -161,6 +264,8 @@ object MediaQueries {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_image_decode", imageDecode, Some(imageDecodeSql)),
     QueryDef("q_image_resize", imageResize, Some(imageResizeSql)),
+    QueryDef("q_image_phash", imagePhash, Some(imagePhashSql)),
+    QueryDef("q_image_neardup", imageNearDup, Some(imageNearDupSql)),
     QueryDef("q_audio_decode", audioDecode, Some(audioDecodeSql))
   )
 }

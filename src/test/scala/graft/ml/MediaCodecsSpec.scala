@@ -87,6 +87,41 @@ class MediaCodecsSpec extends SparkSpec {
     assert(f.peakAbs == samples.map(s => math.abs(s.toInt)).max)
   }
 
+  test("dHash56 matches the bit-by-bit definition on a native 9x7 grayscale grid") {
+    def v(x: Int, y: Int): Int = (x * 13 + y * 31) % 256
+    val png = MediaCodecs.encodeImage(9, 7, (x, y) => { val g = v(x, y); (g << 16) | (g << 8) | g })
+    var expected = 0L
+    for (y <- 0 until 7; x <- 0 until 8)
+      if (v(x + 1, y) > v(x, y)) expected |= 1L << (y * 8 + x)
+    assert(MediaCodecs.dHash56(png).contains(expected))
+    assert(expected >= 0L, "56-bit hash stays in the positive Long range")
+  }
+
+  test("dHash56 is deterministic and a single-cell perturbation flips at most 2 bits") {
+    def enc(pert: Int): Array[Byte] =
+      MediaCodecs.encodeImage(
+        9,
+        7,
+        (x, y) => {
+          val g = ((x * 13 + y * 31 + (if (x == 4 && y == 3) pert else 0)) % 256)
+          (g << 16) | (g << 8) | g
+        }
+      )
+    val a = MediaCodecs.dHash56(enc(0)).get
+    val b = MediaCodecs.dHash56(enc(0)).get
+    val c = MediaCodecs.dHash56(enc(60)).get
+    assert(a == b)
+    assert(java.lang.Long.bitCount(a ^ c) <= 2, "one cell touches only its two horizontal comparisons")
+  }
+
+  test("dHash56 resizes non-9x7 inputs (perceptual path) and rejects garbage") {
+    val big = MediaCodecs.encodeImage(32, 24, (x, y) => ((x * 8) << 16) | ((y * 10) << 8) | 50)
+    assert(MediaCodecs.dHash56(big).isDefined)
+    assert(MediaCodecs.dHash56(big).get >= 0L)
+    assert(MediaCodecs.dHash56(null).isEmpty)
+    assert(MediaCodecs.dHash56("junk".getBytes).isEmpty)
+  }
+
   test("corrupt payloads yield None, not exceptions") {
     assert(MediaCodecs.decodeImage("not an image".getBytes).isEmpty)
     assert(MediaCodecs.decodeImage(Array.emptyByteArray).isEmpty)
