@@ -318,7 +318,13 @@ object CorpusQueries {
         expr("array_join(slice(toks, start, 10), ' ')").as("line")
       )
     val kept = FineDedup.stripFrequentLines(lines, "doc_id", "line", minDocs = 2)
-    val totals = lines.groupBy(col("doc_id")).agg(count(lit(1)).as("n_lines"))
+    // totals from the FULL doc set: a doc whose text tokenizes to
+    // nothing still surfaces with n_lines=0 (no silent drops)
+    val totals = TestTables
+      .documents(s, d)
+      .select(col("doc_id"))
+      .join(lines.groupBy(col("doc_id")).agg(count(lit(1)).as("n_raw")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_raw"), lit(0L)).as("n_lines"))
     val keptAgg = kept
       .groupBy(col("doc_id"))
       .agg(
@@ -357,7 +363,8 @@ object CorpusQueries {
        |), kept AS (
        |  SELECT * FROM ln WHERE line NOT IN (SELECT line FROM freq)
        |), tot AS (
-       |  SELECT doc_id, count(*) AS n_lines FROM ln GROUP BY 1
+       |  SELECT d.doc_id, count(ln.line) AS n_lines
+       |  FROM documents d LEFT JOIN ln USING (doc_id) GROUP BY 1
        |), ka AS (
        |  SELECT doc_id, count(*) AS n_kept,
        |         ${PortableHash.md5num56Sql("string_agg(line, ' ' ORDER BY line_no)")} AS clean_checksum

@@ -62,6 +62,11 @@ object Grib2 {
       require(r.u8(7) == 2, s"unsupported GRIB edition ${r.u8(7)} (only 2)")
       val discipline = r.u8(6)
       val totalLen = r.u64(8)
+      // fail loud on a corrupt length rather than spinning in place
+      require(
+        totalLen >= 16 && off + totalLen <= bytes.length,
+        s"corrupt GRIB2 message length $totalLen at offset $off (file ${bytes.length} bytes)"
+      )
       out += decodeOne(bytes, off + 16, off + totalLen.toInt, discipline)
       off += totalLen.toInt
     }
@@ -87,6 +92,7 @@ object Grib2 {
       val r = new Reader(bytes, pos)
       val secLen = r.u32(0).toInt
       val secNum = r.u8(4)
+      require(secLen >= 5, s"corrupt GRIB2 section length $secLen (section $secNum at $pos)")
       secNum match {
         case 1 =>
           // octets 13-14 year, 15 month, 16 day, 17 hour, 18 min, 19 sec
