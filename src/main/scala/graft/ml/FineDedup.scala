@@ -106,6 +106,11 @@ object FineDedup {
           .md5num56(expr(s"array_join(slice(toks, pos, $n), ' ')"))
           .as("gram_hash")
       )
+      // one materialization feeds the df count AND the hit join —
+      // without it the tokenize+slice+hash scan runs twice (same
+      // pattern as the minhash pipeline's shingle materialization);
+      // the frame is fixed-width (id, pos, 8-byte hash), never text
+      .localCheckpoint(false)
     val dupGrams = grams
       .select(col("gram_hash"), col(idCol))
       .distinct()

@@ -247,7 +247,7 @@ object CorpusQueries {
       .orderBy(col("df").desc, col("shingle"))
       .limit(500)
       .select(col("shingle"), lit(true).as("iv"))
-    sh2
+    val scored = sh2
       .join(broadcast(vocab), Seq("shingle"), "left")
       .groupBy(col("doc_id"))
       .agg(
@@ -260,6 +260,19 @@ object CorpusQueries {
         col("n_oov"),
         round(col("n_oov").cast("double") / col("n_bigrams"), 6).as("oov_frac"),
         (col("n_oov").cast("double") / col("n_bigrams") >= 0.5).as("low_quality")
+      )
+    // a doc that tokenizes to nothing still surfaces (n_bigrams=0,
+    // unscored) rather than silently vanishing from the quality table
+    TestTables
+      .documents(s, d)
+      .select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        col("oov_frac"),
+        col("low_quality")
       )
       .orderBy(col("doc_id"))
   }
@@ -282,14 +295,21 @@ object CorpusQueries {
        |    LIMIT 500
        |  )
        |)
-       |SELECT sh2.doc_id,
-       |       count(*) AS n_bigrams,
-       |       count(CASE WHEN v.shingle IS NULL THEN 1 END) AS n_oov,
-       |       round(count(CASE WHEN v.shingle IS NULL THEN 1 END)::DOUBLE / count(*), 6) AS oov_frac,
-       |       count(CASE WHEN v.shingle IS NULL THEN 1 END)::DOUBLE / count(*) >= 0.5 AS low_quality
-       |FROM sh2 LEFT JOIN vocab v USING (shingle)
-       |GROUP BY sh2.doc_id
-       |ORDER BY sh2.doc_id""".stripMargin
+       |, sc AS (
+       |  SELECT sh2.doc_id,
+       |         count(*) AS n_bigrams,
+       |         count(CASE WHEN v.shingle IS NULL THEN 1 END) AS n_oov,
+       |         round(count(CASE WHEN v.shingle IS NULL THEN 1 END)::DOUBLE / count(*), 6) AS oov_frac,
+       |         count(CASE WHEN v.shingle IS NULL THEN 1 END)::DOUBLE / count(*) >= 0.5 AS low_quality
+       |  FROM sh2 LEFT JOIN vocab v USING (shingle)
+       |  GROUP BY sh2.doc_id
+       |)
+       |SELECT d.doc_id,
+       |       CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |       CAST(COALESCE(sc.n_oov, 0) AS BIGINT) AS n_oov,
+       |       sc.oov_frac, sc.low_quality
+       |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   // ---- sub-document dedup: boilerplate lines + duplicate spans -----
 
