@@ -110,4 +110,87 @@ class FineDedupSpec extends SparkSpec {
     val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a"))
     assert(spansOf(docs, n = 2) == Seq((1L, 1, 2, 2), (2L, 1, 2, 2)))
   }
+
+  // ---- randomized cross-check vs an in-memory reference ------------
+
+  /** Plain-Scala reference: positional n-grams, df over distinct docs,
+    * interval merge with adjacency coalescing — the operator's contract
+    * restated independently of Spark.
+    */
+  private def referenceSpans(
+      docs: Seq[(Long, String)],
+      n: Int,
+      minDocs: Int
+  ): Seq[(Long, Int, Int, Int)] = {
+    val toks = docs.map { case (id, t) =>
+      id -> t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    }
+    val grams = for {
+      (id, ts) <- toks
+      if ts.length >= n
+      pos <- 1 to (ts.length - n + 1)
+    } yield (id, pos, ts.slice(pos - 1, pos - 1 + n).mkString(" "))
+    val df = grams.map { case (id, _, g) => (g, id) }.distinct
+      .groupBy(_._1).map { case (g, xs) => g -> xs.size }
+    val dup = df.filter(_._2 >= minDocs).keySet
+    grams
+      .filter { case (_, _, g) => dup(g) }
+      .groupBy(_._1)
+      .toSeq
+      .flatMap { case (id, hs) =>
+        val ivs = hs.map { case (_, p, _) => (p, p + n - 1) }.sortBy(_._1)
+        val merged = ivs.foldLeft(List.empty[(Int, Int)]) {
+          case (acc, (s0, e0)) =>
+            acc match {
+              case (ps, pe) :: rest if s0 <= pe + 1 => (ps, math.max(pe, e0)) :: rest
+              case _                                => (s0, e0) :: acc
+            }
+        }
+        merged.reverse.map { case (s0, e0) => (id, s0, e0, e0 - s0 + 1) }
+      }
+      .sortBy(t => (t._1, t._2))
+  }
+
+  test("duplicatedSpans matches the in-memory reference on random corpora") {
+    val rnd = new scala.util.Random(20260813L)
+    val vocab = Array("a", "b", "c", "d", "e")
+    for (trial <- 1 to 12) {
+      val nDocs = 3 + rnd.nextInt(4)
+      val docs = (1L to nDocs.toLong).map { id =>
+        val len = rnd.nextInt(13)
+        id -> Array.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      }
+      val n = 2 + rnd.nextInt(2)
+      val expected = referenceSpans(docs, n, minDocs = 2)
+      val actual = FineDedup
+        .duplicatedSpans(docs.toDF("doc_id", "text"), "doc_id", "text", n, minDocs = 2)
+        .orderBy(col("doc_id"), col("span_start"))
+        .as[(Long, Int, Int, Int)]
+        .collect()
+        .toSeq
+      assert(actual == expected, s"trial $trial, n=$n, docs=$docs")
+    }
+  }
+
+  test("stripFrequentLines matches the in-memory reference on random line frames") {
+    val rnd = new scala.util.Random(97L)
+    val pool = Array("alpha", "beta", "gamma", "delta")
+    for (trial <- 1 to 8) {
+      val rows = for {
+        id <- 1L to (2 + rnd.nextInt(4)).toLong
+        ln <- 0 until rnd.nextInt(5)
+      } yield (id, ln, pool(rnd.nextInt(pool.length)))
+      val df = rows.map { case (id, _, t) => (t, id) }.distinct
+        .groupBy(_._1).map { case (t, xs) => t -> xs.size }
+      val boiler = df.filter(_._2 >= 2).keySet
+      val expected = rows.filterNot { case (_, _, t) => boiler(t) }.sorted
+      val actual = FineDedup
+        .stripFrequentLines(rows.toDF("doc_id", "line_no", "line"), "doc_id", "line", minDocs = 2)
+        .as[(Long, Int, String)]
+        .collect()
+        .toSeq
+        .sorted
+      assert(actual == expected, s"trial $trial, rows=$rows")
+    }
+  }
 }
