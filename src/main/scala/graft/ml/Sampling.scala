@@ -37,4 +37,59 @@ object Sampling {
     }
     df.withColumn("split", chain)
   }
+
+  /** Weighted mixture sampling by largest-remainder apportionment
+    * (Hamilton's method): split an exact `targetN`-document budget
+    * across sources proportionally to integer weights, then pick each
+    * source's quota deterministically by content-hash rank.
+    *
+    * Pure integer arithmetic end-to-end — `quota_s = floor(targetN *
+    * w_s / W) (+1 for the largest targetN*w_s mod W remainders,
+    * source-name tie-break)` — so the same mixture falls out on every
+    * engine, run and partitioning; no float rates, no randomness.
+    * Sources absent from `weights` (or weighted 0) are excluded. A
+    * source with fewer rows than its quota contributes everything it
+    * has (the shortfall is NOT redistributed — mixture weights are a
+    * contract, not a fill target).
+    *
+    * Scale: weights/quotas live on a dimension-sized frame (one row
+    * per source) — windows over it are trivial; the corpus pass is one
+    * broadcast join of the quota table plus a per-source rank window,
+    * i.e. a single shuffle on the source key that any mixture job
+    * needs anyway.
+    */
+  def weightedQuota(
+      df: DataFrame,
+      keyCol: String,
+      sourceCol: String,
+      weights: Seq[(String, Int)],
+      targetN: Long
+  ): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0), "weights must be positive")
+    require(weights.map(_._1).distinct.size == weights.size, "duplicate source in weights")
+    val spark = df.sparkSession
+    val totalW = weights.map(_._2.toLong).sum
+    import org.apache.spark.sql.expressions.Window
+    val wRows = weights.map { case (s, wt) => (s, wt.toLong) }
+    val wDf = spark.createDataFrame(wRows).toDF(sourceCol, "wt")
+    val base = wDf
+      .withColumn("num", lit(targetN) * col("wt"))
+      .withColumn("base", (col("num") / totalW).cast("long"))
+      .withColumn("rem", col("num") % totalW)
+    // leftover seats = targetN - sum(base); hand one each to the
+    // largest remainders (dimension-sized window, deterministic ties)
+    val leftover = lit(targetN) - sum(col("base")).over(Window.partitionBy())
+    val remRank = row_number().over(Window.orderBy(col("rem").desc, col(sourceCol)))
+    val quotas = base
+      .withColumn("quota", col("base") + when(remRank <= leftover, 1L).otherwise(0L))
+      .select(col(sourceCol), col("quota"))
+    val rk = row_number().over(
+      Window
+        .partitionBy(col(sourceCol))
+        .orderBy(PortableHash.md5num56(col(keyCol).cast("string")), col(keyCol))
+    )
+    df.join(broadcast(quotas), Seq(sourceCol))
+      .withColumn("rk", rk)
+      .filter(col("rk") <= col("quota"))
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.PortableHash
-import graft.ml.{Dedup, FineDedup, TextStats}
+import graft.ml.{Dedup, FineDedup, Sampling, TextStats}
 import graft.tables.TestTables
 
 /** Corpus-construction operators a large-scale training-data pipeline
@@ -310,6 +310,44 @@ object CorpusQueries {
        |       sc.oov_frac, sc.low_quality
        |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  // ---- weighted mixture sampling (largest-remainder quotas) --------
+
+  private val MixWeights = Seq(("src0", 5), ("src1", 3), ("src2", 2), ("src3", 1), ("src7", 4))
+  private val MixTarget = 100L
+
+  /** Weighted mixture construction: a 100-doc budget apportioned
+    * across five sources by integer weights (Hamilton largest
+    * remainder), each source's quota filled by content-hash rank.
+    * Unlisted sources are excluded; an over-subscribed source
+    * contributes all it has (the fixture makes src0's quota exceed its
+    * row count, exercising the cap). All-integer — engine-exact.
+    */
+  private def weightedMix(s: SparkSession, d: String): DataFrame =
+    Sampling
+      .weightedQuota(TestTables.documents(s, d), "doc_id", "source", MixWeights, MixTarget)
+      .select(col("source"), col("doc_id"), col("rk"), col("quota"))
+      .orderBy(col("source"), col("rk"))
+
+  private lazy val weightedMixSql = {
+    val totalW = MixWeights.map(_._2).sum
+    val values = MixWeights.map { case (s0, wt) => s"('$s0', $wt)" }.mkString(", ")
+    s"""WITH w(source, wt) AS (VALUES $values),
+       |q AS (
+       |  SELECT source,
+       |         ($MixTarget * wt) // $totalW
+       |         + CASE WHEN row_number() OVER (ORDER BY ($MixTarget * wt) % $totalW DESC, source)
+       |                 <= $MixTarget - SUM(($MixTarget * wt) // $totalW) OVER () THEN 1 ELSE 0 END AS quota
+       |  FROM w
+       |), r AS (
+       |  SELECT d.source, d.doc_id, q.quota,
+       |         row_number() OVER (PARTITION BY d.source
+       |                            ORDER BY ${PortableHash.md5num56Sql("doc_id::VARCHAR")}, doc_id) AS rk
+       |  FROM documents d JOIN q USING (source)
+       |)
+       |SELECT source, doc_id, rk, quota FROM r WHERE rk <= quota
+       |ORDER BY source, rk""".stripMargin
+  }
 
   // ---- sub-document dedup: boilerplate lines + duplicate spans -----
 
@@ -886,6 +924,7 @@ object CorpusQueries {
     QueryDef("q_repetition", repetition, Some(repetitionSql)),
     QueryDef("q_contamination", contamination, Some(contaminationSql)),
     QueryDef("q_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
+    QueryDef("q_weighted_mix", weightedMix, Some(weightedMixSql)),
     QueryDef("q_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     QueryDef("q_incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
     QueryDef("q_embed_quantize", embedQuantize, Some(embedQuantizeSql)),

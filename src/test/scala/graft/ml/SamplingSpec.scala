@@ -30,4 +30,55 @@ class SamplingSpec extends SparkSpec {
     assert(byS.values.sum == 500L, "every row assigned exactly one split")
     assert(byS("train") > byS("eval") * 3, "train dominates at 8/10 weight")
   }
+
+  test("weightedQuota: Hamilton apportionment sums exactly to targetN when sources have depth") {
+    import spark.implicits._
+    // 3 sources x 100 docs each; weights 3/3/1 over targetN=10:
+    // num = 30,30,10 of W=7 -> base 4,4,1 (sum 9), remainders 2,2,3 ->
+    // leftover seat goes to the largest remainder (c)
+    val df = (1 to 300).map(i => (i.toLong, s"s${i % 3}")).toDF("doc_id", "source")
+    val picked = Sampling
+      .weightedQuota(df, "doc_id", "source", Seq(("s0", 3), ("s1", 3), ("s2", 1)), 10L)
+      .groupBy("source")
+      .count()
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(picked == Map("s0" -> 4L, "s1" -> 4L, "s2" -> 2L))
+    assert(picked.values.sum == 10L, "quotas apportion the budget exactly")
+  }
+
+  test("weightedQuota: remainder ties break by source name; shallow sources cap, unlisted excluded") {
+    import spark.implicits._
+    // equal weights, targetN=3 over 2 listed sources: num=3 each of
+    // W=2 -> base 1,1, remainders 1,1 -> ONE leftover seat -> 'a' wins
+    // the name tie-break; 'zz' has rows but no weight -> excluded;
+    // 'b' has only 1 row < its quota -> contributes what it has
+    val df = Seq(
+      (1L, "a"), (2L, "a"), (3L, "a"),
+      (4L, "b"),
+      (5L, "zz"), (6L, "zz")
+    ).toDF("doc_id", "source")
+    val picked = Sampling
+      .weightedQuota(df, "doc_id", "source", Seq(("a", 1), ("b", 1)), 3L)
+      .select("source", "doc_id")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(picked.count(_._1 == "a") == 2, "a gets base 1 + the tie-broken leftover seat")
+    assert(picked.count(_._1 == "b") == 1, "b's quota of 1 is fully served")
+    assert(!picked.exists(_._1 == "zz"), "unlisted sources never selected")
+  }
+
+  test("weightedQuota selection is stable under repartitioning") {
+    import spark.implicits._
+    val df = (1 to 200).map(i => (i.toLong, s"s${i % 2}")).toDF("doc_id", "source")
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      Sampling
+        .weightedQuota(d, "doc_id", "source", Seq(("s0", 2), ("s1", 1)), 30L)
+        .select("doc_id")
+        .collect()
+        .map(_.getLong(0))
+        .toSet
+    assert(ids(df) == ids(df.repartition(13)), "content-hash rank is partition-independent")
+  }
 }
