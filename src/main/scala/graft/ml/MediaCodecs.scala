@@ -209,6 +209,55 @@ object MediaCodecs {
       case scala.util.control.NonFatal(_) => None
     }
 
+  /** Audio energy fingerprint (the WAV analog of [[dHash56]]): decode,
+    * split the sample stream into `frameLen`-sample frames, and emit
+    * one bit per adjacent frame pair (bit f set iff energy(f+1) >
+    * energy(f), energy = exact integer sum of squared samples). A
+    * clip with n frames yields n-1 bits, capped at 62 so the hash
+    * stays a positive Long. Returns None for undecodable payloads or
+    * clips shorter than two frames.
+    */
+  def audioEnergyHash(bytes: Array[Byte], frameLen: Int = 8): Option[Long] = {
+    require(frameLen > 0)
+    if (bytes == null) return None
+    try {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED)
+          None
+        else {
+          val data = ais.readAllBytes()
+          val le = !fmt.isBigEndian
+          val nSamples = data.length / 2
+          val nFrames = nSamples / frameLen
+          if (nFrames < 2) None
+          else {
+            val energies = new Array[Long](nFrames)
+            var i = 0
+            while (i < nFrames * frameLen) {
+              val lo = data(2 * i) & 0xff
+              val hi = data(2 * i + 1) & 0xff
+              val s = (if (le) (hi << 8) | lo else (lo << 8) | hi).toShort.toLong
+              energies(i / frameLen) += s * s
+              i += 1
+            }
+            var h = 0L
+            var f = 0
+            val nBits = math.min(nFrames - 1, 62)
+            while (f < nBits) {
+              if (energies(f + 1) > energies(f)) h |= 1L << f
+              f += 1
+            }
+            Some(h)
+          }
+        }
+      } finally ais.close()
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
   /** Encode mono 16-bit PCM samples as a WAV container — the fixture
     * generator for the audio oracle (WAV PCM is lossless, so decode
     * reproduces the exact samples).

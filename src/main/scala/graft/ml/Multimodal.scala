@@ -240,4 +240,32 @@ object Multimodal {
       }
     }(Encoders.row(schema))
   }
+
+  /** Audio energy fingerprints over a binary WAV column
+    * ([[MediaCodecs.audioEnergyHash]]): output (idCol, ahash), NULL
+    * for undecodable/too-short clips. Same scan-local shape as
+    * [[imageDHashes]] — only the 8-byte fingerprint moves downstream.
+    */
+  def audioEnergyHashes(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      frameLen: Int = 8
+  ): DataFrame = {
+    val schema = StructType(
+      Seq(
+        StructField(idCol, LongType, nullable = false),
+        StructField("ahash", LongType, nullable = true)
+      )
+    )
+    val prepared = df.select(col(idCol).cast(LongType), col(binCol).cast(BinaryType))
+    prepared.mapPartitions { it =>
+      it.map { r =>
+        MediaCodecs.audioEnergyHash(r.getAs[Array[Byte]](1), frameLen) match {
+          case Some(h) => Row(r.getLong(0), h)
+          case None    => Row(r.getLong(0), null)
+        }
+      }
+    }(Encoders.row(schema))
+  }
 }

@@ -261,11 +261,39 @@ object MediaQueries {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** WAV encode -> REAL decode -> 31-bit energy fingerprint (32
+    * 8-sample frames over the 256-sample sawtooth); the oracle
+    * recomputes frame energies arithmetically from the closed-form
+    * sample function — a decoded-audio perceptual hash with no codec
+    * on the oracle side.
+    */
+  private def audioFingerprint(s: SparkSession, d: String): DataFrame =
+    Multimodal
+      .audioEnergyHashes(sawtoothWavs(s, d), "doc_id", "media")
+      .orderBy(col("doc_id"))
+
+  private val audioFingerprintSql =
+    s"""WITH smp AS (
+       |  SELECT doc_id, i, (doc_id * 31 + i * 7) % 4096 - 2048 AS s
+       |  FROM documents,
+       |       LATERAL (SELECT unnest(range(0, $NSamples)) AS i)
+       |), fr AS (
+       |  SELECT doc_id, i // 8 AS f, SUM(s * s) AS e
+       |  FROM smp GROUP BY 1, 2
+       |), bits AS (
+       |  SELECT a.doc_id, a.f AS i, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+       |  FROM fr a JOIN fr b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+       |)
+       |SELECT doc_id, CAST(SUM(bit * (CAST(1 AS BIGINT) << i)) AS BIGINT) AS ahash
+       |FROM bits GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_image_decode", imageDecode, Some(imageDecodeSql)),
     QueryDef("q_image_resize", imageResize, Some(imageResizeSql)),
     QueryDef("q_image_phash", imagePhash, Some(imagePhashSql)),
     QueryDef("q_image_neardup", imageNearDup, Some(imageNearDupSql)),
-    QueryDef("q_audio_decode", audioDecode, Some(audioDecodeSql))
+    QueryDef("q_audio_decode", audioDecode, Some(audioDecodeSql)),
+    QueryDef("q_audio_fingerprint", audioFingerprint, Some(audioFingerprintSql))
   )
 }

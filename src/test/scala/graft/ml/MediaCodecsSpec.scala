@@ -122,6 +122,21 @@ class MediaCodecsSpec extends SparkSpec {
     assert(MediaCodecs.dHash56("junk".getBytes).isEmpty)
   }
 
+  test("audioEnergyHash matches the frame-energy definition and rejects degenerate input") {
+    val samples = Array.tabulate(64)(i => ((i * 37) % 4096 - 2048).toShort)
+    val bytes = MediaCodecs.encodeWav(samples, 8000f)
+    val energies = samples.map(_.toLong).grouped(8).map(_.map(s => s * s).sum).toArray
+    var expected = 0L
+    for (f <- 0 until energies.length - 1)
+      if (energies(f + 1) > energies(f)) expected |= 1L << f
+    assert(MediaCodecs.audioEnergyHash(bytes, 8).contains(expected))
+    // deterministic; too-short (one frame) and garbage reject
+    assert(MediaCodecs.audioEnergyHash(bytes, 8) == MediaCodecs.audioEnergyHash(bytes, 8))
+    assert(MediaCodecs.audioEnergyHash(MediaCodecs.encodeWav(samples.take(8), 8000f), 8).isEmpty)
+    assert(MediaCodecs.audioEnergyHash(null).isEmpty)
+    assert(MediaCodecs.audioEnergyHash("junk".getBytes).isEmpty)
+  }
+
   test("corrupt payloads yield None, not exceptions") {
     assert(MediaCodecs.decodeImage("not an image".getBytes).isEmpty)
     assert(MediaCodecs.decodeImage(Array.emptyByteArray).isEmpty)
