@@ -13,6 +13,21 @@ class CorpusSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("Bloom-filter membership: the broadcastable face of incremental exact dedup") {
+    // scale path: the corpus's fingerprint Bloom is built once and
+    // broadcast; a new crawl probes it map-side — no corpus join. The
+    // filter must have NO false negatives (a missed dup poisons
+    // training data), and its false-positive rate only costs a
+    // second-stage exact check on the flagged subset.
+    val corpus = (1L to 10000L).map(i => i * 2).toDF("fp") // even fingerprints
+    val bloom = corpus.stat.bloomFilter("fp", 10000L, 0.01)
+    val fn = corpus.collect().map(_.getLong(0)).count(x => !bloom.mightContain(x))
+    assert(fn == 0, "Bloom filters never false-negative")
+    val probes = (1L to 10000L).map(i => i * 2 + 1) // odd = disjoint
+    val fpRate = probes.count(bloom.mightContain).toDouble / probes.size
+    assert(fpRate <= 0.03, f"false-positive rate $fpRate%.4f should be near the configured 0.01")
+  }
+
   private def ccOf(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] =
     Dedup
       .connectedComponents(
