@@ -72,6 +72,53 @@ object FineDedup {
       .drop("line_hash")
   }
 
+  /** Apply span cuts to documents: drop every token whose position
+    * falls inside one of the doc's spans and re-join the survivors —
+    * the masking pass that consumes [[duplicatedSpans]] output (the
+    * "deduplicating training data" cut step). Docs with no spans pass
+    * through unchanged; a fully-covered doc yields an empty string.
+    *
+    * Pure projection shape: spans collapse to one array per doc (the
+    * span list is tiny — it was df-thresholded upstream), the token
+    * filter is an `exists`-free array lambda, so the only shuffle is
+    * the doc-keyed span collect.
+    *
+    * @param spans output of [[duplicatedSpans]]: (idCol, span_start,
+    *              span_end, ...) — 1-based inclusive token positions
+    */
+  def maskSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      spans: DataFrame
+  ): DataFrame = {
+    val spanArr = spans
+      .groupBy(col(idCol))
+      .agg(
+        sort_array(collect_list(struct(col("span_start").as("s"), col("span_end").as("e"))))
+          .as("__spans")
+      )
+    docs
+      .join(spanArr, Seq(idCol), "left")
+      .withColumn("__toks", TextStats.tokens(col(textCol)))
+      .select(
+        col(idCol),
+        when(col("__spans").isNull, col("__toks"))
+          .otherwise(
+            expr(
+              "filter(__toks, (t, i) -> " +
+                "size(filter(__spans, sp -> i + 1 >= sp.s AND i + 1 <= sp.e)) = 0)"
+            )
+          )
+          .as("__kept")
+      )
+      .select(
+        col(idCol),
+        array_join(col("__kept"), " ").as("masked_text"),
+        size(col("__kept")).as("n_kept_tokens")
+      )
+  }
+
   /** Merged token spans covered by n-grams that occur in at least
     * `minDocs` distinct documents. One output row per maximal span:
     * (id, span_start, span_end, span_len), token positions 1-based

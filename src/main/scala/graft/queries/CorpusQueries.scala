@@ -446,8 +446,11 @@ object CorpusQueries {
       .duplicatedSpans(TestTables.documents(s, d), "doc_id", "text", n = 8, minDocs = 2)
       .orderBy(col("doc_id"), col("span_start"))
 
-  private lazy val dupSpansSql =
-    s"""WITH $tokCte, g AS (
+  /** Shared CTE chain ending in `spd` (one row per merged span) —
+    * feeds both the span report and the masking apply.
+    */
+  private lazy val spanCtes =
+    s"""$tokCte, g AS (
        |  SELECT doc_id, CAST(pos AS INT) AS pos,
        |         array_to_string(toks[pos:pos+7], ' ') AS gram
        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS pos
@@ -474,13 +477,59 @@ object CorpusQueries {
        |         sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
        |  FROM isl
+       |), spd AS (
+       |  SELECT doc_id,
+       |         CAST(min(pos) AS INT) AS span_start,
+       |         CAST(max(end_pos) AS INT) AS span_end
+       |  FROM sp GROUP BY doc_id, span_id
+       |)""".stripMargin
+
+  private lazy val dupSpansSql =
+    s"""WITH $spanCtes
+       |SELECT doc_id, span_start, span_end,
+       |       CAST(span_end - span_start + 1 AS INT) AS span_len
+       |FROM spd
+       |ORDER BY doc_id, span_start""".stripMargin
+
+  /** Masking apply — the cut step that consumes the span report
+    * ([[FineDedup.maskSpans]]): tokens inside any span drop, the rest
+    * re-join, docs without spans pass through. The checksum pins the
+    * exact surviving token sequence on both engines.
+    */
+  private def spanMask(s: SparkSession, d: String): DataFrame = {
+    val docs = TestTables.documents(s, d)
+    val spans = FineDedup.duplicatedSpans(docs, "doc_id", "text", n = 8, minDocs = 2)
+    FineDedup
+      .maskSpans(docs, "doc_id", "text", spans)
+      .select(
+        col("doc_id"),
+        col("n_kept_tokens"),
+        PortableHash.md5num56(col("masked_text")).as("masked_checksum")
+      )
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val spanMaskSql =
+    s"""WITH $spanCtes, sarr AS (
+       |  SELECT doc_id,
+       |         list(struct_pack(s := span_start, e := span_end) ORDER BY span_start) AS spans
+       |  FROM spd GROUP BY doc_id
+       |), kept AS (
+       |  SELECT tok.doc_id,
+       |         CASE WHEN sarr.spans IS NULL THEN toks
+       |              ELSE list_filter(toks, (t, i) ->
+       |                     len(list_filter(sarr.spans, sp2 -> i >= sp2.s AND i <= sp2.e)) = 0)
+       |         END AS ks
+       |  FROM tok LEFT JOIN sarr USING (doc_id)
        |)
        |SELECT doc_id,
-       |       CAST(min(pos) AS INT) AS span_start,
-       |       CAST(max(end_pos) AS INT) AS span_end,
-       |       CAST(max(end_pos) - min(pos) + 1 AS INT) AS span_len
-       |FROM sp GROUP BY doc_id, span_id
-       |ORDER BY doc_id, span_start""".stripMargin
+       |       CAST(len(ks) AS INT) AS n_kept_tokens,
+       |       ${
+        // DuckDB: array_to_string([]) is NULL, Spark: array_join([]) is ''
+        PortableHash.md5num56Sql("coalesce(array_to_string(ks, ' '), '')")
+      } AS masked_checksum
+       |FROM kept
+       |ORDER BY doc_id""".stripMargin
 
   // ---- stratified quota sampling (mixture construction) ------------
 
@@ -921,6 +970,7 @@ object CorpusQueries {
     QueryDef("q_oov_score", oovScore, Some(oovScoreSql)),
     QueryDef("q_boilerplate", boilerplate, Some(boilerplateSql)),
     QueryDef("q_dup_spans", dupSpans, Some(dupSpansSql)),
+    QueryDef("q_span_mask", spanMask, Some(spanMaskSql)),
     QueryDef("q_repetition", repetition, Some(repetitionSql)),
     QueryDef("q_contamination", contamination, Some(contaminationSql)),
     QueryDef("q_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),

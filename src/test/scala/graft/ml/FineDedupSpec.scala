@@ -111,6 +111,38 @@ class FineDedupSpec extends SparkSpec {
     assert(spansOf(docs, n = 2) == Seq((1L, 1, 2, 2), (2L, 1, 2, 2)))
   }
 
+  // ---- maskSpans ---------------------------------------------------
+
+  test("maskSpans cuts spanned tokens, passes span-free docs, empties fully-covered docs") {
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "g h i"),
+      (3L, "x y")
+    ).toDF("doc_id", "text")
+    val spans = Seq(
+      (1L, 2, 4, 3), // cut b c d
+      (3L, 1, 2, 2)  // cut everything
+    ).toDF("doc_id", "span_start", "span_end", "span_len")
+    val out = FineDedup
+      .maskSpans(docs, "doc_id", "text", spans)
+      .orderBy(col("doc_id"))
+      .as[(Long, String, Int)]
+      .collect()
+      .toSeq
+    assert(out == Seq((1L, "a e f", 3), (2L, "g h i", 3), (3L, "", 0)))
+  }
+
+  test("maskSpans handles multiple disjoint spans per doc") {
+    val docs = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val spans = Seq((1L, 1, 2, 2), (1L, 5, 6, 2)).toDF("doc_id", "span_start", "span_end", "span_len")
+    val out = FineDedup
+      .maskSpans(docs, "doc_id", "text", spans)
+      .as[(Long, String, Int)]
+      .collect()
+      .toSeq
+    assert(out == Seq((1L, "c d g h", 4)))
+  }
+
   // ---- randomized cross-check vs an in-memory reference ------------
 
   /** Plain-Scala reference: positional n-grams, df over distinct docs,
