@@ -311,6 +311,61 @@ object CorpusQueries {
        |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---- n-gram LM count tables (Kneser-Ney quantities) --------------
+
+  /** The count tables an n-gram language model trains from (the
+    * KenLM/CCNet artifact the OOV filter approximates): trigram
+    * occurrence counts plus the Kneser-Ney CONTINUATION count of each
+    * final word — how many distinct (w1, w2) contexts precede it,
+    * which is what KN backoff uses instead of raw frequency.
+    *
+    * Scale: the corpus shuffles ONCE on the trigram key (map-side
+    * partial counts); the continuation table is an aggregate OF the
+    * trigram table — the corpus is never rescanned, which is exactly
+    * how KN count files are built (count, then derive).
+    */
+  private def knCounts(s: SparkSession, d: String): DataFrame = {
+    val tri = TestTables
+      .documents(s, d)
+      .select(TextStats.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(
+        explode(
+          expr(
+            "transform(sequence(1, size(toks) - 2), " +
+              "i -> struct(toks[i-1] as w1, toks[i] as w2, toks[i+1] as w3))"
+          )
+        ).as("g")
+      )
+      .select(col("g.w1"), col("g.w2"), col("g.w3"))
+      .groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // feeds both the report and the continuation table
+    val cont = tri
+      .groupBy(col("w3"))
+      .agg(countDistinct(concat_ws(" ", col("w1"), col("w2"))).as("cont_w3"))
+    tri
+      .filter(col("c") >= 3)
+      .join(cont, Seq("w3"))
+      .select(col("w1"), col("w2"), col("w3"), col("c"), col("cont_w3"))
+      .orderBy(col("w1"), col("w2"), col("w3"))
+  }
+
+  private lazy val knCountsSql =
+    s"""WITH $tokCte, tri AS (
+       |  SELECT toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3, count(*) AS c
+       |  FROM (SELECT toks, unnest(range(1, len(toks) - 1)) AS i
+       |        FROM tok WHERE len(toks) >= 3)
+       |  GROUP BY 1, 2, 3
+       |), cont AS (
+       |  SELECT w3, count(DISTINCT w1 || ' ' || w2) AS cont_w3
+       |  FROM tri GROUP BY 1
+       |)
+       |SELECT tri.w1, tri.w2, tri.w3, tri.c, cont.cont_w3
+       |FROM tri JOIN cont USING (w3)
+       |WHERE tri.c >= 3
+       |ORDER BY tri.w1, tri.w2, tri.w3""".stripMargin
+
   // ---- weighted mixture sampling (largest-remainder quotas) --------
 
   private val MixWeights = Seq(("src0", 5), ("src1", 3), ("src2", 2), ("src3", 1), ("src7", 4))
@@ -968,6 +1023,7 @@ object CorpusQueries {
     QueryDef("q_semdedup", semDedup, Some(semDedupSql)),
     QueryDef("q_semdedup_incr", semDedupIncr, Some(semDedupIncrSql)),
     QueryDef("q_oov_score", oovScore, Some(oovScoreSql)),
+    QueryDef("q_kn_counts", knCounts, Some(knCountsSql)),
     QueryDef("q_boilerplate", boilerplate, Some(boilerplateSql)),
     QueryDef("q_dup_spans", dupSpans, Some(dupSpansSql)),
     QueryDef("q_span_mask", spanMask, Some(spanMaskSql)),
