@@ -344,9 +344,11 @@ object CorpusQueries {
     val cont = tri
       .groupBy(col("w3"))
       .agg(countDistinct(concat_ws(" ", col("w1"), col("w2"))).as("cont_w3"))
+    // the continuation table is vocabulary-sized (one row per word) —
+    // broadcast it so the trigram table never shuffles again
     tri
       .filter(col("c") >= 3)
-      .join(cont, Seq("w3"))
+      .join(broadcast(cont), Seq("w3"))
       .select(col("w1"), col("w2"), col("w3"), col("c"), col("cont_w3"))
       .orderBy(col("w1"), col("w2"), col("w3"))
   }
