@@ -12,8 +12,9 @@ import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, Audi
   * resize, and 16-bit PCM WAV decode. These replace the byte-level
   * stub decoder for the image and audio legs of the multimodal
   * pipeline (reference: R/insertACImage.R stores and serves the same
-  * payloads via magick); video decode stays behind the documented
-  * stub — no container/codec support ships with the JDK.
+  * payloads via magick); video is handled by [[AviCodec]] for
+  * uncompressed RIFF/AVI — compressed video codecs (H.264 etc.) stay
+  * out of scope, since the JDK ships no decoder for them.
   *
   * Everything here is driver/executor-local scalar code invoked from
   * `mapPartitions` (see [[Multimodal]]): payloads are decoded where
@@ -124,37 +125,42 @@ object MediaCodecs {
     * reduced first (that path is perceptual, not closed-form).
     */
   def dHash56(bytes: Array[Byte]): Option[Long] =
-    readImage(bytes).map { img0 =>
-      val img =
-        if (img0.getWidth == 9 && img0.getHeight == 7) img0
-        else {
-          val dst = new BufferedImage(9, 7, BufferedImage.TYPE_INT_RGB)
-          val g2 = dst.createGraphics()
-          try {
-            g2.setRenderingHint(
-              RenderingHints.KEY_INTERPOLATION,
-              RenderingHints.VALUE_INTERPOLATION_BILINEAR
-            )
-            g2.drawImage(img0, 0, 0, 9, 7, null)
-          } finally g2.dispose()
-          dst
-        }
-      def gray(x: Int, y: Int): Int = {
-        val p = img.getRGB(x, y)
-        (299 * ((p >>> 16) & 0xff) + 587 * ((p >>> 8) & 0xff) + 114 * (p & 0xff)) / 1000
+    readImage(bytes).map(dHash56OfImage)
+
+  /** [[dHash56]] on an already-decoded frame (e.g. a video frame from
+    * [[AviCodec]]) — same grid, luminance and bit layout.
+    */
+  def dHash56OfImage(img0: BufferedImage): Long = {
+    val img =
+      if (img0.getWidth == 9 && img0.getHeight == 7) img0
+      else {
+        val dst = new BufferedImage(9, 7, BufferedImage.TYPE_INT_RGB)
+        val g2 = dst.createGraphics()
+        try {
+          g2.setRenderingHint(
+            RenderingHints.KEY_INTERPOLATION,
+            RenderingHints.VALUE_INTERPOLATION_BILINEAR
+          )
+          g2.drawImage(img0, 0, 0, 9, 7, null)
+        } finally g2.dispose()
+        dst
       }
-      var h = 0L
-      var y = 0
-      while (y < 7) {
-        var x = 0
-        while (x < 8) {
-          if (gray(x + 1, y) > gray(x, y)) h |= 1L << (y * 8 + x)
-          x += 1
-        }
-        y += 1
-      }
-      h
+    def gray(x: Int, y: Int): Int = {
+      val p = img.getRGB(x, y)
+      (299 * ((p >>> 16) & 0xff) + 587 * ((p >>> 8) & 0xff) + 114 * (p & 0xff)) / 1000
     }
+    var h = 0L
+    var y = 0
+    while (y < 7) {
+      var x = 0
+      while (x < 8) {
+        if (gray(x + 1, y) > gray(x, y)) h |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
 
   // NonFatal, not just IOException: individual ImageIO plugin readers
   // throw unchecked exceptions on some malformed payloads, and a null

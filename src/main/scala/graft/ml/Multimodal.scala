@@ -241,6 +241,84 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** REAL video decode over a binary AVI column ([[AviCodec]]): one
+    * output row per frame with exact per-channel pixel sums.
+    * Undecodable payloads keep ONE row with NULL features (parallel
+    * to the image/audio wrappers). Scan-local: the container is
+    * parsed where it is read; only fixed-width per-frame projections
+    * move on.
+    */
+  def videoFrameFeatures(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val schema = StructType(
+      Seq(
+        StructField(idCol, LongType, nullable = false),
+        StructField("frame_no", IntegerType, nullable = true),
+        StructField("width", IntegerType, nullable = true),
+        StructField("height", IntegerType, nullable = true),
+        StructField("sum_r", LongType, nullable = true),
+        StructField("sum_g", LongType, nullable = true),
+        StructField("sum_b", LongType, nullable = true)
+      )
+    )
+    val prepared = df.select(col(idCol).cast(LongType), col(binCol).cast(BinaryType))
+    prepared.mapPartitions { it =>
+      it.flatMap { r =>
+        AviCodec.decodeAviRgb(r.getAs[Array[Byte]](1)) match {
+          case Some(v) =>
+            v.frames.iterator.zipWithIndex.map { case (img, f) =>
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var y = 0
+              while (y < v.height) {
+                var x = 0
+                while (x < v.width) {
+                  val p = img.getRGB(x, y)
+                  sr += (p >>> 16) & 0xff
+                  sg += (p >>> 8) & 0xff
+                  sb += p & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              Row(r.getLong(0), f, v.width, v.height, sr, sg, sb)
+            }
+          case None => Iterator.single(Row(r.getLong(0), null, null, null, null, null, null))
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Perceptual dHashes of every `stride`-th decoded video frame —
+    * the frame-sampling fingerprint pass video near-dup runs on
+    * (hash a handful of frames, not every pixel of every frame).
+    */
+  def videoFrameDHashes(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      stride: Int
+  ): DataFrame = {
+    require(stride > 0)
+    val schema = StructType(
+      Seq(
+        StructField(idCol, LongType, nullable = false),
+        StructField("frame_no", IntegerType, nullable = true),
+        StructField("dhash", LongType, nullable = true)
+      )
+    )
+    val prepared = df.select(col(idCol).cast(LongType), col(binCol).cast(BinaryType))
+    prepared.mapPartitions { it =>
+      it.flatMap { r =>
+        AviCodec.decodeAviRgb(r.getAs[Array[Byte]](1)) match {
+          case Some(v) =>
+            v.frames.iterator.zipWithIndex
+              .filter { case (_, f) => f % stride == 0 }
+              .map { case (img, f) => Row(r.getLong(0), f, MediaCodecs.dHash56OfImage(img)) }
+          case None => Iterator.single(Row(r.getLong(0), null, null))
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Audio energy fingerprints over a binary WAV column
     * ([[MediaCodecs.audioEnergyHash]]): output (idCol, ahash), NULL
     * for undecodable/too-short clips. Same scan-local shape as

@@ -261,6 +261,114 @@ object MediaQueries {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // ---- real video decode (uncompressed AVI) ------------------------
+
+  private val VidF = 6
+  private val VidFps = 5
+
+  /** One 6-frame 9x7 uncompressed AVI per doc, RGB channels linear in
+    * (doc_id, x, y, frame) — exercises the full RIFF container parse
+    * (bottom-up BGR rows, 28-byte padded stride) with closed-form
+    * expected sums.
+    */
+  private def rgbVideos(s: SparkSession, d: String): DataFrame = {
+    val ids = TestTables.documents(s, d).select(col("doc_id").cast(LongType))
+    ids.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val avi = graft.ml.AviCodec.encodeAviRgb(
+          DhW,
+          DhH,
+          VidF,
+          VidFps,
+          (f, x, y) => {
+            val rr = ((id * 7 + x * 13 + y * 31 + f * 11) % 256).toInt
+            val gg = ((id * 11 + x * 3 + y * 17 + f * 19) % 256).toInt
+            val bb = ((id * 5 + x * 19 + y * 23 + f * 7) % 256).toInt
+            (rr << 16) | (gg << 8) | bb
+          }
+        )
+        Row(id, avi)
+      }
+    }(Encoders.row(mediaSchema))
+  }
+
+  /** Grayscale variant (per-frame dHash stays closed-form). */
+  private def grayVideos(s: SparkSession, d: String): DataFrame = {
+    val ids = TestTables.documents(s, d).select(col("doc_id").cast(LongType))
+    ids.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val g = id % 97
+        val avi = graft.ml.AviCodec.encodeAviRgb(
+          DhW,
+          DhH,
+          VidF,
+          VidFps,
+          (f, x, y) => {
+            val v = ((g * 37 + x * 13 + y * 31 + (x * y * (g + 3)) % 97 + f * 29) % 256).toInt
+            (v << 16) | (v << 8) | v
+          }
+        )
+        Row(id, avi)
+      }
+    }(Encoders.row(mediaSchema))
+  }
+
+  /** AVI encode -> REAL container decode -> exact per-frame channel
+    * sums; one row per frame.
+    */
+  private def videoDecode(s: SparkSession, d: String): DataFrame =
+    Multimodal
+      .videoFrameFeatures(rgbVideos(s, d), "doc_id", "media")
+      .orderBy(col("doc_id"), col("frame_no"))
+
+  private val videoDecodeSql =
+    s"""WITH px AS (
+       |  SELECT doc_id, f, x, y
+       |  FROM documents,
+       |       LATERAL (SELECT unnest(range(0, $VidF)) AS f),
+       |       LATERAL (SELECT unnest(range(0, $DhW)) AS x),
+       |       LATERAL (SELECT unnest(range(0, $DhH)) AS y)
+       |)
+       |SELECT doc_id,
+       |       CAST(f AS INT) AS frame_no,
+       |       CAST($DhW AS INT) AS width,
+       |       CAST($DhH AS INT) AS height,
+       |       CAST(SUM((doc_id * 7 + x * 13 + y * 31 + f * 11) % 256) AS BIGINT) AS sum_r,
+       |       CAST(SUM((doc_id * 11 + x * 3 + y * 17 + f * 19) % 256) AS BIGINT) AS sum_g,
+       |       CAST(SUM((doc_id * 5 + x * 19 + y * 23 + f * 7) % 256) AS BIGINT) AS sum_b
+       |FROM px
+       |GROUP BY doc_id, f
+       |ORDER BY doc_id, frame_no""".stripMargin
+
+  /** The fixture pixel value for gray videos as DuckDB SQL. */
+  private def vfSql(xe: String, ye: String, fe: String): String =
+    s"((doc_id % 97) * 37 + ($xe) * 13 + ($ye) * 31 + (($xe) * ($ye) * (doc_id % 97 + 3)) % 97 + ($fe) * 29) % 256"
+
+  /** AVI decode -> dHash of every 2nd frame — the sampled-frame
+    * fingerprint pass video near-dup runs on. Oracle computes the
+    * bits arithmetically per sampled frame.
+    */
+  private def videoPhash(s: SparkSession, d: String): DataFrame =
+    Multimodal
+      .videoFrameDHashes(grayVideos(s, d), "doc_id", "media", stride = 2)
+      .orderBy(col("doc_id"), col("frame_no"))
+
+  private val videoPhashSql =
+    s"""WITH b AS (
+       |  SELECT doc_id, f, y * 8 + x AS i,
+       |         CASE WHEN ${vfSql("x + 1", "y", "f")} > ${vfSql("x", "y", "f")} THEN 1 ELSE 0 END AS bit
+       |  FROM documents,
+       |       LATERAL (SELECT unnest(range(0, $VidF, 2)) AS f),
+       |       LATERAL (SELECT unnest(range(0, ${DhW - 1})) AS x),
+       |       LATERAL (SELECT unnest(range(0, $DhH)) AS y)
+       |)
+       |SELECT doc_id, CAST(f AS INT) AS frame_no,
+       |       CAST(SUM(bit * (CAST(1 AS BIGINT) << i)) AS BIGINT) AS dhash
+       |FROM b GROUP BY doc_id, f
+       |ORDER BY doc_id, frame_no""".stripMargin
+
   /** WAV encode -> REAL decode -> 31-bit energy fingerprint (32
     * 8-sample frames over the 256-sample sawtooth); the oracle
     * recomputes frame energies arithmetically from the closed-form
@@ -294,6 +402,8 @@ object MediaQueries {
     QueryDef("q_image_phash", imagePhash, Some(imagePhashSql)),
     QueryDef("q_image_neardup", imageNearDup, Some(imageNearDupSql)),
     QueryDef("q_audio_decode", audioDecode, Some(audioDecodeSql)),
-    QueryDef("q_audio_fingerprint", audioFingerprint, Some(audioFingerprintSql))
+    QueryDef("q_audio_fingerprint", audioFingerprint, Some(audioFingerprintSql)),
+    QueryDef("q_video_decode", videoDecode, Some(videoDecodeSql)),
+    QueryDef("q_video_phash", videoPhash, Some(videoPhashSql))
   )
 }
