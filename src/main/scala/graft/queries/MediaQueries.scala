@@ -369,6 +369,45 @@ object MediaQueries {
        |FROM b GROUP BY doc_id, f
        |ORDER BY doc_id, frame_no""".stripMargin
 
+  /** Clip-level near-dup: clips sharing >=2 of their 3 sampled frame
+    * hashes at the SAME frame position. A plain (frame_no, dhash)
+    * equi-join — hash-partitionable, no banding needed because frame
+    * hashes match exactly for re-encoded/re-uploaded copies; the
+    * per-pair count is the match-strength score video dedup thresholds
+    * on.
+    */
+  private def videoNearDup(s: SparkSession, d: String): DataFrame = {
+    val fh = Multimodal
+      .videoFrameDHashes(grayVideos(s, d), "doc_id", "media", stride = 2)
+      .filter(col("dhash").isNotNull)
+    val l = fh.select(col("doc_id").as("d1"), col("frame_no"), col("dhash"))
+    val r = fh.select(col("doc_id").as("d2"), col("frame_no"), col("dhash"))
+    l.join(r, Seq("frame_no", "dhash"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("n_matching_frames"))
+      .filter(col("n_matching_frames") >= 2)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  private val videoNearDupSql =
+    s"""WITH b AS (
+       |  SELECT doc_id, f, y * 8 + x AS i,
+       |         CASE WHEN ${vfSql("x + 1", "y", "f")} > ${vfSql("x", "y", "f")} THEN 1 ELSE 0 END AS bit
+       |  FROM documents,
+       |       LATERAL (SELECT unnest(range(0, $VidF, 2)) AS f),
+       |       LATERAL (SELECT unnest(range(0, ${DhW - 1})) AS x),
+       |       LATERAL (SELECT unnest(range(0, $DhH)) AS y)
+       |), h AS (
+       |  SELECT doc_id, f, CAST(SUM(bit * (CAST(1 AS BIGINT) << i)) AS BIGINT) AS dhash
+       |  FROM b GROUP BY doc_id, f
+       |)
+       |SELECT a.doc_id AS d1, c.doc_id AS d2, CAST(count(*) AS BIGINT) AS n_matching_frames
+       |FROM h a JOIN h c ON a.f = c.f AND a.dhash = c.dhash AND a.doc_id < c.doc_id
+       |GROUP BY 1, 2
+       |HAVING count(*) >= 2
+       |ORDER BY d1, d2""".stripMargin
+
   /** WAV encode -> REAL decode -> 31-bit energy fingerprint (32
     * 8-sample frames over the 256-sample sawtooth); the oracle
     * recomputes frame energies arithmetically from the closed-form
@@ -404,6 +443,7 @@ object MediaQueries {
     QueryDef("q_audio_decode", audioDecode, Some(audioDecodeSql)),
     QueryDef("q_audio_fingerprint", audioFingerprint, Some(audioFingerprintSql)),
     QueryDef("q_video_decode", videoDecode, Some(videoDecodeSql)),
-    QueryDef("q_video_phash", videoPhash, Some(videoPhashSql))
+    QueryDef("q_video_phash", videoPhash, Some(videoPhashSql)),
+    QueryDef("q_video_neardup", videoNearDup, Some(videoNearDupSql))
   )
 }
