@@ -151,6 +151,92 @@ object TextMlQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- corpus filter decision (signal fusion capstone) -------------
+
+  /** The keep/drop decision table a corpus filter materializes: exact
+    * dedup (canonical id via a window over the content hash), language
+    * agreement, composite quality, and token-level repetition fused
+    * into a first-match-wins reason — the same precedence discipline
+    * as the CRUD gates, applied to corpus curation.
+    *
+    * Scale: every signal is a scan-side projection; the ONLY shuffle
+    * in the whole decision is the content-hash window for canonical
+    * ids. At 100 TB this is one pass over the corpus plus one
+    * hash-keyed exchange — the cheapest complete filter you can run.
+    */
+  private def filterDecision(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextStats.tokens(col("text"))
+    val q = TextStats
+      .qualityMetrics(TestTables.documents(s, d), "text")
+      .withColumn("predicted", TextStats.predictedLang(TextStats.tokens(col("text"))))
+      .withColumn(
+        "dup_tok_frac",
+        round(
+          when(
+            size(toks) > 0,
+            lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks)
+          ).otherwise(lit(1.0)),
+          6
+        )
+      )
+      .withColumn("canonical_id", min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+    // an unconfident prediction ('und') is NOT a mismatch — unknown
+    // language defers to later pipeline stages (the CCNet convention)
+    val reason = when(col("doc_id") =!= col("canonical_id"), "exact_duplicate")
+      .when(col("predicted") =!= lit("und") && col("predicted") =!= col("lang"), "lang_mismatch")
+      .when(col("quality_score") < 0.5, "low_quality")
+      .when(col("dup_tok_frac") > 0.4, "repetitive")
+    q.select(
+      col("doc_id"),
+      coalesce(reason, lit("kept")).as("decision"),
+      reason.isNull.as("keep")
+    ).orderBy(col("doc_id"))
+  }
+
+  private lazy val filterDecisionSql = {
+    val en = TextStats.StopwordProfiles.toMap.apply("en").map(w => s"'$w'").mkString(", ")
+    val scores = TextStats.StopwordProfiles.map { case (lang, words) =>
+      s"len(list_intersect(toks, [${words.map(w => s"'$w'").mkString(", ")}])) AS s_$lang"
+    }.mkString(",\n       ")
+    val langs = TextStats.StopwordProfiles.map(_._1)
+    val best = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val cases = langs.map(l => s"WHEN s_$l = best AND best > 0 THEN '$l'").mkString("\n           ")
+    s"""WITH $tokCte,
+       |m AS (
+       |  SELECT doc_id, lang,
+       |       len(toks) AS n_tokens,
+       |       (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE
+       |         / greatest(length(text), 1) AS punct_ratio,
+       |       len(list_intersect(toks, [$en])) AS stop_hits,
+       |       $scores,
+       |       round(CASE WHEN len(toks) > 0
+       |                  THEN 1.0 - len(list_distinct(toks))::DOUBLE / len(toks)
+       |                  ELSE 1.0 END, 6) AS dup_tok_frac,
+       |       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+       |  FROM tok
+       |), r AS (
+       |  SELECT *, $best AS best,
+       |         least(1.0, n_tokens / 50.0) * 0.4
+       |           + least(1.0, stop_hits / 5.0) * 0.3
+       |           + (1.0 - least(1.0, punct_ratio * 10.0)) * 0.3 AS quality_score
+       |  FROM m
+       |), dec AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id <> canonical_id THEN 'exact_duplicate'
+       |         WHEN (CASE $cases
+       |           ELSE 'und' END) <> 'und'
+       |          AND (CASE $cases
+       |           ELSE 'und' END) <> lang THEN 'lang_mismatch'
+       |         WHEN quality_score < 0.5 THEN 'low_quality'
+       |         WHEN dup_tok_frac > 0.4 THEN 'repetitive'
+       |         ELSE 'kept' END AS decision
+       |  FROM r
+       |)
+       |SELECT doc_id, decision, decision = 'kept' AS keep
+       |FROM dec ORDER BY doc_id""".stripMargin
+  }
+
   // ---- fingerprint (normalization-invariant dedup) -----------------
 
   private def fingerprint(s: SparkSession, d: String): DataFrame = {
@@ -788,6 +874,7 @@ object TextMlQueries {
     QueryDef("q_token_stats", tokenStats, Some(tokenStatsSql)),
     QueryDef("q_quality_score", qualityScore, Some(qualityScoreSql)),
     QueryDef("q_lang_id", langId, Some(langIdSql)),
+    QueryDef("q_filter_decision", filterDecision, Some(filterDecisionSql)),
     QueryDef("q_fingerprint", fingerprint, Some(fingerprintSql)),
     QueryDef("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql), headline = true),
     QueryDef("q_minhash_lsh", minHashLsh, Some(minHashLshSql), headline = true),
