@@ -34,7 +34,11 @@ class DeterminismSpec extends SparkSpec {
     "q_corrections",       // correction fold
     "q_tolerance_asof",    // mutual-nearest join
     "q_heavy_hitters",     // top-k with ties
-    "q_tfidf"              // rank by ratio with ties
+    "q_tfidf",             // rank by ratio with ties
+    "q_span_mask",         // span collect + indexed array filter
+    "q_kn_counts",         // count-of-counts aggregation
+    "q_video_phash",       // container decode + per-frame hashing
+    "q_filter_decision"    // content-hash window + reason precedence
   )
 
   private def rows(name: String): Seq[String] =

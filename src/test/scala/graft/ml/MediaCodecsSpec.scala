@@ -151,6 +151,23 @@ class MediaCodecsSpec extends SparkSpec {
     assert(MediaCodecs.decodeImage(png.take(20)).isEmpty)
   }
 
+  test("Multimodal video wrappers keep undecodable rows with NULL features") {
+    import spark.implicits._
+    val ok = AviCodec.encodeAviRgb(4, 3, 2, 5, (f, x, y) => (f * 40 + x * 20 + y * 10) & 0xffffff)
+    val rows = Seq((1L, ok), (2L, "not a video".getBytes)).toDF("doc_id", "media")
+    val feats = Multimodal
+      .videoFrameFeatures(rows, "doc_id", "media")
+      .orderBy(col("doc_id"), col("frame_no"))
+      .collect()
+    assert(feats.length == 3, "2 frames for doc 1 + 1 NULL row for doc 2")
+    assert(feats.count(_.isNullAt(1)) == 1)
+    val hashes = Multimodal
+      .videoFrameDHashes(rows, "doc_id", "media", stride = 1)
+      .collect()
+    assert(hashes.length == 3)
+    assert(hashes.count(_.isNullAt(2)) == 1)
+  }
+
   test("Multimodal.imageFeatures keeps undecodable rows with NULL features") {
     val ok = MediaCodecs.encodeImage(4, 4, (_, _) => 0x804020)
     val df = Seq((1L, ok), (2L, "garbage".getBytes)).toDF("doc_id", "media")
