@@ -85,6 +85,17 @@ class PlanAuditSpec extends SparkSpec {
     )
   }
 
+  test("filter decision is join-free — one content-hash window is the only exchange") {
+    val p = plan("q_filter_decision")
+    assert(!p.contains("Join"), s"signal fusion must stay scan-side, no joins:\n$p")
+  }
+
+  test("KN counts broadcast the vocabulary-sized continuation table") {
+    val p = plan("q_kn_counts")
+    assert(p.contains("BroadcastHashJoin"), s"continuation join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"the trigram table must not reshuffle:\n$p")
+  }
+
   test("url filter broadcasts the blocklist — the corpus never shuffles by domain") {
     val p = plan("q_url_filter")
     assert(p.contains("BroadcastHashJoin"), s"blocklist join must broadcast:\n$p")
