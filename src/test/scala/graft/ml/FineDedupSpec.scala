@@ -143,6 +143,44 @@ class FineDedupSpec extends SparkSpec {
     assert(out == Seq((1L, "c d g h", 4)))
   }
 
+  test("detect -> mask removes EVERY occurrence of every duplicated gram (fixture corpus)") {
+    // all occurrences of a cross-doc-duplicated n-gram lie inside
+    // spans by construction, so none can survive the cut — the
+    // guarantee that makes one detect+mask round sufficient for the
+    // original duplicate set (only glue artifacts can create new ones)
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val n = 8
+    def gramSet(d: org.apache.spark.sql.DataFrame, textCol: String): Set[String] = {
+      d.select(col("doc_id"), TextStats.tokens(col(textCol)).as("toks"))
+        .filter(size(col("toks")) >= n)
+        .select(col("doc_id"), explode(expr(s"transform(sequence(1, size(toks) - ${n - 1}), i -> array_join(slice(toks, i, $n), ' '))")).as("g"))
+        .distinct()
+        .groupBy("g")
+        .count()
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .toMap
+        .collect { case (g, c) if c >= 2 => g }
+        .toSet
+    }
+    val dupGrams = gramSet(docs, "text")
+    assert(dupGrams.nonEmpty, "fixture must contain cross-doc duplicated grams")
+    val spans = FineDedup.duplicatedSpans(docs, "doc_id", "text", n, minDocs = 2)
+    val masked = FineDedup.maskSpans(docs, "doc_id", "text", spans)
+    val survivors = masked
+      .select(col("doc_id"), TextStats.tokens(col("masked_text")).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(explode(expr(s"transform(sequence(1, size(toks) - ${n - 1}), i -> array_join(slice(toks, i, $n), ' '))")).as("g"))
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+      .toSet
+    val leaked = survivors.intersect(dupGrams)
+    assert(leaked.isEmpty, s"duplicated grams survived masking: ${leaked.take(3)}")
+  }
+
   // ---- randomized cross-check vs an in-memory reference ------------
 
   /** Plain-Scala reference: positional n-grams, df over distinct docs,
