@@ -128,6 +128,59 @@ object StreamingIngest {
       }
   }
 
+  /** One streamed (doc, line) row — line_hash is the portable 56-bit
+    * content hash of the line, computed upstream at scan time.
+    */
+  final case class DocLine(doc_id: Long, line_hash: Long)
+
+  /** A newly-boilerplate line: the hash plus the distinct-doc count
+    * that crossed the threshold.
+    */
+  final case class BoilerplateLine(line_hash: Long, line_df: Long)
+
+  /** Streaming boilerplate detection: the cross-batch face of
+    * [[graft.ml.FineDedup.frequentLines]] — tracks how many DISTINCT
+    * documents each line hash has appeared in and emits the hash once,
+    * in the micro-batch where its document frequency crosses
+    * `minDocs`. Downstream, the emitted set is the broadcast blocklist
+    * the batch strip pass anti-joins against; continuously maintaining
+    * it this way means a growing crawl never recounts history.
+    *
+    * State per line hash is (df, a bounded recent-doc set for
+    * within-threshold exactness): once df >= minDocs the doc set is
+    * dropped and the state collapses to a "already emitted" marker —
+    * boilerplate lines (the hot keys!) carry O(1) state, so state size
+    * is bounded by the sub-threshold tail, not by line popularity.
+    */
+  def detectBoilerplate(
+      stream: DataFrame,
+      minDocs: Int
+  ): org.apache.spark.sql.Dataset[BoilerplateLine] = {
+    import stream.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(minDocs >= 2)
+    stream
+      .as[DocLine]
+      .groupByKey(_.line_hash)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (hash: Long, rows: Iterator[DocLine], state: GroupState[Set[Long]]) =>
+          // sentinel: the EMPTY set means "already emitted — drop
+          // everything" (a live accumulation set always has >=1 doc)
+          state.getOption match {
+            case Some(s) if s.isEmpty => Iterator.empty
+            case prev =>
+              val seen = prev.getOrElse(Set.empty[Long]) ++ rows.map(_.doc_id)
+              if (seen.size >= minDocs) {
+                state.update(Set.empty[Long])
+                Iterator.single(BoilerplateLine(hash, seen.size.toLong))
+              } else {
+                state.update(seen)
+                Iterator.empty
+              }
+          }
+      }
+  }
+
   /** Watermarked tumbling daily mean per series over a streaming
     * frame with (timeseries_id, datetime, value).
     */

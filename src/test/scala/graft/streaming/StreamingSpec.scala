@@ -102,6 +102,42 @@ class StreamingSpec extends SparkSpec {
     assert(all == Set((3L, 100L), (4L, 200L), (5L, 300L)))
   }
 
+  test("detectBoilerplate emits a line hash ONCE, when its distinct-doc df crosses the threshold") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("stream6").toString
+    val src = s"$base/src"; val cp = s"$base/cp"; val sink = s"$base/sink"
+    new java.io.File(src).mkdirs()
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("line_hash", LongType)
+    ))
+    def run(): Unit = {
+      val q = StreamingIngest
+        .detectBoilerplate(spark.readStream.schema(schema).parquet(src), minDocs = 2)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(60000), "stream did not terminate within 60s")
+    }
+    // batch 1: hash 100 in docs 1+2 (crosses), hash 200 in doc 1 only
+    // (below), hash 300 TWICE in doc 5 (within-doc repeat: df stays 1)
+    Seq((1L, 100L), (2L, 100L), (1L, 200L), (5L, 300L), (5L, 300L))
+      .toDF("doc_id", "line_hash").write.mode("append").parquet(src)
+    run()
+    val first = spark.read.parquet(sink).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(first == Set((100L, 2L)), s"got $first")
+    // batch 2: hash 100 replays (already emitted -> silent), hash 200
+    // reaches doc 3 (crosses now), hash 300 repeats in doc 5 (still 1)
+    Seq((3L, 200L), (9L, 100L), (5L, 300L))
+      .toDF("doc_id", "line_hash").write.mode("append").parquet(src)
+    run()
+    val all = spark.read.parquet(sink).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all == Set((100L, 2L), (200L, 2L)), s"got $all")
+  }
+
   test("windowedDaily aggregates a stream into daily means") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("stream2").toString
