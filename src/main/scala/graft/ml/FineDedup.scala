@@ -170,8 +170,48 @@ object FineDedup {
     val hits = grams
       .join(broadcast(dupGrams), Seq("gram_hash"), "left_semi")
       .select(col(idCol), col("pos"), (col("pos") + lit(n - 1)).as("end_pos"))
-    // gaps-and-islands on (doc, pos): a hit starts a new span iff it
-    // begins past every previous hit's end + 1 (adjacent merges)
+    mergeIslands(hits, idCol)
+  }
+
+  /** Token spans covered by n-grams present in an EXTERNAL reference
+    * set (one `gram` string column — an eval-set shingle list, a
+    * blocklist of phrases): the decontamination face of
+    * [[duplicatedSpans]], where the "bad" grams come from outside the
+    * corpus instead of from cross-doc repetition. Same output shape
+    * and merge semantics; the reference set is broadcast, so the
+    * corpus pass is scan-local.
+    */
+  def taggedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      refGrams: DataFrame
+  ): DataFrame = {
+    require(n >= 2, "span gram size must be >= 2")
+    val hits = docs
+      .select(col(idCol), TextStats.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(
+        col(idCol),
+        explode(expr(s"sequence(1, size(toks) - ${n - 1})")).as("pos"),
+        col("toks")
+      )
+      .select(
+        col(idCol),
+        col("pos"),
+        expr(s"array_join(slice(toks, pos, $n), ' ')").as("gram")
+      )
+      .join(broadcast(refGrams.select(col("gram")).distinct()), Seq("gram"), "left_semi")
+      .select(col(idCol), col("pos"), (col("pos") + lit(n - 1)).as("end_pos"))
+    mergeIslands(hits, idCol)
+  }
+
+  /** Gaps-and-islands merge of (id, pos, end_pos) hits: a hit starts a
+    * new span iff it begins past every previous hit's end + 1
+    * (adjacent merges). Doc-local windows — one doc-keyed shuffle.
+    */
+  private def mergeIslands(hits: DataFrame, idCol: String): DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     val prevMaxEnd = max(col("end_pos"))
       .over(w.rowsBetween(Window.unboundedPreceding, -1))

@@ -221,6 +221,59 @@ object CorpusQueries {
        |LEFT JOIN ov ON ov.doc_id = sizes.doc_id
        |ORDER BY sizes.doc_id""".stripMargin
 
+  // ---- decontamination spans (surgical eval-overlap removal) -------
+
+  /** Decontamination CUT LIST: instead of dropping whole contaminated
+    * docs (q_contamination's screen), mark the exact token spans
+    * covered by eval-set 3-grams — the surgical removal a pipeline
+    * prefers when contamination touches a fraction of a long doc. The
+    * eval shingle set is broadcast ([[FineDedup.taggedSpans]]); span
+    * merge semantics match q_dup_spans.
+    */
+  private def decontamSpans(s: SparkSession, d: String): DataFrame = {
+    val docs = TestTables.documents(s, d)
+    val evalGrams = Dedup
+      .shingles(docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", 3)
+      .select(col("shingle").as("gram"))
+      .distinct()
+    FineDedup
+      .taggedSpans(docs.filter(col("doc_id") % 50 =!= 0), "doc_id", "text", n = 3, evalGrams)
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  private lazy val decontamSpansSql =
+    s"""WITH $tokCte, $shCte,
+       |ev AS (
+       |  SELECT DISTINCT shingle AS gram FROM sh WHERE doc_id % 50 = 0
+       |), g AS (
+       |  SELECT doc_id, CAST(pos AS INT) AS pos,
+       |         array_to_string(toks[pos:pos+2], ' ') AS gram
+       |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS pos
+       |        FROM tok WHERE doc_id % 50 <> 0 AND len(toks) >= 3)
+       |), hits AS (
+       |  SELECT doc_id, pos, pos + 2 AS end_pos
+       |  FROM g WHERE gram IN (SELECT gram FROM ev)
+       |), isl AS (
+       |  SELECT doc_id, pos, end_pos,
+       |         CASE WHEN max(end_pos) OVER w IS NULL
+       |                OR pos > max(end_pos) OVER w + 1
+       |              THEN 1 ELSE 0 END AS new_span
+       |  FROM hits
+       |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |), sp AS (
+       |  SELECT doc_id, pos, end_pos,
+       |         sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+       |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+       |  FROM isl
+       |)
+       |SELECT doc_id,
+       |       CAST(min(pos) AS INT) AS span_start,
+       |       CAST(max(end_pos) AS INT) AS span_end,
+       |       CAST(max(end_pos) - min(pos) + 1 AS INT) AS span_len
+       |FROM sp GROUP BY doc_id, span_id
+       |ORDER BY doc_id, span_start""".stripMargin
+
   // ---- vocabulary / OOV quality signal (CCNet-style LM proxy) ------
 
   /** Out-of-vocabulary scoring — the language-model quality-filter
@@ -1031,6 +1084,7 @@ object CorpusQueries {
     QueryDef("q_span_mask", spanMask, Some(spanMaskSql)),
     QueryDef("q_repetition", repetition, Some(repetitionSql)),
     QueryDef("q_contamination", contamination, Some(contaminationSql)),
+    QueryDef("q_decontam_spans", decontamSpans, Some(decontamSpansSql)),
     QueryDef("q_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     QueryDef("q_weighted_mix", weightedMix, Some(weightedMixSql)),
     QueryDef("q_heavy_hitters", heavyHitters, Some(heavyHittersSql)),

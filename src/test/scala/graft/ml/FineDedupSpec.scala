@@ -143,6 +143,21 @@ class FineDedupSpec extends SparkSpec {
     assert(out == Seq((1L, "c d g h", 4)))
   }
 
+  test("taggedSpans marks spans covered by an external reference gram set") {
+    val docs = Seq(
+      (1L, "x a b c y z"), // "a b" hits at pos 2 -> span [2,3]
+      (2L, "a b c d e f") // "a b" at 1, "c d" at 3: adjacent -> one span [1,4]
+    ).toDF("doc_id", "text")
+    val ref = Seq("a b", "c d").toDF("gram")
+    val spans = FineDedup
+      .taggedSpans(docs, "doc_id", "text", n = 2, ref)
+      .orderBy(col("doc_id"), col("span_start"))
+      .as[(Long, Int, Int, Int)]
+      .collect()
+      .toSeq
+    assert(spans == Seq((1L, 2, 3, 2), (2L, 1, 4, 4)))
+  }
+
   test("detect -> mask removes EVERY occurrence of every duplicated gram (fixture corpus)") {
     // all occurrences of a cross-doc-duplicated n-gram lie inside
     // spans by construction, so none can survive the cut — the
