@@ -421,6 +421,55 @@ object CorpusQueries {
        |WHERE tri.c >= 3
        |ORDER BY tri.w1, tri.w2, tri.w3""".stripMargin
 
+  // ---- multi-order n-gram counts (one-pass union explode) ----------
+
+  /** The complete n-gram count file (orders 1..3) in ONE corpus pass:
+    * every order's grams explode from the same scan tagged with their
+    * order, so a single (order, gram) shuffle produces the whole
+    * hierarchy — not one scan+shuffle per order. This is the artifact
+    * KenLM's `lmplz` counts phase writes; q_kn_counts derives the
+    * continuation quantities from the top order.
+    */
+  private def ngramOrders(s: SparkSession, d: String): DataFrame =
+    TestTables
+      .documents(s, d)
+      .select(TextStats.tokens(col("text")).as("toks"))
+      .select(
+        explode(
+          concat(
+            expr("transform(toks, t -> struct(1 as n, t as gram))"),
+            expr(
+              "if(size(toks) >= 2, transform(sequence(1, size(toks) - 1), " +
+                "i -> struct(2 as n, array_join(slice(toks, i, 2), ' ') as gram)), " +
+                "array())"
+            ),
+            expr(
+              "if(size(toks) >= 3, transform(sequence(1, size(toks) - 2), " +
+                "i -> struct(3 as n, array_join(slice(toks, i, 3), ' ') as gram)), " +
+                "array())"
+            )
+          )
+        ).as("g")
+      )
+      .groupBy(col("g.n").as("order_n"), col("g.gram").as("gram"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 5)
+      .orderBy(col("order_n"), col("gram"))
+
+  private lazy val ngramOrdersSql =
+    s"""WITH $tokCte, ex AS (
+       |  SELECT 1 AS order_n, unnest(toks) AS gram FROM tok
+       |  UNION ALL
+       |  SELECT 2, array_to_string(toks[i:i+1], ' ')
+       |  FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM tok WHERE len(toks) >= 2)
+       |  UNION ALL
+       |  SELECT 3, array_to_string(toks[i:i+2], ' ')
+       |  FROM (SELECT toks, unnest(range(1, len(toks) - 1)) AS i FROM tok WHERE len(toks) >= 3)
+       |)
+       |SELECT CAST(order_n AS INT) AS order_n, gram, count(*) AS c
+       |FROM ex GROUP BY 1, 2 HAVING count(*) >= 5
+       |ORDER BY order_n, gram""".stripMargin
+
   // ---- weighted mixture sampling (largest-remainder quotas) --------
 
   private val MixWeights = Seq(("src0", 5), ("src1", 3), ("src2", 2), ("src3", 1), ("src7", 4))
@@ -1079,6 +1128,7 @@ object CorpusQueries {
     QueryDef("q_semdedup_incr", semDedupIncr, Some(semDedupIncrSql)),
     QueryDef("q_oov_score", oovScore, Some(oovScoreSql)),
     QueryDef("q_kn_counts", knCounts, Some(knCountsSql)),
+    QueryDef("q_ngram_orders", ngramOrders, Some(ngramOrdersSql)),
     QueryDef("q_boilerplate", boilerplate, Some(boilerplateSql)),
     QueryDef("q_dup_spans", dupSpans, Some(dupSpansSql)),
     QueryDef("q_span_mask", spanMask, Some(spanMaskSql)),
