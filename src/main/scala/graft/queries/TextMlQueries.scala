@@ -194,7 +194,10 @@ object TextMlQueries {
     ).orderBy(col("doc_id"))
   }
 
-  private lazy val filterDecisionSql = {
+  /** The decision CTE chain ending in `dec(doc_id, decision)` —
+    * shared by the per-doc decision table and the funnel report.
+    */
+  private lazy val decisionCtes = {
     val en = TextStats.StopwordProfiles.toMap.apply("en").map(w => s"'$w'").mkString(", ")
     val scores = TextStats.StopwordProfiles.map { case (lang, words) =>
       s"len(list_intersect(toks, [${words.map(w => s"'$w'").mkString(", ")}])) AS s_$lang"
@@ -202,7 +205,7 @@ object TextMlQueries {
     val langs = TextStats.StopwordProfiles.map(_._1)
     val best = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
     val cases = langs.map(l => s"WHEN s_$l = best AND best > 0 THEN '$l'").mkString("\n           ")
-    s"""WITH $tokCte,
+    s"""$tokCte,
        |m AS (
        |  SELECT doc_id, lang,
        |       len(toks) AS n_tokens,
@@ -232,10 +235,65 @@ object TextMlQueries {
        |         WHEN dup_tok_frac > 0.4 THEN 'repetitive'
        |         ELSE 'kept' END AS decision
        |  FROM r
-       |)
+       |)""".stripMargin
+  }
+
+  private lazy val filterDecisionSql =
+    s"""WITH $decisionCtes
        |SELECT doc_id, decision, decision = 'kept' AS keep
        |FROM dec ORDER BY doc_id""".stripMargin
+
+  /** The funnel report: how many docs survive after each filter
+    * stage, in precedence order — the per-run artifact a curation
+    * pipeline publishes. Derived from the SAME decision frame (the
+    * first-fail reason fully determines every stage's survivor set),
+    * so it costs one extra tiny aggregation, not a re-run.
+    */
+  private def corpusFunnel(s: SparkSession, d: String): DataFrame = {
+    val dec = filterDecision(s, d).select(col("decision"))
+    val agg = dec.agg(
+      count(lit(1)).as("raw"),
+      sum(when(col("decision") =!= "exact_duplicate", 1L).otherwise(0L)).as("s1"),
+      sum(when(!col("decision").isin("exact_duplicate", "lang_mismatch"), 1L).otherwise(0L)).as("s2"),
+      sum(
+        when(!col("decision").isin("exact_duplicate", "lang_mismatch", "low_quality"), 1L)
+          .otherwise(0L)
+      ).as("s3"),
+      sum(when(col("decision") === "kept", 1L).otherwise(0L)).as("s4")
+    )
+    val stages = Seq(
+      (0, "raw", "raw"),
+      (1, "exact_dedup", "s1"),
+      (2, "language", "s2"),
+      (3, "quality", "s3"),
+      (4, "repetition", "s4")
+    )
+    agg
+      .select(
+        explode(
+          array(stages.map { case (i, nm, c0) =>
+            struct(lit(i).as("stage"), lit(nm).as("stage_name"), col(c0).as("n_surviving"))
+          }: _*)
+        ).as("f")
+      )
+      .select(col("f.stage"), col("f.stage_name"), col("f.n_surviving"))
+      .orderBy(col("stage"))
   }
+
+  private lazy val corpusFunnelSql =
+    s"""WITH $decisionCtes
+       |SELECT CAST(0 AS INT) AS stage, 'raw' AS stage_name, count(*) AS n_surviving FROM dec
+       |UNION ALL
+       |SELECT 1, 'exact_dedup', count(*) FROM dec WHERE decision <> 'exact_duplicate'
+       |UNION ALL
+       |SELECT 2, 'language', count(*) FROM dec
+       |WHERE decision NOT IN ('exact_duplicate', 'lang_mismatch')
+       |UNION ALL
+       |SELECT 3, 'quality', count(*) FROM dec
+       |WHERE decision NOT IN ('exact_duplicate', 'lang_mismatch', 'low_quality')
+       |UNION ALL
+       |SELECT 4, 'repetition', count(*) FROM dec WHERE decision = 'kept'
+       |ORDER BY stage""".stripMargin
 
   // ---- fingerprint (normalization-invariant dedup) -----------------
 
@@ -875,6 +933,7 @@ object TextMlQueries {
     QueryDef("q_quality_score", qualityScore, Some(qualityScoreSql)),
     QueryDef("q_lang_id", langId, Some(langIdSql)),
     QueryDef("q_filter_decision", filterDecision, Some(filterDecisionSql)),
+    QueryDef("q_corpus_funnel", corpusFunnel, Some(corpusFunnelSql)),
     QueryDef("q_fingerprint", fingerprint, Some(fingerprintSql)),
     QueryDef("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql), headline = true),
     QueryDef("q_minhash_lsh", minHashLsh, Some(minHashLshSql), headline = true),
