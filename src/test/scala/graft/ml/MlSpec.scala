@@ -171,6 +171,35 @@ class MlSpec extends SparkSpec {
     assert(pairs(Similarity.ivfTopK(emb, "vec_id", "embedding", pred, k = 5)) == ivf)
   }
 
+  test("SQ8 quantization preserves exact-ANN recall (dequantized top-k vs float top-k)") {
+    // the storage-format composition story: search over int8-dequantized
+    // vectors must agree with search over the original floats — SQ8's
+    // ~0.4% per-component error shouldn't reorder non-degenerate top-k
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // dequantize with the exact Quantize.int8 arithmetic (scale = max|x|/127)
+    val deq = emb.select(
+      col("vec_id"),
+      expr(
+        """transform(
+          |  transform(embedding, x -> CAST(x AS DOUBLE)),
+          |  x -> CASE WHEN array_max(transform(embedding, e -> abs(CAST(e AS DOUBLE)))) = 0.0 THEN 0.0
+          |            ELSE floor(x / (array_max(transform(embedding, e -> abs(CAST(e AS DOUBLE)))) / 127.0) + 0.5)
+          |                 * (array_max(transform(embedding, e -> abs(CAST(e AS DOUBLE)))) / 127.0) END)""".stripMargin
+      ).as("embedding")
+    )
+    val pred = col("vec_id") % 100 === 0
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("query_id")), r.getLong(r.fieldIndex("neighbor_id"))))
+      .toSet
+    val exact = pairs(Similarity.cosineTopK(emb, "vec_id", "embedding", pred, k = 5))
+    val quant = pairs(Similarity.cosineTopK(deq, "vec_id", "embedding", pred, k = 5))
+    val recall = (exact intersect quant).size.toDouble / exact.size
+    assert(recall >= 0.8, s"SQ8 must not disturb top-k materially, got $recall")
+  }
+
   test("native vec_dot is bit-identical to the interpreted HOF dot") {
     import spark.implicits._
     graft.functions.VectorOps.register(spark)
