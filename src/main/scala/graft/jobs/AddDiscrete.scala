@@ -49,32 +49,42 @@ object AddDiscrete {
       existingSamples: DataFrame
   ): AddDiscreteResult = {
     // ---- sample gates (reference: required metadata, one row each) --
+    // a sample_key appearing twice in one batch is a caller bug the
+    // reference's one-row-at-a-time flow cannot express; both rows
+    // reject (no tiebreak exists between identical keys) so neither
+    // fans out the results join with an arbitrary winner's id
+    val keyCounts = Window.partitionBy(col("sample_key"))
     val sampleFlagged = samples
       .join(
         broadcast(results.groupBy("sample_key").agg(count(lit(1)).as("__n_results"))),
         Seq("sample_key"),
         "left"
       )
+      .withColumn("__key_n", count(lit(1)).over(keyCounts))
       .withColumn(
         "reject_reason",
-        when(col("location_id").isNull, "missing_location")
+        when(col("sample_key").isNull, "missing_sample_key")
+          .when(col("__key_n") > 1, "duplicate_sample_key")
+          .when(col("location_id").isNull, "missing_location")
           .when(col("datetime").isNull, "missing_datetime")
           .when(col("media_id").isNull, "missing_media")
           .when(coalesce(col("__n_results"), lit(0L)) === 0, "no_results")
       )
+      .drop("__key_n")
     val sampleRejects = sampleFlagged
       .filter(col("reject_reason").isNotNull)
       .select(col("sample_key"), col("reject_reason"))
     val goodSamples = sampleFlagged.filter(col("reject_reason").isNull).drop("reject_reason")
 
-    // ---- id assignment above the existing max (Boreholes pattern) --
+    // ---- id assignment above the existing max: range-partitioned
+    // rank (SeqIds), not a single-task global window ----------------
     val maxId =
       existingSamples.agg(coalesce(max(col("sample_id")), lit(0L)).as("__max_id"))
-    val w = Window.orderBy(col("sample_key"))
-    val withIds = goodSamples
+    val withIds = graft.operators.SeqIds
+      .globalRank(goodSamples, Seq(col("sample_key")), "__seq")
       .crossJoin(broadcast(maxId))
-      .withColumn("sample_id", col("__max_id") + row_number().over(w))
-      .drop("__max_id", "__n_results")
+      .withColumn("sample_id", col("__max_id") + col("__seq"))
+      .drop("__max_id", "__seq", "__n_results")
 
     // ---- result gates --------------------------------------------
     val dims = broadcast(

@@ -143,11 +143,18 @@ object AviCodec {
           if (id == fourcc("LIST")) {
             walk(pos + 12, pos + 8 + len)
           } else if (id == fourcc("strh")) {
+            // header reads stay inside the chunk's declared length —
+            // a truncated strh must degrade to None, not read the
+            // next chunk's bytes as dwScale/dwRate
+            if (len < 28) { ok = false; return }
             if (b.getInt(pos + 8) == fourcc("vids")) {
               scale = math.max(b.getInt(pos + 8 + 20), 1)
               rate = b.getInt(pos + 8 + 24)
             }
           } else if (id == fourcc("strf")) {
+            // BITMAPINFOHEADER is 40 bytes; anything shorter cannot
+            // carry the fields read below
+            if (len < 40) { ok = false; return }
             width = b.getInt(pos + 8 + 4)
             height = b.getInt(pos + 8 + 8)
             val bitCount = b.getShort(pos + 8 + 14)

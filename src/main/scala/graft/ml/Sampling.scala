@@ -70,19 +70,24 @@ object Sampling {
     val spark = df.sparkSession
     val totalW = weights.map(_._2.toLong).sum
     import org.apache.spark.sql.expressions.Window
-    val wRows = weights.map { case (s, wt) => (s, wt.toLong) }
-    val wDf = spark.createDataFrame(wRows).toDF(sourceCol, "wt")
-    val base = wDf
-      .withColumn("num", lit(targetN) * col("wt"))
-      .withColumn("base", (col("num") / totalW).cast("long"))
-      .withColumn("rem", col("num") % totalW)
-    // leftover seats = targetN - sum(base); hand one each to the
-    // largest remainders (dimension-sized window, deterministic ties)
-    val leftover = lit(targetN) - sum(col("base")).over(Window.partitionBy())
-    val remRank = row_number().over(Window.orderBy(col("rem").desc, col(sourceCol)))
-    val quotas = base
-      .withColumn("quota", col("base") + when(remRank <= leftover, 1L).otherwise(0L))
-      .select(col(sourceCol), col("quota"))
+    // Hamilton apportionment over the weights Seq — it is driver data
+    // already, so the base/remainder/leftover arithmetic runs in plain
+    // Scala (no global window; all-integer, deterministic ties by
+    // source name)
+    val apportioned = weights.map { case (s, wt) =>
+      val num = targetN * wt.toLong
+      (s, num / totalW, num % totalW)
+    }
+    val leftover = targetN - apportioned.map(_._2).sum
+    val topUp = apportioned
+      .sortBy { case (s, _, rem) => (-rem, s) }
+      .take(leftover.toInt)
+      .map(_._1)
+      .toSet
+    val quotaRows = apportioned.map { case (s, base, _) =>
+      (s, base + (if (topUp(s)) 1L else 0L))
+    }
+    val quotas = spark.createDataFrame(quotaRows).toDF(sourceCol, "quota")
     val rk = row_number().over(
       Window
         .partitionBy(col(sourceCol))

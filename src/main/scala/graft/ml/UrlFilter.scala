@@ -20,7 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object UrlFilter {
 
-  val UrlPattern = """https?://([A-Za-z0-9.-]+)"""
+  /** Host capture skips an optional userinfo prefix (`user:pass@`) —
+    * otherwise `https://innocent@spam.example/x` would yield host
+    * `innocent` and the blocked registered domain would never be
+    * seen, a one-character evasion of the gate. RE2/Java-agreeing
+    * (no lookaround; the userinfo group is non-capturing).
+    */
+  val UrlPattern = """https?://(?:[^/@\s]+@)?([A-Za-z0-9.-]+)"""
 
   /** First URL host in the text ('' if none). */
   def hostOf(text: Column): Column = regexp_extract(text, UrlPattern, 1)

@@ -120,15 +120,17 @@ object Boreholes {
       .drop("__bh_key", "__loc_ok", "__purp_ok", "__wpurp_ok", "__dup")
     // deterministic id assignment: max existing id (broadcast 1-row
     // frame, no driver action) + dense order over the natural key —
-    // accepted rows have non-null unique-ish names by construction
+    // range-partitioned rank (SeqIds), not a single-task window
     val maxId = existing.agg(coalesce(max(col("borehole_id")), lit(0L)).as("__max_id"))
-    val w = Window.orderBy(lower(col("borehole_name")), col("latitude"), col("longitude"))
-    val accepted = flagged
-      .filter(col("reject_reason").isNull)
-      .drop("reject_reason")
+    val accepted = SeqIds
+      .globalRank(
+        flagged.filter(col("reject_reason").isNull).drop("reject_reason"),
+        Seq(lower(col("borehole_name")), col("latitude"), col("longitude")),
+        "__seq"
+      )
       .crossJoin(broadcast(maxId))
-      .withColumn("borehole_id", col("__max_id") + row_number().over(w))
-      .drop("__max_id")
+      .withColumn("borehole_id", col("__max_id") + col("__seq"))
+      .drop("__max_id", "__seq")
     val rejects = flagged.filter(col("reject_reason").isNotNull)
     val permafrost = accepted
       .filter(col("permafrost_present"))

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed dense global rank — the scale-safe replacement for
+  * `row_number().over(Window.orderBy(...))`.
+  *
+  * The CRUD gates (AddDiscrete, Boreholes, AdminOps, RasterIngest)
+  * assign sequential ids above `max(existing)` in a deterministic
+  * order — the reference does this one row at a time against a
+  * Postgres sequence (`R/addNewDiscrete.R`, `R/insertACBorehole.R` in
+  * YukonWRB/AquaCache). An unpartitioned window computes the same
+  * rank but collapses the whole batch into one task; fine for a
+  * manual insert, a serialization wall for a bulk backfill.
+  *
+  * Shape here: range-repartition on the sort keys (equal keys land in
+  * one partition, partitions are globally ordered), rank within each
+  * partition, then add per-partition row-count offsets. The offsets
+  * are a partition-count-sized collect — bounded by the shuffle
+  * parallelism, never by the data. `localCheckpoint` pins the
+  * partition layout so the count job and the rank job see the same
+  * `spark_partition_id`. Global rank identity: every row in an
+  * earlier range partition sorts strictly before (or ties within the
+  * same partition), so offset + intra-partition row_number == the
+  * global row_number over the same ordering.
+  */
+object SeqIds {
+
+  /** Adds `outCol` = 1-based dense global rank of `df` rows under
+    * `sortCols`. Deterministic when the sort key is unique (all CRUD
+    * callers rank on a unique natural/batch key).
+    */
+  def globalRank(df: DataFrame, sortCols: Seq[Column], outCol: String): DataFrame = {
+    val staged = df
+      .repartitionByRange(sortCols: _*)
+      .withColumn("__gr_pid", spark_partition_id())
+      .localCheckpoint(false)
+    val counts = staged
+      .groupBy(col("__gr_pid"))
+      .agg(count(lit(1)).as("__gr_n"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    if (counts.isEmpty) {
+      // empty batch: rank column exists, no rows carry it
+      staged.withColumn(outCol, lit(0L)).drop("__gr_pid")
+    } else {
+      var running = 0L
+      val offsets = counts.map { case (pid, n) =>
+        val o = running; running += n; (pid, o)
+      }.toSeq
+      val spark = staged.sparkSession
+      import spark.implicits._
+      val offDf = broadcast(offsets.toDF("__gr_pid", "__gr_off"))
+      val w = Window.partitionBy(col("__gr_pid")).orderBy(sortCols: _*)
+      staged
+        .join(offDf, Seq("__gr_pid"))
+        .withColumn(outCol, col("__gr_off") + row_number().over(w))
+        .drop("__gr_pid", "__gr_off")
+    }
+  }
+}

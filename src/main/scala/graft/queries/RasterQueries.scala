@@ -212,7 +212,13 @@ object RasterQueries {
     * fetch fx, bad type, unknown parameter / fetch fx, multi-state
     * ambiguity, z without units, duplicate series) and the accepted
     * rows prove matrix-state defaulting, id seeding above
-    * max(existing), and the start_datetime watermark seed.
+    * max(existing), and the start_datetime watermark seed. Round 6:
+    * multi-state matrix states resolve through the media dim (reject
+    * `unresolved_matrix_state` when the media has no mapping — the
+    * catalog never takes a NULL matrix state), the duplicate key
+    * includes the resolved matrix state null-safely, and repeated
+    * (model, parameter, type, matrix) keys within the batch reject as
+    * `duplicate_in_batch` (lowest src_key wins).
     */
   private def rasterSeries(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -245,9 +251,10 @@ object RasterQueries {
       (4L, Some(40L), false)
     ).toDF("parameter_id", "default_matrix_state_id", "multi_state")
     val knownFx = Seq("downloadERA5", "downloadHRDPS", "downloadHRDPA").toDF("source_fx")
-    val existing = Seq((7L, "HRDPA", 4L, "reanalysis"))
-      .toDF("raster_series_id", "model", "parameter_id", "raster_type")
-    val out = graft.sources.RasterIngest.registerSeries(incoming, parameters, knownFx, existing)
+    val existing = Seq((7L, "HRDPA", 4L, "reanalysis", 40L))
+      .toDF("raster_series_id", "model", "parameter_id", "raster_type", "matrix_state_id")
+    val mediaDefaults = Seq((1L, 101L), (2L, 202L)).toDF("media_id", "default_matrix_state_id")
+    val out = graft.sources.RasterIngest.registerSeries(incoming, parameters, knownFx, existing, mediaDefaults)
     val acceptedOut = out.accepted.select(
       col("src_key"),
       lit("accepted").as("status"),
@@ -286,32 +293,54 @@ object RasterQueries {
       |), dims AS (
       |  SELECT * FROM (VALUES (1, 10, FALSE), (2, NULL, TRUE), (3, 30, FALSE), (4, 40, FALSE))
       |         AS t(parameter_id, default_matrix_state_id, multi_state)
+      |), media AS (
+      |  SELECT * FROM (VALUES (1, 101), (2, 202)) AS m(media_id, media_matrix)
+      |), resolved AS (
+      |  SELECT inc.*, d.parameter_id AS dim_param, d.default_matrix_state_id, d.multi_state,
+      |         m.media_matrix,
+      |         coalesce(inc.matrix_state_id,
+      |                  CASE WHEN d.multi_state THEN m.media_matrix
+      |                       ELSE d.default_matrix_state_id END) AS resolved_matrix
+      |  FROM inc LEFT JOIN dims d ON d.parameter_id = inc.parameter_id
+      |           LEFT JOIN media m ON m.media_id = inc.media_id
       |), gated AS (
-      |  SELECT inc.*, d.default_matrix_state_id, d.multi_state,
+      |  SELECT *,
       |         CASE WHEN model IS NULL THEN 'missing_model'
       |              WHEN start_datetime IS NULL THEN 'missing_start'
       |              WHEN source_fx IS NULL THEN 'missing_source_fx'
       |              WHEN raster_type NOT IN ('forecast', 'reanalysis') THEN 'bad_type'
-      |              WHEN d.parameter_id IS NULL THEN 'unknown_parameter'
+      |              WHEN dim_param IS NULL THEN 'unknown_parameter'
       |              WHEN source_fx NOT IN ('downloadERA5', 'downloadHRDPS', 'downloadHRDPA') THEN 'unknown_source_fx'
-      |              WHEN matrix_state_id IS NULL AND d.multi_state AND media_id IS NULL THEN 'ambiguous_matrix_state'
+      |              WHEN matrix_state_id IS NULL AND multi_state AND media_id IS NULL THEN 'ambiguous_matrix_state'
+      |              WHEN matrix_state_id IS NULL AND multi_state AND media_matrix IS NULL THEN 'unresolved_matrix_state'
       |              WHEN z_value IS NOT NULL AND z_units IS NULL THEN 'missing_z_units'
-      |              WHEN model = 'HRDPA' AND inc.parameter_id = 4 AND raster_type = 'reanalysis' THEN 'duplicate_series'
-      |         END AS reject_reason
-      |  FROM inc LEFT JOIN dims d ON d.parameter_id = inc.parameter_id
+      |              WHEN model = 'HRDPA' AND parameter_id = 4 AND raster_type = 'reanalysis'
+      |                   AND resolved_matrix IS NOT DISTINCT FROM 40 THEN 'duplicate_series'
+      |         END AS reject_pre
+      |  FROM resolved
+      |), batch AS (
+      |  SELECT *,
+      |         row_number() OVER (
+      |           PARTITION BY model, parameter_id, raster_type, resolved_matrix
+      |           ORDER BY (reject_pre IS NOT NULL), src_key) AS batch_rank
+      |  FROM gated
+      |), final AS (
+      |  SELECT *,
+      |         coalesce(reject_pre,
+      |                  CASE WHEN batch_rank > 1 THEN 'duplicate_in_batch' END) AS reject_reason
+      |  FROM batch
       |), ids AS (
       |  SELECT *,
       |         CASE WHEN reject_reason IS NULL
       |              THEN 7 + row_number() OVER (
       |                     PARTITION BY (reject_reason IS NULL) ORDER BY src_key)
       |         END AS raster_series_id
-      |  FROM gated
+      |  FROM final
       |)
       |SELECT src_key,
       |       coalesce(reject_reason, 'accepted') AS status,
       |       raster_series_id,
-      |       CAST(CASE WHEN reject_reason IS NULL
-      |                 THEN coalesce(matrix_state_id, default_matrix_state_id) END AS BIGINT) AS matrix_state_id,
+      |       CAST(CASE WHEN reject_reason IS NULL THEN resolved_matrix END AS BIGINT) AS matrix_state_id,
       |       CASE WHEN reject_reason IS NULL THEN epoch_us(start_datetime) END AS end_us,
       |       CASE WHEN reject_reason IS NULL THEN TRUE END AS active
       |FROM ids

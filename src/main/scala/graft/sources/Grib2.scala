@@ -62,9 +62,12 @@ object Grib2 {
       require(r.u8(7) == 2, s"unsupported GRIB edition ${r.u8(7)} (only 2)")
       val discipline = r.u8(6)
       val totalLen = r.u64(8)
-      // fail loud on a corrupt length rather than spinning in place
+      // fail loud on a corrupt length rather than spinning in place;
+      // compare without addition — `off + totalLen` overflows negative
+      // for a u64 just under 2^63 and would slip past the gate into a
+      // truncating toInt (lengths >= 2^63 already read back negative)
       require(
-        totalLen >= 16 && off + totalLen <= bytes.length,
+        totalLen >= 16 && totalLen <= bytes.length.toLong - off,
         s"corrupt GRIB2 message length $totalLen at offset $off (file ${bytes.length} bytes)"
       )
       out += decodeOne(bytes, off + 16, off + totalLen.toInt, discipline)

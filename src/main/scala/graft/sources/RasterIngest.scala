@@ -127,29 +127,42 @@ object RasterIngest {
 
   /** Raster-series registration — `R/addACRasterSeries.R:25-120`
     * (YukonWRB/AquaCache): validates model / parameter / fetch
-    * function / type, resolves the matrix state from the parameter's
-    * default unless the parameter is multi-state (then an explicit
-    * media or matrix state is required), refuses duplicate
-    * (model, parameter, type) series, and seeds the new catalog row's
-    * watermark at `start_datetime` so the fetch driver ([[fetchPlan]])
-    * begins exactly there. Batch-first (reference is one-at-a-time,
-    * stop-on-error); every dim is broadcast and ids assign above
-    * max(existing) — same convention as the other CRUD gates.
+    * function / type, resolves the matrix state (explicit wins; a
+    * multi-state parameter resolves through its media, anything else
+    * takes the parameter default — `resolve_parameter_matrix_state`
+    * in `R/utils.R` errors rather than catalog a NULL matrix state,
+    * so an unresolvable media is a reject here, never a NULL insert),
+    * refuses duplicate (model, parameter, type, matrix_state) series
+    * — matrix compared null-safely, matching the reference's
+    * `IS NOT DISTINCT FROM` dup probe — both against the existing
+    * catalog and within the batch itself (the reference's
+    * one-at-a-time flow would reject the second of two identical
+    * incoming rows; lowest src_key wins here), and seeds the new
+    * catalog row's watermark at `start_datetime` so the fetch driver
+    * ([[fetchPlan]]) begins exactly there. Batch-first; every dim is
+    * broadcast and ids assign above max(existing) via the
+    * range-partitioned rank ([[graft.operators.SeqIds]]) — no
+    * single-task window on a bulk import.
     *
-    * @param incoming   src_key, model, parameter_id, start_datetime,
-    *                   source_fx, raster_type (+ optional media_id,
-    *                   matrix_state_id, z_value, z_units)
-    * @param parameters parameter_id, default_matrix_state_id,
-    *                   multi_state
-    * @param knownFx    single column source_fx of fetchable functions
-    * @param existing   raster_series_id, model, parameter_id,
-    *                   raster_type
+    * @param incoming      src_key, model, parameter_id,
+    *                      start_datetime, source_fx, raster_type
+    *                      (+ optional media_id, matrix_state_id,
+    *                      z_value, z_units)
+    * @param parameters    parameter_id, default_matrix_state_id,
+    *                      multi_state
+    * @param knownFx       single column source_fx of fetchable fns
+    * @param existing      raster_series_id, model, parameter_id,
+    *                      raster_type, matrix_state_id
+    * @param mediaDefaults media_id, default_matrix_state_id (the
+    *                      media→matrix resolution table, same dim
+    *                      [[graft.jobs.AddDiscrete]] joins)
     */
   def registerSeries(
       incoming: DataFrame,
       parameters: DataFrame,
       knownFx: DataFrame,
-      existing: DataFrame
+      existing: DataFrame,
+      mediaDefaults: DataFrame
   ): RegisterResult = {
     import org.apache.spark.sql.expressions.Window
     val dims = broadcast(
@@ -161,15 +174,44 @@ object RasterIngest {
       )
     )
     val fx = broadcast(knownFx.select(col("source_fx"), lit(true).as("__known_fx")))
+    val media = broadcast(
+      mediaDefaults.select(
+        col("media_id"),
+        col("default_matrix_state_id").as("__media_matrix")
+      )
+    )
     val dupes = broadcast(
       existing
-        .select(col("model"), col("parameter_id"), col("raster_type"), lit(true).as("__dup"))
+        .select(
+          col("model").as("__dup_model"),
+          col("parameter_id").as("__dup_param"),
+          col("raster_type").as("__dup_type"),
+          col("matrix_state_id").as("__dup_matrix")
+        )
         .distinct()
+        .withColumn("__dup", lit(true))
     )
-    val flagged = incoming
+    val resolved = incoming
       .join(dims, Seq("parameter_id"), "left")
       .join(fx, Seq("source_fx"), "left")
-      .join(dupes, Seq("model", "parameter_id", "raster_type"), "left")
+      .join(media, Seq("media_id"), "left")
+      .withColumn(
+        "__resolved_matrix",
+        coalesce(
+          col("matrix_state_id"),
+          when(col("multi_state"), col("__media_matrix"))
+            .otherwise(col("default_matrix_state_id"))
+        )
+      )
+    val flagged = resolved
+      .join(
+        dupes,
+        col("model") === col("__dup_model") &&
+          col("parameter_id") === col("__dup_param") &&
+          col("raster_type") === col("__dup_type") &&
+          col("__resolved_matrix") <=> col("__dup_matrix"),
+        "left"
+      )
       .withColumn(
         "reject_reason",
         when(col("model").isNull, "missing_model")
@@ -182,28 +224,54 @@ object RasterIngest {
             col("matrix_state_id").isNull && col("multi_state") && col("media_id").isNull,
             "ambiguous_matrix_state"
           )
+          .when(
+            col("matrix_state_id").isNull && col("multi_state") && col("__media_matrix").isNull,
+            "unresolved_matrix_state"
+          )
           .when(col("z_value").isNotNull && col("z_units").isNull, "missing_z_units")
           .when(col("__dup").isNotNull, "duplicate_series")
       )
-    val rejects = flagged
+    // intra-batch dup: among otherwise-accepted rows sharing the dup
+    // key, only the lowest src_key survives (ordering rejected rows
+    // last keeps the accepted ranks dense)
+    val wBatch = Window
+      .partitionBy(
+        col("model"), col("parameter_id"), col("raster_type"), col("__resolved_matrix")
+      )
+      .orderBy(col("reject_reason").isNotNull, col("src_key"))
+    val batchGated = flagged
+      .withColumn("__batch_rank", row_number().over(wBatch))
+      .withColumn(
+        "reject_reason",
+        coalesce(
+          col("reject_reason"),
+          when(col("__batch_rank") > 1, "duplicate_in_batch")
+        )
+      )
+    val rejects = batchGated
       .filter(col("reject_reason").isNotNull)
       .select(col("src_key"), col("reject_reason"))
     val maxId =
       existing.agg(coalesce(max(col("raster_series_id")), lit(0L)).as("__max_id"))
-    val w = Window.orderBy(col("src_key"))
-    val accepted = flagged
-      .filter(col("reject_reason").isNull)
-      .crossJoin(broadcast(maxId))
-      .withColumn("raster_series_id", col("__max_id") + row_number().over(w))
-      .withColumn(
-        "matrix_state_id",
-        coalesce(col("matrix_state_id"), col("default_matrix_state_id"))
+    val accepted = graft.operators.SeqIds
+      .globalRank(
+        batchGated.filter(col("reject_reason").isNull),
+        Seq(col("src_key")),
+        "__seq"
       )
+      .crossJoin(broadcast(maxId))
+      .withColumn("raster_series_id", col("__max_id") + col("__seq"))
+      .withColumn("matrix_state_id", col("__resolved_matrix"))
       // the fetch driver's watermark: fetching starts at start_datetime
       .withColumn("end_datetime", col("start_datetime"))
       .withColumn("last_issue", lit(null).cast("timestamp"))
       .withColumn("active", lit(true))
-      .drop("__max_id", "__known_param", "__known_fx", "__dup", "default_matrix_state_id", "multi_state", "reject_reason")
+      .drop(
+        "__max_id", "__seq", "__known_param", "__known_fx", "__dup", "__dup_model",
+        "__dup_param", "__dup_type", "__dup_matrix", "__media_matrix",
+        "__resolved_matrix", "__batch_rank", "default_matrix_state_id",
+        "multi_state", "reject_reason"
+      )
     RegisterResult(accepted, rejects)
   }
 }

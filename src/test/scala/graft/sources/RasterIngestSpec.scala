@@ -95,7 +95,10 @@ class RasterIngestSpec extends SparkSpec {
       (8L, Some("ERA5"), 2L, Some(t0), Some("downloadERA5"), "reanalysis", None, None, None, None), // multi-state, no media -> ambiguous
       (9L, Some("ERA5"), 2L, Some(t0), Some("downloadERA5"), "reanalysis", Some(3L), None, None, None), // multi-state + media: OK
       (10L, Some("ERA5"), 1L, Some(t0), Some("downloadERA5"), "reanalysis", None, None, Some(500.0), None), // missing_z_units
-      (11L, Some("HRDPA"), 1L, Some(t0), Some("downloadHRDPA"), "forecast", None, None, None, None) // dup of existing
+      (11L, Some("HRDPA"), 1L, Some(t0), Some("downloadHRDPA"), "forecast", None, None, None, None), // dup of existing (matrix 10 <=> 10)
+      (12L, Some("ERA5"), 2L, Some(t0), Some("downloadERA5"), "reanalysis", Some(9L), None, None, None), // media 9 unmapped -> unresolved
+      (13L, Some("HRDPS"), 1L, Some(t0), Some("downloadHRDPS"), "forecast", None, None, None, None), // same key as row 1 -> duplicate_in_batch
+      (14L, Some("HRDPA"), 1L, Some(t0), Some("downloadHRDPA"), "forecast", None, Some(99L), None, None) // same (model,param,type) as existing but matrix 99 != 10 -> accepted
     ).toDF(
       "src_key", "model", "parameter_id", "start_datetime", "source_fx", "raster_type",
       "media_id", "matrix_state_id", "z_value", "z_units"
@@ -103,16 +106,18 @@ class RasterIngestSpec extends SparkSpec {
     val parameters = Seq((1L, Some(10L), false), (2L, None, true))
       .toDF("parameter_id", "default_matrix_state_id", "multi_state")
     val knownFx = Seq("downloadHRDPS", "downloadERA5", "downloadHRDPA").toDF("source_fx")
-    val existing = Seq((7L, "HRDPA", 1L, "forecast"))
-      .toDF("raster_series_id", "model", "parameter_id", "raster_type")
+    val existing = Seq((7L, "HRDPA", 1L, "forecast", 10L))
+      .toDF("raster_series_id", "model", "parameter_id", "raster_type", "matrix_state_id")
+    val mediaDefaults = Seq((3L, 33L)).toDF("media_id", "default_matrix_state_id")
 
-    val out = graft.sources.RasterIngest.registerSeries(incoming, parameters, knownFx, existing)
+    val out = graft.sources.RasterIngest.registerSeries(incoming, parameters, knownFx, existing, mediaDefaults)
     val rej = out.rejects.as[(Long, String)].collect().toMap
     assert(
       rej == Map(
         2L -> "missing_model", 3L -> "missing_start", 4L -> "missing_source_fx",
         5L -> "bad_type", 6L -> "unknown_parameter", 7L -> "unknown_source_fx",
-        8L -> "ambiguous_matrix_state", 10L -> "missing_z_units", 11L -> "duplicate_series"
+        8L -> "ambiguous_matrix_state", 10L -> "missing_z_units", 11L -> "duplicate_series",
+        12L -> "unresolved_matrix_state", 13L -> "duplicate_in_batch"
       )
     )
     val acc = out.accepted
@@ -120,10 +125,11 @@ class RasterIngestSpec extends SparkSpec {
       .collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), Option(r.get(2)), r.getTimestamp(3), r.getBoolean(4))))
       .toMap
-    assert(acc.keySet == Set(1L, 9L))
-    assert(acc(1L)._1 == 8L && acc(9L)._1 == 9L, "ids above max(existing)=7")
+    assert(acc.keySet == Set(1L, 9L, 14L))
+    assert(acc(1L)._1 == 8L && acc(9L)._1 == 9L && acc(14L)._1 == 10L, "ids above max(existing)=7")
     assert(acc(1L)._2.contains(10L), "matrix defaulted from parameter")
-    assert(acc(9L)._2.isEmpty, "multi-state with media resolves downstream, stays null here")
+    assert(acc(9L)._2.contains(33L), "multi-state matrix resolved through media, never NULL in the catalog")
+    assert(acc(14L)._2.contains(99L), "explicit matrix differing from existing is not a duplicate")
     assert(acc(1L)._3 == t0 && acc(1L)._4, "watermark seeded at start, series active")
   }
 }
