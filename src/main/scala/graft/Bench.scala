@@ -29,6 +29,42 @@ object Bench {
     else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
 
+  /** Times one query: an untimed warm-up then `reps` timed runs.
+    * A query failure is a BENCH failure — it propagates with the
+    * query name instead of shipping as a -1.0 row in the artifact.
+    * Returns (median, min, max, runs).
+    */
+  def timeQuery(
+      spark: SparkSession,
+      sfDir: String,
+      name: String,
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+      reps: Int
+  ): (Double, Double, Double, Seq[Double]) = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).count()
+      catch {
+        case e: Throwable => throw new IllegalStateException(s"bench query '$name' failed", e)
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    once() // warm-up: plan cache + codegen + file listing, untimed
+    val ts = (1 to reps.max(1)).map(_ => once())
+    (median(ts), ts.min, ts.max, ts)
+  }
+
+  /** Per-query hygiene: drop cached plans and any leftover
+    * localCheckpoint blocks so one query's debris doesn't tax its
+    * successors — with 100+ queries in one JVM, accumulated
+    * checkpoint blocks shift later-query timings for reasons that
+    * have nothing to do with the query itself.
+    */
+  def resetSession(spark: SparkSession): Unit = {
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
@@ -60,20 +96,19 @@ object Bench {
       case None      => SparkEntry.queries
     }
 
-    // name -> (median, min, max, timings)
+    // name -> (median, min, max, timings); sorted by name so the
+    // execution order (and each query's predecessors) is stable as
+    // the registry grows — round-5's unexplained in-suite swings
+    // tracked to neighbor effects, not the queries themselves
     val results: Seq[(String, (Double, Double, Double, Seq[Double]))] =
-      queries.toSeq.map { case (name, fn) =>
-        def once(): Double = {
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
-          (System.nanoTime() - t0) / 1e9
-        }
-        once() // warm-up: plan cache + codegen + file listing, untimed
-        val ts = (1 to reps).map(_ => once()).filter(_ >= 0)
-        val (med, mn, mx) =
-          if (ts.isEmpty) (-1.0, -1.0, -1.0) else (median(ts), ts.min, ts.max)
-        name -> ((med, mn, mx, ts))
+      queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        resetSession(spark)
+        name -> timeQuery(spark, sfDir, name, fn, reps)
       }
+    require(
+      results.forall(_._2._1 >= 0),
+      "bench produced a negative timing — a query failed without raising"
+    )
 
     val qs = results
       .map { case (k, (med, _, _, _)) => s"\"$k\":${fmt(med)}" }

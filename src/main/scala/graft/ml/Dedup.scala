@@ -81,14 +81,32 @@ object Dedup {
         shM.join(rare, Seq("shingle"), "left_semi")
       case None => shM
     }
-    val a = filtered.select(col(idCol).as("d1"), col("shingle"))
-    val b = filtered.select(col(idCol).as("d2"), col("shingle"))
-    val pairsAll = a
-      .join(b, Seq("shingle"))
-      .filter(col("d1") < col("d2"))
+    // candidate restriction is applied to the SHINGLE FRAME, before
+    // the inverted-index pair join — a doc outside every LSH candidate
+    // pair contributes no rows to the a×b join at all. The pair-level
+    // semi-join stays as the final filter (two candidate docs may
+    // co-occur on a shingle without being a candidate PAIR). At 100 TB
+    // this is the difference between scoring every co-shingle pair
+    // under the df cap and scoring only what LSH already shortlisted.
     val pairs = candidates match {
-      case Some(c) => pairsAll.join(c.select(col("d1"), col("d2")), Seq("d1", "d2"), "left_semi")
-      case None    => pairsAll
+      case Some(c0) =>
+        // the candidate frame feeds three consumers (two id sets + the
+        // pair filter): pin it once
+        val c = c0.select(col("d1"), col("d2")).localCheckpoint(false)
+        val candIds = c
+          .select(col("d1").as(idCol))
+          .union(c.select(col("d2").as(idCol)))
+          .distinct()
+        val restricted = filtered.join(candIds, Seq(idCol), "left_semi")
+        val a = restricted.select(col(idCol).as("d1"), col("shingle"))
+        val b = restricted.select(col(idCol).as("d2"), col("shingle"))
+        a.join(b, Seq("shingle"))
+          .filter(col("d1") < col("d2"))
+          .join(c, Seq("d1", "d2"), "left_semi")
+      case None =>
+        val a = filtered.select(col(idCol).as("d1"), col("shingle"))
+        val b = filtered.select(col(idCol).as("d2"), col("shingle"))
+        a.join(b, Seq("shingle")).filter(col("d1") < col("d2"))
     }
     pairs
       .groupBy(col("d1"), col("d2"))
