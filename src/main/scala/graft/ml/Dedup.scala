@@ -237,6 +237,72 @@ object Dedup {
     * (band, value) — each new batch shuffles only itself; nothing
     * rescans the corpus.
     */
+  /** 7×8-bit band expansion of a (idCol, simhash) frame:
+    * (idCol, simhash, band, bv).
+    */
+  private def bandRows(sims: DataFrame, idCol: String): DataFrame = {
+    val bandCols = (0 until 7).map { b =>
+      struct(lit(b).as("band"), shiftright(col("simhash"), b * 8).bitwiseAND(255).as("bv"))
+    }
+    sims
+      .select(col(idCol), col("simhash"), explode(array(bandCols: _*)).as("bk"))
+      .select(col(idCol), col("simhash"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+  }
+
+  /** Corpus-side SimHash band index — the persistable half of
+    * [[simHashIncremental]], built ONCE per corpus generation and
+    * written out (partition by `band`, bucket/sort by `bv` for a
+    * shuffle-free probe side); each subsequent batch then joins the
+    * stored index via [[simHashScreen]] without re-reading or
+    * re-hashing a byte of corpus text. Columns: band, bv, ex_id, ex_h.
+    */
+  def buildBandIndex(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
+    bandRows(simHash(corpus, idCol, textCol), idCol)
+      .select(col("band"), col("bv"), col(idCol).as("ex_id"), col("simhash").as("ex_h"))
+
+  /** Screen an incoming batch against a prebuilt (typically
+    * parquet-persisted) [[buildBandIndex]] index. Output contract is
+    * [[simHashIncremental]]'s: one row per incoming doc —
+    * (idCol, is_dup, dup_of, hamming), closest corpus match wins,
+    * ties toward the lower id, token-less docs surface with
+    * is_dup=false.
+    */
+  def simHashScreen(
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      bandIndex: DataFrame,
+      maxHamming: Int = 6
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxHamming <= 6, "7x8-bit banding guarantees recall only to Hamming 6")
+    val sims = simHash(incoming, idCol, textCol).localCheckpoint(false)
+    val inc = bandRows(sims, idCol)
+      .select(col(idCol).as("in_id"), col("simhash").as("in_h"), col("band"), col("bv"))
+    val cand = inc
+      .join(bandIndex, Seq("band", "bv"))
+      .withColumn("hamming", hamming(col("in_h"), col("ex_h")))
+      .filter(col("hamming") <= maxHamming)
+      .select("in_id", "ex_id", "hamming")
+      .distinct()
+    val best = cand
+      .withColumn(
+        "rk",
+        row_number().over(Window.partitionBy(col("in_id")).orderBy(col("hamming"), col("ex_id")))
+      )
+      .filter(col("rk") === 1)
+      .select(col("in_id").as(idCol), col("ex_id").as("dup_of"), col("hamming"))
+    incoming
+      .select(col(idCol))
+      .join(best, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("dup_of").isNotNull.as("is_dup"),
+        col("dup_of"),
+        col("hamming")
+      )
+  }
+
   def simHashIncremental(
       docs: DataFrame,
       idCol: String,
@@ -248,12 +314,7 @@ object Dedup {
     require(maxHamming <= 6, "7x8-bit banding guarantees recall only to Hamming 6")
     // one row per doc — small enough to materialize once for both legs
     val sims = simHash(docs, idCol, textCol).localCheckpoint(false)
-    val bandCols = (0 until 7).map { b =>
-      struct(lit(b).as("band"), shiftright(col("simhash"), b * 8).bitwiseAND(255).as("bv"))
-    }
-    val banded = sims
-      .select(col(idCol), col("simhash"), explode(array(bandCols: _*)).as("bk"))
-      .select(col(idCol), col("simhash"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+    val banded = bandRows(sims, idCol)
     val inc = banded
       .filter(incomingPred)
       .select(col(idCol).as("in_id"), col("simhash").as("in_h"), col("band"), col("bv"))
