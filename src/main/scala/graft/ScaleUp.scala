@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-rehearsal data generator: replicate an sf directory by an
+  * integer factor into consistent, non-degenerate shards so the bench
+  * can be run one order of magnitude above the gate SF (the sf1
+  * rehearsal — VERDICT r5 item 4). NOT part of the engine — a dev
+  * tool, like Bench/Verify.
+  *
+  * Replica k (k=0 is the identity copy) is an independent consistent
+  * shard: every key column shifts by k*(max+1) so foreign-key joins
+  * keep their per-shard cardinality (10x data => 10x join output, the
+  * same shape a 10x-bigger generated dataset would have). Dimension
+  * tables (region, nation) stay 1x — exactly how a real deployment
+  * scales.
+  *
+  * Content columns are perturbed per replica so similarity operators
+  * see new data rather than 10 exact copies of the old (which would
+  * turn every near-dup bucket quadratic and measure a pathology, not
+  * scaling):
+  *   - documents.text: per-replica Caesar rotation of the lowercase
+  *     alphabet — token boundaries, lengths and counts are preserved
+  *     (the text-stats workload is identical) while cross-replica
+  *     shingle overlap drops to noise;
+  *   - embeddings.embedding: rotate the vector by k positions — norm
+  *     and component distribution preserved, cross-replica cosine
+  *     decorrelated.
+  *
+  * Usage: runMain graft.ScaleUp <srcSfDir> <outDir> <factor>
+  */
+object ScaleUp {
+
+  private def shifted(df: DataFrame, keyCols: Map[String, Long], k: Int): DataFrame =
+    keyCols.foldLeft(df) { case (d, (c, span)) => d.withColumn(c, col(c) + lit(span * k)) }
+
+  /** max(key)+1 — the shift span that keeps replica key ranges disjoint. */
+  private def span(df: DataFrame, c: String): Long =
+    df.agg(max(col(c))).head().getLong(0) + 1L
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: ScaleUp <srcSfDir> <outDir> <factor>")
+    val (src, out, factor) = (args(0), args(1), args(2).toInt)
+    require(factor >= 1)
+    val spark = SparkSession
+      .builder()
+      .master(s"local[${math.min(Runtime.getRuntime.availableProcessors, 32)}]")
+      .appName("graft-scaleup")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def rd(name: String) = spark.read.parquet(s"$src/$name.parquet")
+    def wr(df: DataFrame, name: String, parts: Int): Unit = {
+      df.repartition(parts).write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"scaleup: $name x$factor written")
+    }
+
+    // dimensions: 1x
+    wr(rd("region"), "region", 1)
+    wr(rd("nation"), "nation", 1)
+
+    val (customer, orders, part, supplier, events, documents, embeddings) =
+      (rd("customer"), rd("orders"), rd("part"), rd("supplier"), rd("events"), rd("documents"), rd("embeddings"))
+    val lineitem = rd("lineitem")
+    val cSpan = span(customer, "c_custkey")
+    val oSpan = span(orders, "o_orderkey")
+    val pSpan = span(part, "p_partkey")
+    val sSpan = span(supplier, "s_suppkey")
+    val eSpan = span(events, "event_id")
+    val uSpan = span(events, "user_id")
+    val dSpan = span(documents, "doc_id")
+    val vSpan = span(embeddings, "vec_id")
+
+    def replicas(one: Int => DataFrame): DataFrame =
+      (0 until factor).map(one).reduce(_ unionAll _)
+
+    wr(replicas(k => shifted(customer, Map("c_custkey" -> cSpan), k)), "customer", 4 * factor / 2 max 2)
+    wr(replicas(k => shifted(supplier, Map("s_suppkey" -> sSpan), k)), "supplier", 2)
+    wr(replicas(k => shifted(part, Map("p_partkey" -> pSpan), k)), "part", 4)
+    wr(replicas(k => shifted(orders, Map("o_orderkey" -> oSpan, "o_custkey" -> cSpan), k)), "orders", factor)
+    wr(
+      replicas(k => shifted(lineitem, Map("l_orderkey" -> oSpan, "l_partkey" -> pSpan, "l_suppkey" -> sSpan), k)),
+      "lineitem",
+      2 * factor
+    )
+    wr(replicas(k => shifted(events, Map("event_id" -> eSpan, "user_id" -> uSpan), k)), "events", factor)
+
+    val alphabet = "abcdefghijklmnopqrstuvwxyz"
+    wr(
+      replicas { k =>
+        // rotate BOTH cases: tokenizers lowercase first, so an
+        // unrotated uppercase letter would leak cross-replica overlap
+        val rot = alphabet.drop(k % 26) + alphabet.take(k % 26)
+        shifted(documents, Map("doc_id" -> dSpan), k)
+          .withColumn(
+            "text",
+            translate(col("text"), alphabet + alphabet.toUpperCase, rot + rot.toUpperCase)
+          )
+      },
+      "documents",
+      factor
+    )
+    wr(
+      replicas { k =>
+        val n = 64
+        val rotated =
+          if (k % n == 0) col("embedding")
+          else
+            concat(
+              slice(col("embedding"), k % n + 1, n - k % n),
+              slice(col("embedding"), 1, k % n)
+            )
+        shifted(embeddings, Map("vec_id" -> vSpan), k).withColumn("embedding", rotated)
+      },
+      "embeddings",
+      2
+    )
+    spark.stop()
+  }
+}

@@ -28,15 +28,18 @@ object CorpusExport {
     * Returns the per-shard manifest (doc/bin/token counts) — the
     * artifact a training job consumes to plan its data order.
     */
-  def writeShards(
-      spark: SparkSession,
+  /** The pure pack plan — shard / bin / pos assignment with no write:
+    * (shard, bin, pos, idCol, n_bpe, textCol). Exposed so the
+    * oracle-checked q_shard_manifest query and [[writeShards]] share
+    * one packing discipline (the q_seq_packing prefix-sum).
+    */
+  def packPlan(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      outPath: String,
       nShards: Int = 8,
       binTokens: Long = 4096L
-  ): ExportResult = {
+  ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nShards > 0 && binTokens > 0)
     val keyed = docs.select(
@@ -48,19 +51,15 @@ object CorpusExport {
     )
     val order = Window.partitionBy(col("shard")).orderBy(col("h"), col(idCol))
     val before = sum(col("n_bpe")).over(order.rowsBetween(Window.unboundedPreceding, -1))
-    val packed = keyed
+    keyed
       .withColumn("bin", (coalesce(before, lit(0L)) / binTokens).cast("bigint"))
       .withColumn("pos", row_number().over(Window.partitionBy(col("shard"), col("bin")).orderBy(col("h"), col(idCol))))
       .select(col("shard"), col("bin"), col("pos"), col(idCol), col("n_bpe"), col(textCol))
+  }
+
+  /** Per-shard manifest (doc/bin/token counts) of a pack plan. */
+  def manifest(packed: DataFrame): DataFrame =
     packed
-      .repartition(col("shard")) // one task -> one file per shard dir
-      .sortWithinPartitions(col("bin"), col("pos"))
-      .write
-      .mode("overwrite")
-      .partitionBy("shard")
-      .parquet(outPath)
-    val manifest = spark.read
-      .parquet(outPath)
       .groupBy(col("shard"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -68,6 +67,25 @@ object CorpusExport {
         sum(col("n_bpe")).as("n_tokens")
       )
       .orderBy(col("shard"))
-    ExportResult(manifest, outPath)
+
+  def writeShards(
+      spark: SparkSession,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      outPath: String,
+      nShards: Int = 8,
+      binTokens: Long = 4096L
+  ): ExportResult = {
+    packPlan(docs, idCol, textCol, nShards, binTokens)
+      .repartition(col("shard")) // one task -> one file per shard dir
+      .sortWithinPartitions(col("bin"), col("pos"))
+      .write
+      .mode("overwrite")
+      .partitionBy("shard")
+      .parquet(outPath)
+    // manifest from the WRITTEN files, not the plan — it doubles as a
+    // read-back validation of the export
+    ExportResult(manifest(spark.read.parquet(outPath)), outPath)
   }
 }

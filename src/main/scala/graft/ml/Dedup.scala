@@ -620,4 +620,84 @@ object Dedup {
       .join(dupIds.withColumn("dup", lit(true)), Seq("id"), "left")
       .select(col("id").as(idCol), col("cluster"), col("dup").isNotNull.as("is_dup"))
   }
+
+  /** Normalize + nearest-centroid assignment: (id, nv, cluster) —
+    * the shared projection under [[buildClusterIndex]] and
+    * [[semDedupScreen]].
+    */
+  private def assignedVecs(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int,
+      seed: Long,
+      dim: Int
+  ): DataFrame = {
+    import graft.functions.VectorOps
+    VectorOps.register(emb.sparkSession)
+    val centroids = Similarity.normalizedCentroids(nCentroids, dim, seed)
+    val ranked = sort_array(
+      array(centroids.zipWithIndex.map { case (c, i) =>
+        struct(VectorOps.dot(col("nv"), array(c.map(lit): _*)).as("s"), lit(i).as("c"))
+      }: _*),
+      asc = false
+    )
+    Similarity
+      .normalizedVecs(emb, idCol, vecCol)
+      .withColumn("cluster", ranked.getItem(0).getField("c"))
+  }
+
+  /** Corpus-side SemDeDup cluster index — the persistable half of
+    * [[semDedupIncremental]], and the embedding-path counterpart of
+    * [[buildBandIndex]]: every corpus embedding is normalized and
+    * assigned to its coarse centroid ONCE per corpus generation, then
+    * written out partitioned by `cluster` (one inverted list per
+    * partition — the same sharding as [[Similarity]]'s IVF index);
+    * each subsequent crawl batch probes the stored lists via
+    * [[semDedupScreen]] without re-reading or re-normalizing a single
+    * corpus vector. Columns: cluster, ex_id, ex_nv.
+    */
+  def buildClusterIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int = 16,
+      seed: Long = 7L,
+      dim: Int = 64
+  ): DataFrame =
+    assignedVecs(corpus, idCol, vecCol, nCentroids, seed, dim)
+      .select(col("cluster"), col("id").as("ex_id"), col("nv").as("ex_nv"))
+
+  /** Screen an incoming batch against a prebuilt (typically
+    * parquet-persisted) [[buildClusterIndex]] index. Output contract
+    * is [[semDedupIncremental]]'s: one row per incoming doc —
+    * (idCol, cluster, is_dup), is_dup iff some corpus vector in the
+    * same coarse cluster has cosine >= threshold. The join shuffles
+    * only the (small) incoming batch when the index is
+    * cluster-partitioned — corpus vectors stay where they were
+    * written.
+    */
+  def semDedupScreen(
+      incoming: DataFrame,
+      idCol: String,
+      vecCol: String,
+      clusterIndex: DataFrame,
+      threshold: Double,
+      nCentroids: Int = 16,
+      seed: Long = 7L,
+      dim: Int = 64
+  ): DataFrame = {
+    import graft.functions.VectorOps
+    val inc = assignedVecs(incoming, idCol, vecCol, nCentroids, seed, dim)
+      .localCheckpoint(false)
+    val dupIds = inc
+      .join(clusterIndex, Seq("cluster"))
+      .filter(VectorOps.dot(col("nv"), col("ex_nv")) >= threshold)
+      .select("id")
+      .distinct()
+    inc
+      .select(col("id"), col("cluster"))
+      .join(dupIds.withColumn("dup", lit(true)), Seq("id"), "left")
+      .select(col("id").as(idCol), col("cluster"), col("dup").isNotNull.as("is_dup"))
+  }
 }

@@ -807,6 +807,49 @@ object CorpusQueries {
        |WHERE d.doc_id % 3 = 0
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Index-path SimHash screening: the standing corpus
+    * (doc_id % 3 <> 1) is banded ONCE via [[Dedup.buildBandIndex]] —
+    * the half a 100 TB pipeline persists between crawls — and the
+    * incoming batch (doc_id % 3 = 1) probes it via
+    * [[Dedup.simHashScreen]] without touching corpus text again
+    * (IncrementalIndexSpec proves the parquet-persisted round trip
+    * is output-identical to the inline incremental path).
+    */
+  private def simhashScreen(s: SparkSession, d: String): DataFrame = {
+    val docs = TestTables.documents(s, d)
+    val idx = Dedup.buildBandIndex(docs.filter(col("doc_id") % 3 =!= 1), "doc_id", "text")
+    Dedup
+      .simHashScreen(docs.filter(col("doc_id") % 3 === 1), "doc_id", "text", idx, maxHamming = 6)
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val simhashScreenSql =
+    s"""WITH $tokCte,
+       |${TextMlQueries.simCte},
+       |banded AS (
+       |  SELECT doc_id, simhash, b AS band, (simhash >> (b * 8)) & 255 AS bv
+       |  FROM sim, LATERAL (SELECT unnest(range(0, 7)) AS b)
+       |), cand AS (
+       |  SELECT DISTINCT i.doc_id AS in_id, i.simhash AS in_h, e.doc_id AS ex_id, e.simhash AS ex_h
+       |  FROM banded i
+       |  JOIN banded e ON i.band = e.band AND i.bv = e.bv
+       |  WHERE i.doc_id % 3 = 1 AND e.doc_id % 3 <> 1
+       |), ham AS (
+       |  SELECT in_id, ex_id, CAST(bit_count(xor(in_h, ex_h)) AS INT) AS hamming
+       |  FROM cand
+       |  WHERE bit_count(xor(in_h, ex_h)) <= 6
+       |), best AS (
+       |  SELECT in_id, ex_id, hamming,
+       |         row_number() OVER (PARTITION BY in_id ORDER BY hamming, ex_id) AS rk
+       |  FROM ham
+       |)
+       |SELECT d.doc_id, b.ex_id IS NOT NULL AS is_dup, b.ex_id AS dup_of, b.hamming
+       |FROM documents d
+       |LEFT JOIN (SELECT in_id, ex_id, hamming FROM best WHERE rk = 1) b
+       |  ON b.in_id = d.doc_id
+       |WHERE d.doc_id % 3 = 1
+       |ORDER BY d.doc_id""".stripMargin
+
   // ---- int8 embedding quantization ---------------------------------
 
   private def embedQuantize(s: SparkSession, d: String): DataFrame =
@@ -1022,6 +1065,42 @@ object CorpusQueries {
        |ORDER BY shard, bin, pos""".stripMargin
   }
 
+  // ---- per-shard export manifest -----------------------------------
+
+  /** Per-shard manifest of the training-shard export (doc / bin /
+    * token counts) — the artifact a trainer consumes to plan its data
+    * order, computed through [[graft.jobs.CorpusExport.packPlan]] so
+    * the oracle checks the SAME packing discipline the write job uses
+    * (CorpusExportSpec proves written files reproduce this plan).
+    */
+  private def shardManifest(s: SparkSession, d: String): DataFrame =
+    graft.jobs.CorpusExport.manifest(
+      graft.jobs.CorpusExport.packPlan(TestTables.documents(s, d), "doc_id", "text")
+    )
+
+  private lazy val shardManifestSql = {
+    val pat = TextStats.BpeishPattern.replace("'", "''")
+    val h = PortableHash.md5num56Sql("doc_id::VARCHAR")
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |         len(regexp_extract_all(lower(text), '$pat')) AS n_bpe,
+       |         $h % 8 AS shard, $h AS h
+       |  FROM documents
+       |), cum AS (
+       |  SELECT *,
+       |         coalesce(sum(n_bpe) OVER (
+       |           PARTITION BY shard ORDER BY h, doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+       |  FROM base
+       |)
+       |SELECT shard, count(*) AS n_docs,
+       |       count(DISTINCT tokens_before // 4096) AS n_bins,
+       |       CAST(sum(n_bpe) AS BIGINT) AS n_tokens
+       |FROM cum
+       |GROUP BY shard
+       |ORDER BY shard""".stripMargin
+  }
+
   // ---- distinct-token profile (exact; sketch path in spec) ---------
 
   /** Exact per-language distinct token count — the oracle-checkable
@@ -1122,6 +1201,37 @@ object CorpusQueries {
        |FROM inc
        |ORDER BY inc.vec_id""".stripMargin
 
+  /** Index-path incremental SemDeDup: the standing corpus
+    * (vec_id % 10 < 8) is materialized once as a cluster index
+    * ([[Dedup.buildClusterIndex]]) and the incoming batch
+    * (vec_id % 10 >= 8) probes it via [[Dedup.semDedupScreen]] — the
+    * two-job shape of a persisted-index crawl loop. Same 0.42
+    * verified-margin threshold as q_semdedup (screened pairs are a
+    * subset of the pairs the margin was measured on).
+    */
+  private def semDedupScreenQ(s: SparkSession, d: String): DataFrame = {
+    val emb = TestTables.embeddings(s, d)
+    val idx = Dedup.buildClusterIndex(emb.filter(col("vec_id") % 10 < 8), "vec_id", "embedding")
+    Dedup
+      .semDedupScreen(emb.filter(col("vec_id") % 10 >= 8), "vec_id", "embedding", idx, threshold = 0.42)
+      .orderBy(col("vec_id"))
+  }
+
+  private lazy val semDedupScreenSql =
+    s"""WITH $ivfAsgCtes, inc AS (
+       |  SELECT * FROM asg WHERE vec_id % 10 >= 8
+       |), corp AS (
+       |  SELECT * FROM asg WHERE vec_id % 10 < 8
+       |), dups AS (
+       |  SELECT DISTINCT i.vec_id
+       |  FROM inc i JOIN corp c ON i.cluster = c.cluster
+       |  WHERE list_dot_product(i.nv, c.nv) >= 0.42
+       |)
+       |SELECT inc.vec_id, cluster,
+       |       inc.vec_id IN (SELECT vec_id FROM dups) AS is_dup
+       |FROM inc
+       |ORDER BY inc.vec_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_dedup_clusters", dedupClusters, Some(dedupClustersSql), headline = true),
     QueryDef("q_semdedup", semDedup, Some(semDedupSql)),
@@ -1139,11 +1249,14 @@ object CorpusQueries {
     QueryDef("q_weighted_mix", weightedMix, Some(weightedMixSql)),
     QueryDef("q_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     QueryDef("q_incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
+    QueryDef("q_simhash_screen", simhashScreen, Some(simhashScreenSql)),
+    QueryDef("q_semdedup_screen", semDedupScreenQ, Some(semDedupScreenSql)),
     QueryDef("q_embed_quantize", embedQuantize, Some(embedQuantizeSql)),
     QueryDef("q_source_profile", sourceProfile, Some(sourceProfileSql)),
     QueryDef("q_tfidf", tfidf, Some(tfidfSql)),
     QueryDef("q_doc_chunks", docChunks, Some(docChunksSql)),
     QueryDef("q_seq_packing", seqPacking, Some(seqPackingSql)),
+    QueryDef("q_shard_manifest", shardManifest, Some(shardManifestSql)),
     QueryDef("q_distinct_tokens", distinctTokens, Some(distinctTokensSql))
   )
 }

@@ -55,7 +55,7 @@ object SyntheticAdapter extends SourceAdapter {
   * shape of `R/downloadWSC.R:105-201` (qualifier map :120-162,
   * bilingual approval map :164-201). `args`: "path".
   */
-object CsvStationAdapter extends SourceAdapter {
+class CsvStationAdapter(transport: Transport) extends SourceAdapter {
   override val name = "downloadCsvStation"
 
   /** WSC-style numeric qualifier codes -> canonical labels. */
@@ -71,9 +71,8 @@ object CsvStationAdapter extends SourceAdapter {
   override def fetch(spark: SparkSession, cfg: SeriesConfig, startTs: java.sql.Timestamp): DataFrame = {
     import spark.implicits._
     val path = cfg.args.getOrElse("path", throw new IllegalArgumentException("path required"))
-    val raw = spark.read
-      .option("header", "true")
-      .csv(path)
+    val raw = transport
+      .rows(spark, path, "csv", Map("header" -> "true"))
       .select(
         to_timestamp(col("datetime")).as("datetime"),
         col("value").cast("double").as("value"),
@@ -95,6 +94,9 @@ object CsvStationAdapter extends SourceAdapter {
     )
   }
 }
+
+/** Default instance on the fixture transport. */
+object CsvStationAdapter extends CsvStationAdapter(FileTransport)
 
 object Adapters {
   def default: AdapterRegistry =

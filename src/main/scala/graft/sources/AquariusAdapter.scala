@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   *   - `difference = true` runs the cumulative->increment kernel over
   *     the points (`:163-183`, `compute_increments`).
   */
-object AquariusAdapter extends SourceAdapter {
+class AquariusAdapter(transport: Transport) extends SourceAdapter {
   override val name = "downloadAquarius"
 
   /** `2023-01-02T00:30:00.0000000-07:00` -> UTC timestamp. */
@@ -29,7 +29,7 @@ object AquariusAdapter extends SourceAdapter {
     * min_pos/max_gap.
     */
   override def fetch(spark: SparkSession, cfg: SeriesConfig, startTs: java.sql.Timestamp): DataFrame = {
-    val raw = spark.read.option("multiLine", "true").json(cfg.args("file"))
+    val raw = transport.rows(spark, cfg.args("file"), "json", Map("multiLine" -> "true"))
     val hasCol = (n: String) => raw.columns.contains(n)
 
     val points = raw
@@ -110,6 +110,9 @@ object AquariusAdapter extends SourceAdapter {
     SourceAdapter.normalize(result.filter(col("datetime") >= lit(startTs)))
   }
 }
+
+/** Default instance on the fixture transport. */
+object AquariusAdapter extends AquariusAdapter(FileTransport)
 
 /** Thin indirection so the adapter reuses the increment kernel without
   * a package cycle.

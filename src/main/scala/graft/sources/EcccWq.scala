@@ -115,7 +115,7 @@ object EcccWq {
   * args: file, key, location (SITE_NO), optional tz_offset_hours
   * (input-local -> UTC shift, the reference's `tz` parameter).
   */
-object EcccWqAdapter extends DiscreteAdapter {
+class EcccWqAdapter(transport: Transport) extends DiscreteAdapter {
   override val name = "downloadECCCwq"
 
   override def fetch(spark: SparkSession, cfg: SeriesConfig, startTs: java.sql.Timestamp): DiscreteBatch = {
@@ -123,7 +123,7 @@ object EcccWqAdapter extends DiscreteAdapter {
     val keyPath = cfg.args("key")
     val location = cfg.args("location")
     val tzOffset = cfg.args.getOrElse("tz_offset_hours", "0").toInt
-    def csv(p: String) = spark.read.option("header", "true").csv(p)
+    def csv(p: String) = transport.rows(spark, p, "csv", Map("header" -> "true"))
     val raw = EcccWq
       .normalizeRaw(csv(file))
       .withColumn("datetime", col("datetime") - expr(s"INTERVAL $tzOffset HOURS"))
@@ -138,3 +138,6 @@ object EcccWqAdapter extends DiscreteAdapter {
     DiscreteBatch(samples, results)
   }
 }
+
+/** Default instance on the fixture transport. */
+object EcccWqAdapter extends EcccWqAdapter(FileTransport)

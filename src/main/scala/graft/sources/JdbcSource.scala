@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   *     UCanAccess, or any embedded driver slot in without code change
   *     (tests run Derby, which ships with Spark).
   */
-object JdbcSourceAdapter extends SourceAdapter {
+class JdbcSourceAdapter(transport: Transport) extends SourceAdapter {
   override val name = "downloadJdbc"
 
   /** args: url (required), table OR query (required), driver,
@@ -31,36 +31,36 @@ object JdbcSourceAdapter extends SourceAdapter {
     val url = args.getOrElse("url", throw new IllegalArgumentException("jdbc adapter needs 'url'"))
     val dtCol = args.getOrElse("datetime_col", "datetime")
     val vCol = args.getOrElse("value_col", "value")
-    val reader0 = spark.read
-      .format("jdbc")
-      .option("url", url)
-      .option(
-        "dbtable",
-        args.get("table").orElse(args.get("query").map(q => s"($q) q")).getOrElse(
-          throw new IllegalArgumentException("jdbc adapter needs 'table' or 'query'")
-        )
-      )
-    val reader1 = args.get("driver").fold(reader0)(reader0.option("driver", _))
-    val reader2 = args.get("fetchsize").fold(reader1)(reader1.option("fetchsize", _))
-    val reader = (for {
+    val dbtable = args
+      .get("table")
+      .orElse(args.get("query").map(q => s"($q) q"))
+      .getOrElse(throw new IllegalArgumentException("jdbc adapter needs 'table' or 'query'"))
+    val partOpts = (for {
       pc <- args.get("partition_col")
       lo <- args.get("lower_bound")
       hi <- args.get("upper_bound")
       np <- args.get("num_partitions")
-    } yield reader2
-      .option("partitionColumn", pc)
-      .option("lowerBound", lo)
-      .option("upperBound", hi)
-      .option("numPartitions", np)).getOrElse(reader2)
+    } yield Map(
+      "partitionColumn" -> pc,
+      "lowerBound" -> lo,
+      "upperBound" -> hi,
+      "numPartitions" -> np
+    )).getOrElse(Map.empty[String, String])
+    val opts = Map("dbtable" -> dbtable) ++
+      args.get("driver").map("driver" -> _) ++
+      args.get("fetchsize").map("fetchsize" -> _) ++ partOpts
     SourceAdapter.normalize(
-      reader
-        .load()
+      transport
+        .rows(spark, url, "jdbc", opts)
         // pushed down to the remote DB by the JDBC source
         .filter(col(dtCol) >= lit(startTs))
         .select(col(dtCol).cast("timestamp").as("datetime"), col(vCol).cast("double").as("value"))
     )
   }
 }
+
+/** Default instance on the fixture transport. */
+object JdbcSourceAdapter extends JdbcSourceAdapter(FileTransport)
 
 /** HYDAT historical daily means: the authentic `DLY_FLOWS` wide layout
   * (STATION_NUMBER, YEAR, MONTH, FLOW1..FLOW31 — one column per day of

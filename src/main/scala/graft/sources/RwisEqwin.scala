@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions._
   * are Spark-side — the assertion via `raise_error`, so it rides the
   * normal execution with no extra driver job.
   */
-object RwisAdapter extends SourceAdapter {
+class RwisAdapter(transport: Transport) extends SourceAdapter {
   override val name = "downloadRWIS"
+
+  private val jdbc = new JdbcSourceAdapter(transport)
 
   private val DefaultTemplate =
     "SELECT measurement_time AS datetime, value " +
@@ -31,7 +33,7 @@ object RwisAdapter extends SourceAdapter {
       .replace("{parameter}", cfg.args("parameter"))
       .replace("{station_id}", cfg.args("station_id"))
     val jdbcCfg = cfg.copy(args = cfg.args + ("query" -> q, "datetime_col" -> "datetime", "value_col" -> "value"))
-    val fetched = JdbcSourceAdapter
+    val fetched = jdbc
       .fetch(spark, jdbcCfg, startTs)
       .filter(col("value") =!= -9999.0)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("datetime"))
@@ -46,6 +48,9 @@ object RwisAdapter extends SourceAdapter {
   }
 }
 
+/** Default instance on the fixture transport. */
+object RwisAdapter extends RwisAdapter(FileTransport)
+
 /** EQWin (MS Access water-quality DB) ingest —
   * `R/downloadEQWin.R:43` (742 LoC): a JDBC read of lab results whose
   * values are STRINGS with censoring prefixes (`<0.005`, `>100`,
@@ -55,19 +60,19 @@ object RwisAdapter extends SourceAdapter {
   * [[EcccWq.mapResults]] — conversion, offset, censoring and skip
   * rules are shared.
   */
-object EqwinAdapter extends DiscreteAdapter {
+class EqwinAdapter(transport: Transport) extends DiscreteAdapter {
   override val name = "downloadEQWin"
 
   /** args: url, driver?, query (must yield station, datetime,
     * param_code, units, value_str), key (import-key CSV path).
     */
   override def fetch(spark: SparkSession, cfg: SeriesConfig, startTs: java.sql.Timestamp): DiscreteBatch = {
-    val rows = spark.read
-      .format("jdbc")
-      .option("url", cfg.args("url"))
-      .options(cfg.args.get("driver").map("driver" -> _).toMap)
-      .option("dbtable", s"(${cfg.args("query")}) q")
-      .load()
+    val rows = transport.rows(
+      spark,
+      cfg.args("url"),
+      "jdbc",
+      Map("dbtable" -> s"(${cfg.args("query")}) q") ++ cfg.args.get("driver").map("driver" -> _)
+    )
     val trimmed = trim(col("value_str"))
     val raw = rows
       .select(
@@ -86,7 +91,10 @@ object EqwinAdapter extends DiscreteAdapter {
         concat(col("station"), lit("|"), col("datetime").cast("string")).as("source_sample_id")
       )
       .filter(col("datetime") >= lit(startTs) && col("value").isNotNull)
-    val key = spark.read.option("header", "true").csv(cfg.args("key"))
+    val key = transport.rows(spark, cfg.args("key"), "csv", Map("header" -> "true"))
     DiscreteBatch(EcccWq.samplesFrom(raw), EcccWq.mapResults(raw, key))
   }
 }
+
+/** Default instance on the fixture transport. */
+object EqwinAdapter extends EqwinAdapter(FileTransport)

@@ -63,6 +63,57 @@ object SourceAdapter {
   }
 }
 
+/** Transport seam — the ONE boundary between an adapter's
+  * parse/map/normalize body and where payloads physically come from.
+  * The reference binds transport inside each download function
+  * (`httr::GET` in `R/downloadWSC.R:83-103`, `odbc::dbConnect` in
+  * `R/downloadEQWin.R:43` of YukonWRB/AquaCache); here it is a
+  * constructor argument, so the fixture transport (recorded files —
+  * all a zero-egress environment can run) and a future live
+  * HTTP/ODBC transport share every line of adapter logic. The
+  * boundary is exactly one constructor argument wide.
+  */
+trait Transport extends Serializable {
+
+  /** Raw payload bytes for one URL — an HTTP GET in a live
+    * transport, a local file read in the fixture transport.
+    */
+  def bytes(url: String): Array[Byte]
+
+  /** Tabular payload for a locator in a given source format
+    * ("csv" | "json" | "text" | "jdbc" | ...) — how a recorded
+    * response file, paged API response, or remote table surfaces as
+    * a DataFrame. For "jdbc" the locator is the connection URL and
+    * `options` carry dbtable/driver/partitioning.
+    */
+  def rows(
+      spark: SparkSession,
+      locator: String,
+      format: String,
+      options: Map[String, String] = Map.empty
+  ): DataFrame
+}
+
+/** Fixture transport: locators are recorded files (or embedded-driver
+  * JDBC URLs) — behaviorally the live transport minus the network
+  * hop.
+  */
+object FileTransport extends Transport {
+  override def bytes(url: String): Array[Byte] =
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(url))
+
+  override def rows(
+      spark: SparkSession,
+      locator: String,
+      format: String,
+      options: Map[String, String]
+  ): DataFrame = {
+    val reader = spark.read.format(format).options(options)
+    if (format == "jdbc") reader.option("url", locator).load()
+    else reader.load(locator)
+  }
+}
+
 /** Registry keyed by `source_fx` name — the dynamic-dispatch table. */
 final class AdapterRegistry(adapters: Seq[SourceAdapter]) extends Serializable {
   private val byName: Map[String, SourceAdapter] = adapters.map(a => a.name -> a).toMap

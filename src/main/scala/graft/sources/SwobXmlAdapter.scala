@@ -14,13 +14,13 @@ import org.apache.spark.sql.functions._
   * `<element name=… value=…>` pairs is a plain codegen'd projection.
   * `args`: "path" (glob of XML files), "element" (e.g. "air_temp").
   */
-object SwobXmlAdapter extends SourceAdapter {
+class SwobXmlAdapter(transport: Transport) extends SourceAdapter {
   override val name = "downloadSwobMinute"
 
   override def fetch(spark: SparkSession, cfg: SeriesConfig, startTs: java.sql.Timestamp): DataFrame = {
     val path = cfg.args.getOrElse("path", throw new IllegalArgumentException("path required"))
     val element = cfg.args.getOrElse("element", "air_temp")
-    val raw = spark.read.option("wholetext", "true").text(path)
+    val raw = transport.rows(spark, path, "text", Map("wholetext" -> "true"))
     val ts = to_timestamp(
       regexp_extract(col("value"), "<gml:timePosition>([^<]+)</gml:timePosition>", 1),
       "yyyy-MM-dd'T'HH:mm:ss.SSSX"
@@ -42,3 +42,6 @@ object SwobXmlAdapter extends SourceAdapter {
     SourceAdapter.normalize(parsed)
   }
 }
+
+/** Default instance on the fixture transport. */
+object SwobXmlAdapter extends SwobXmlAdapter(FileTransport)
