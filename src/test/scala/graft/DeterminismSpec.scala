@@ -38,7 +38,10 @@ class DeterminismSpec extends SparkSpec {
     "q_span_mask",         // span collect + indexed array filter
     "q_kn_counts",         // count-of-counts aggregation
     "q_video_phash",       // container decode + per-frame hashing
-    "q_filter_decision"    // content-hash window + reason precedence
+    "q_filter_decision",   // content-hash window + reason precedence
+    "q_simhash_screen",    // persisted band-index probe (round 7)
+    "q_semdedup_screen",   // persisted cluster-index probe (round 7)
+    "q_shard_manifest"     // prefix-sum pack plan aggregate (round 7)
   )
 
   private def rows(name: String): Seq[String] =
