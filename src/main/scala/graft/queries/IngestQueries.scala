@@ -201,15 +201,24 @@ object IngestQueries {
       .filter(col("user_id") % 5 === 0)
       .select(col("user_id").as("target"), col("hour_ts"), col("value").as("t_v"))
     val dh = hourly.select(col("user_id").as("donor"), col("hour_ts"), col("value").as("d_v"))
-    // hour-align FIRST (equi join on the hour key), then restrict to
-    // nearby pairs with a broadcast semi BEFORE aggregating — far
-    // pairs never enter the aggregation state — and attach dist_km
-    // after: the co-observed pair space is far smaller than
-    // (nearby pairs x target hours)
+    // hour-align under the SPATIAL restriction, not after it: expand
+    // target hours by nearby CELLS (broadcast; cells are few and
+    // radius-bounded — never by donors, whose count grows with the
+    // corpus) and equi-join donor hours on (donor_cell, hour_ts).
+    // Alternatives measured in the sf1 rehearsal: hour_ts-only join +
+    // semi-filter after is quadratic in stations (every hour's key
+    // group holds ALL stations; 37.8x at 10x data), and expanding by
+    // nearby DONORS before the hour join is worse still when spatial
+    // overlap is dense (129 s). The cell-keyed join produces exactly
+    // the needed nearby pair-hour stream, straight into the partial
+    // aggregation.
+    val tc = coords.select(col("user_id").as("target"), col("lat").as("t_lat"), col("lon").as("t_lon"))
+    val dc = coords.select(col("user_id").as("donor"), col("lat").as("d_lat"), col("lon").as("d_lon"))
     val offsets = th
-      .join(dh, Seq("hour_ts"))
+      .join(broadcast(tc), Seq("target"))
+      .join(broadcast(cellPairs.select("t_lat", "t_lon", "d_lat", "d_lon")), Seq("t_lat", "t_lon"))
+      .join(dh.join(broadcast(dc), Seq("donor")), Seq("d_lat", "d_lon", "hour_ts"))
       .filter(col("target") =!= col("donor"))
-      .join(broadcast(nearby.select("target", "donor")), Seq("target", "donor"), "left_semi")
       .groupBy(col("target"), col("donor"))
       .agg(
         avg((col("t_v") - col("d_v")).cast("double")).as("avg_offset"),
