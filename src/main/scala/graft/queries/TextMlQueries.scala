@@ -567,6 +567,49 @@ object TextMlQueries {
       |WHERE list_dot_product(a.nv, b.nv) >= 0.35
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** The SCALE path of embedding near-dup, oracle-checked end to end:
+    * 8-plane LSH buckets + 1-bit multiprobe bound the pair space
+    * ([[Similarity.nearDupPairsBlocked]]) and exact cosine verifies —
+    * only same/probed-bucket pairs are ever scored, which is what
+    * replaces q_embed_neardup's all-pairs baseline at corpus scale.
+    * The oracle reproduces bucket assignment from inlined plane
+    * literals (sign of the dot is normalization-invariant, so it
+    * buckets the raw double vector) and the same xor multiprobe.
+    */
+  private def embedNearDupBlocked(s: SparkSession, d: String): DataFrame =
+    Similarity
+      .nearDupPairsBlocked(TestTables.embeddings(s, d), "vec_id", "embedding", threshold = 0.35)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("a_id"), col("b_id"))
+
+  private lazy val embedNearDupBlockedSql = {
+    val planes = Similarity.hyperplanes(8, 64)
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val arr = p.mkString("[", ", ", "]")
+      s"CASE WHEN list_inner_product(v, $arr) >= 0 THEN ${1L << i} ELSE 0 END"
+    }
+    val probes = (0 until 8).map(i => s"xor(bucket, ${1L << i})").mkString(", ")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id,
+       |         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv,
+       |         CAST(${bits.mkString("\n  + ")} AS BIGINT) AS bucket
+       |  FROM e
+       |), probed AS (
+       |  SELECT vec_id, nv, unnest([bucket, $probes]) AS bucket FROM n
+       |), pairs AS (
+       |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM probed a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |)
+       |SELECT p.a_id, p.b_id, round(list_dot_product(na.nv, nb.nv), 4) AS cos
+       |FROM pairs p
+       |JOIN n na ON na.vec_id = p.a_id
+       |JOIN n nb ON nb.vec_id = p.b_id
+       |WHERE list_dot_product(na.nv, nb.nv) >= 0.35
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   /** Approximate ANN via random-hyperplane LSH buckets + 1-bit
     * multiprobe. Fully hash-checked: the deterministic plane constants
     * are inlined into the oracle SQL as literals (same discipline as
@@ -940,6 +983,7 @@ object TextMlQueries {
     QueryDef("q_simhash", simHash, Some(simHashSql), headline = true),
     QueryDef("q_cosine_topk", cosineTopK, Some(cosineTopKSql), headline = true),
     QueryDef("q_embed_neardup", embedNearDup, Some(embedNearDupSql)),
+    QueryDef("q_embed_neardup_blocked", embedNearDupBlocked, Some(embedNearDupBlockedSql)),
     QueryDef("q_ann_lsh", annLsh, Some(annLshSql), headline = true),
     QueryDef("q_lsh_buckets", lshBuckets, Some(lshBucketsSql)),
     QueryDef("q_ivf_ann", ivfAnn, Some(ivfAnnSql)),

@@ -41,7 +41,8 @@ class DeterminismSpec extends SparkSpec {
     "q_filter_decision",   // content-hash window + reason precedence
     "q_simhash_screen",    // persisted band-index probe (round 7)
     "q_semdedup_screen",   // persisted cluster-index probe (round 7)
-    "q_shard_manifest"     // prefix-sum pack plan aggregate (round 7)
+    "q_shard_manifest",    // prefix-sum pack plan aggregate (round 7)
+    "q_embed_neardup_blocked" // multiprobe bucket pair join (round 7)
   )
 
   private def rows(name: String): Seq[String] =
