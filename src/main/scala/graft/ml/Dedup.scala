@@ -267,6 +267,21 @@ object Dedup {
     * ties toward the lower id, token-less docs surface with
     * is_dup=false.
     */
+  /** Persist a band index as a catalog BUCKETED table on the probe
+    * key (band, bv): the screen's index-side scan then arrives
+    * pre-distributed — only the (small) incoming batch shuffles into
+    * place, the corpus index never moves again
+    * (IncrementalIndexSpec asserts the probe plan has no exchange
+    * above the bucketed scan).
+    */
+  def saveBandIndexTable(index: DataFrame, tableName: String, nBuckets: Int = 64): Unit =
+    index.write
+      .format("parquet")
+      .bucketBy(nBuckets, "band", "bv")
+      .sortBy("band", "bv")
+      .mode("overwrite")
+      .saveAsTable(tableName)
+
   def simHashScreen(
       incoming: DataFrame,
       idCol: String,
@@ -667,6 +682,18 @@ object Dedup {
   ): DataFrame =
     assignedVecs(corpus, idCol, vecCol, nCentroids, seed, dim)
       .select(col("cluster"), col("id").as("ex_id"), col("nv").as("ex_nv"))
+
+  /** Bucketed-table persistence for the cluster index — one bucket
+    * set per inverted list ([[saveBandIndexTable]]'s embedding-path
+    * twin); probes shuffle only the incoming batch.
+    */
+  def saveClusterIndexTable(index: DataFrame, tableName: String, nBuckets: Int = 16): Unit =
+    index.write
+      .format("parquet")
+      .bucketBy(nBuckets, "cluster")
+      .sortBy("cluster")
+      .mode("overwrite")
+      .saveAsTable(tableName)
 
   /** Screen an incoming batch against a prebuilt (typically
     * parquet-persisted) [[buildClusterIndex]] index. Output contract

@@ -181,6 +181,72 @@ object StreamingIngest {
       }
   }
 
+  /** One streamed incoming doc for near-dup screening — the simhash
+    * is computed upstream at scan time (native `SimHash64` in
+    * production; the md5-portable family when parity with the
+    * oracle-checked batch twin matters), same convention as
+    * [[dedupeByFingerprint]]'s precomputed fingerprint.
+    */
+  final case class SimDoc(doc_id: Long, simhash: Long)
+
+  /** Per-incoming-doc screening verdict — [[graft.ml.Dedup.simHashScreen]]'s
+    * output contract.
+    */
+  final case class ScreenResult(doc_id: Long, is_dup: Boolean, dup_of: Option[Long], hamming: Option[Int])
+
+  /** Streaming near-dup screen against a PERSISTED corpus band index
+    * ([[graft.ml.Dedup.buildBandIndex]]) — the continuous-crawl face
+    * of the batch `simHashScreen`: each micro-batch's docs explode
+    * into 7x8-bit band keys map-side and probe the index via a
+    * stream-STATIC left join (stateless — corpus vectors never enter
+    * streaming state), then one emit-once state bit per doc picks the
+    * closest match within `maxHamming` (ties toward the lower corpus
+    * id) and suppresses re-crawled doc_ids across batches. State is
+    * one boolean per doc ever seen; the index side stays where it was
+    * written.
+    */
+  def screenAgainstBandIndex(
+      stream: DataFrame,
+      bandIndex: DataFrame,
+      maxHamming: Int = 6
+  ): org.apache.spark.sql.Dataset[ScreenResult] = {
+    import stream.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(maxHamming <= 6, "7x8-bit banding guarantees recall only to Hamming 6")
+    val bandCols = (0 until 7).map { b =>
+      struct(lit(b).as("band"), shiftright(col("simhash"), b * 8).bitwiseAND(255).as("bv"))
+    }
+    val banded = stream
+      .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+    val probed = banded
+      .join(bandIndex, Seq("band", "bv"), "left")
+      .withColumn("h", bit_count(col("simhash").bitwiseXOR(col("ex_h"))).cast("int"))
+      .select(
+        col("doc_id"),
+        when(col("h") <= maxHamming, col("ex_id")).as("cand_id"),
+        when(col("h") <= maxHamming, col("h")).as("cand_h")
+      )
+      .as[(Long, Option[Long], Option[Int])]
+    probed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id: Long, rows: Iterator[(Long, Option[Long], Option[Int])], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty // re-crawl: first batch won
+          else {
+            state.update(true)
+            val cands = rows.flatMap { case (_, ex, h) =>
+              for { e <- ex; hh <- h } yield (hh, e)
+            }.toSeq
+            if (cands.isEmpty) Iterator.single(ScreenResult(id, is_dup = false, None, None))
+            else {
+              val (h, e) = cands.min // (hamming, ex_id): lower id breaks ties
+              Iterator.single(ScreenResult(id, is_dup = true, Some(e), Some(h)))
+            }
+          }
+      }
+  }
+
   /** Watermarked tumbling daily mean per series over a streaming
     * frame with (timeseries_id, datetime, value).
     */

@@ -69,6 +69,52 @@ class IncrementalIndexSpec extends SparkSpec {
     }
   }
 
+  test("bucketed index tables: probes shuffle only the incoming batch, never the index") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = TestTables.documents(spark, sf001)
+    val emb = TestTables.embeddings(spark, sf001)
+    Dedup.saveBandIndexTable(
+      Dedup.buildBandIndex(docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text"),
+      "band_idx_tbl",
+      nBuckets = 8
+    )
+    Dedup.saveClusterIndexTable(
+      Dedup.buildClusterIndex(emb.filter(col("vec_id") % 10 < 8), "vec_id", "embedding"),
+      "cluster_idx_tbl",
+      nBuckets = 8
+    )
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // the 100 TB regime: nothing broadcasts
+      def indexNeverShuffles(df: org.apache.spark.sql.DataFrame, label: String): Unit = {
+        df.collect() // materialize so AQE finalizes the plan
+        val plan = df.queryExecution.executedPlan
+        val shuffledBucketedScan = plan
+          .collect { case e: ShuffleExchangeExec => e }
+          .exists(_.collectLeaves().exists {
+            case f: FileSourceScanExec => f.relation.bucketSpec.isDefined
+            case _                     => false
+          })
+        assert(!shuffledBucketedScan, s"$label: the persisted index rode a shuffle:\n$plan")
+      }
+      val screened = Dedup.simHashScreen(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", spark.table("band_idx_tbl"))
+      indexNeverShuffles(screened, "band index probe")
+      val semScreened = Dedup.semDedupScreen(
+        emb.filter(col("vec_id") % 10 >= 8), "vec_id", "embedding",
+        spark.table("cluster_idx_tbl"), threshold = 0.42)
+      indexNeverShuffles(semScreened, "cluster index probe")
+      // and the bucketed-table path is output-identical to the inline path
+      val inline = Dedup.simHashIncremental(docs, "doc_id", "text", col("doc_id") % 3 === 0)
+      assert(sorted(screened) == sorted(inline))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS band_idx_tbl")
+      spark.sql("DROP TABLE IF EXISTS cluster_idx_tbl")
+    }
+  }
+
   test("band index schema is the probe contract (band, bv, ex_id, ex_h); cluster index (cluster, ex_id, ex_nv)") {
     val docs = TestTables.documents(spark, sf001).limit(50)
     val emb = TestTables.embeddings(spark, sf001).limit(50)

@@ -212,4 +212,62 @@ class StreamingSpec extends SparkSpec {
       .map(_.getAs[java.sql.Timestamp]("issue_ts"))
     assert(out.toList == List(ts("2024-01-01 12:00:00"), ts("2024-01-02 00:00:00")))
   }
+
+  test("screenAgainstBandIndex: stream-static probe of the persisted index converges to the batch screen") {
+    import spark.implicits._
+    import graft.ml.Dedup
+    import graft.tables.TestTables
+    val base = java.nio.file.Files.createTempDirectory("stream7").toString
+    val src = s"$base/src"; val cp = s"$base/cp"; val sink = s"$base/sink"
+    val idxPath = s"$base/idx"
+    new java.io.File(src).mkdirs()
+
+    val docs = TestTables.documents(spark, sf001)
+    // corpus half persisted ONCE, exactly as a crawl loop would
+    Dedup
+      .buildBandIndex(docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text")
+      .write.partitionBy("band").parquet(idxPath)
+    val bandIndex = spark.read.parquet(idxPath)
+
+    val incomingPred = col("doc_id") % 3 === 0
+    // stream input: (doc_id, simhash) in the same md5-portable family
+    // the batch twin hashes with (token-less docs produce no simhash
+    // row and are asserted separately)
+    val sims = Dedup.simHash(docs.filter(incomingPred), "doc_id", "text")
+
+    val schema = StructType(Seq(StructField("doc_id", LongType), StructField("simhash", LongType)))
+    def run(): Unit = {
+      val q = StreamingIngest
+        .screenAgainstBandIndex(spark.readStream.schema(schema).parquet(src), bandIndex)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "stream did not terminate within 120s")
+    }
+
+    // two crawl batches against the same stored index
+    sims.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(src)
+    run()
+    sims.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(src)
+    run()
+
+    val streamed = spark.read.parquet(sink).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), Option(r.get(2)), Option(r.get(3))))
+      .toSet
+    val batch = Dedup
+      .simHashScreen(docs.filter(incomingPred), "doc_id", "text", bandIndex)
+      .join(sims.select("doc_id"), Seq("doc_id"), "left_semi") // docs that had a simhash
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), Option(r.get(2)), Option(r.get(3))))
+      .toSet
+    assert(streamed == batch, s"stream/batch divergence: ${(streamed diff batch) ++ (batch diff streamed)}")
+
+    // re-crawl replay: the same docs again produce NOTHING new
+    sims.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(src)
+    run()
+    assert(spark.read.parquet(sink).count() == streamed.size.toLong, "re-crawled docs must be suppressed")
+  }
 }
