@@ -346,11 +346,172 @@ object RasterQueries {
       |FROM ids
       |ORDER BY src_key""".stripMargin
 
+  /** Model-raster reference-row insertion
+    * ([[graft.sources.RasterIngest.insertModelRasters]] —
+    * `R/insertACModelRaster.R`): every gate fires in the fixture
+    * (date-only end-of-day coercion, uncoercible timestamps,
+    * units/band-count mismatch, unknown/ambiguous series), accepted
+    * rows carry inherited index metadata and reference ids above
+    * max(existing).
+    */
+  private def modelRasterInsert(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = col("p_partkey")
+    val incoming = TestTables
+      .part(s, d)
+      .filter(k % 9 === 0)
+      .select(
+        k.as("src_key"),
+        (k % 12).as("raster_series_id"),
+        when(k % 11 === 0, lit(null).cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), (k % 3 + 1).cast("int")), i => concat(lit("band"), i.cast("string"))))
+          .as("band_names"),
+        when(k % 5 === 0, lit(null).cast("array<string>"))
+          .when(k % 5 === 1, array(lit("mm")))
+          .when(k % 5 === 2, transform(sequence(lit(1), (k % 3 + 1).cast("int")), i => concat(lit("u"), i.cast("string"))))
+          .when(k % 5 === 3, array(lit("C"), lit("kPa")))
+          .otherwise(array(lit("C")))
+          .as("units"),
+        when(k % 7 === 0, lit("2024-03-01"))
+          .when(k % 7 === 1, lit("not-a-date"))
+          .otherwise(lit("2024-03-01 06:00:00"))
+          .as("valid_from_raw"),
+        when(k % 4 === 0, lit("2024-03-05")).otherwise(lit("2024-03-05 12:00:00")).as("valid_to_raw"),
+        when(k % 6 === 0, lit(null).cast("string"))
+          .when(k % 6 === 1, lit("2024-03-02"))
+          .when(k % 6 === 2, lit("junk"))
+          .otherwise(lit("2024-03-02 03:00:00"))
+          .as("issued_raw"),
+        when(k % 8 === 0, lit(null).cast("string")).otherwise(lit("HRDPS")).as("model"),
+        lit("eccc").as("source"),
+        lit(null).cast("string").as("description"),
+        lit(null).cast("string").as("flag")
+      )
+    val seriesIndex = Seq(
+      (0L, 1L, 10L, 100L, "ERA5"), (1L, 2L, 10L, 100L, "HRDPS"), (2L, 3L, 20L, 200L, "HRDPA"),
+      (3L, 1L, 10L, 100L, "CaLDAS"), (4L, 2L, 20L, 200L, "ERA5"),
+      (5L, 1L, 10L, 100L, "ERA5"), (5L, 2L, 20L, 200L, "HRDPS"),
+      (6L, 3L, 10L, 100L, "ERA5"), (7L, 1L, 20L, 200L, "HRDPS"),
+      (8L, 2L, 10L, 100L, "ERA5"), (9L, 3L, 20L, 200L, "CaLDAS")
+    ).toDF("raster_series_id", "parameter_id", "media_id", "matrix_state_id", "model")
+    val existing = Seq(500L).toDF("reference_id")
+    val out = graft.sources.RasterIngest.insertModelRasters(incoming, seriesIndex, existing)
+    out.accepted
+      .select(
+        col("src_key"),
+        lit("accepted").as("status"),
+        col("reference_id"),
+        col("raster_series_id"),
+        col("band_names_str"),
+        col("units_str"),
+        unix_micros(col("valid_from")).as("from_us"),
+        unix_micros(col("valid_to")).as("to_us"),
+        unix_micros(col("issued")).as("issued_us"),
+        col("model"),
+        col("parameter_id")
+      )
+      .unionByName(
+        out.rejects.select(
+          col("src_key"),
+          col("reject_reason").as("status"),
+          lit(null).cast("long").as("reference_id"),
+          lit(null).cast("long").as("raster_series_id"),
+          lit(null).cast("string").as("band_names_str"),
+          lit(null).cast("string").as("units_str"),
+          lit(null).cast("long").as("from_us"),
+          lit(null).cast("long").as("to_us"),
+          lit(null).cast("long").as("issued_us"),
+          lit(null).cast("string").as("model"),
+          lit(null).cast("long").as("parameter_id")
+        )
+      )
+      .orderBy(col("src_key"))
+  }
+
+  private val modelRasterInsertSql =
+    """WITH inc AS (
+      |  SELECT p_partkey AS src_key, p_partkey % 12 AS rsid,
+      |         CASE WHEN p_partkey % 11 = 0 THEN NULL
+      |              ELSE list_transform(range(1, CAST(p_partkey % 3 AS INT) + 2), i -> 'band' || i) END AS band_names,
+      |         CASE WHEN p_partkey % 5 = 0 THEN NULL
+      |              WHEN p_partkey % 5 = 1 THEN ['mm']
+      |              WHEN p_partkey % 5 = 2 THEN list_transform(range(1, CAST(p_partkey % 3 AS INT) + 2), i -> 'u' || i)
+      |              WHEN p_partkey % 5 = 3 THEN ['C', 'kPa']
+      |              ELSE ['C'] END AS units,
+      |         CASE WHEN p_partkey % 7 = 0 THEN '2024-03-01'
+      |              WHEN p_partkey % 7 = 1 THEN 'not-a-date'
+      |              ELSE '2024-03-01 06:00:00' END AS valid_from_raw,
+      |         CASE WHEN p_partkey % 4 = 0 THEN '2024-03-05' ELSE '2024-03-05 12:00:00' END AS valid_to_raw,
+      |         CASE WHEN p_partkey % 6 = 0 THEN NULL
+      |              WHEN p_partkey % 6 = 1 THEN '2024-03-02'
+      |              WHEN p_partkey % 6 = 2 THEN 'junk'
+      |              ELSE '2024-03-02 03:00:00' END AS issued_raw,
+      |         CASE WHEN p_partkey % 8 = 0 THEN NULL ELSE 'HRDPS' END AS model
+      |  FROM part WHERE p_partkey % 9 = 0
+      |), idx AS (
+      |  SELECT rsid, count(*) AS idx_n,
+      |         first(parameter_id) AS parameter_id, first(idx_model) AS idx_model
+      |  FROM (VALUES (0, 1, 'ERA5'), (1, 2, 'HRDPS'), (2, 3, 'HRDPA'),
+      |               (3, 1, 'CaLDAS'), (4, 2, 'ERA5'),
+      |               (5, 1, 'ERA5'), (5, 2, 'HRDPS'),
+      |               (6, 3, 'ERA5'), (7, 1, 'HRDPS'),
+      |               (8, 2, 'ERA5'), (9, 3, 'CaLDAS')) AS t(rsid, parameter_id, idx_model)
+      |  GROUP BY rsid
+      |), coerced AS (
+      |  SELECT inc.*, idx.idx_n, idx.parameter_id, idx.idx_model,
+      |         CASE WHEN len(valid_from_raw) = 10
+      |              THEN CAST(TRY_CAST(valid_from_raw AS DATE) AS TIMESTAMP)
+      |              ELSE TRY_CAST(valid_from_raw AS TIMESTAMP) END AS c_from,
+      |         CASE WHEN len(valid_to_raw) = 10
+      |              THEN CAST(TRY_CAST(valid_to_raw AS DATE) AS TIMESTAMP) + to_microseconds(86399640000)
+      |              ELSE TRY_CAST(valid_to_raw AS TIMESTAMP) END AS c_to,
+      |         CASE WHEN len(issued_raw) = 10
+      |              THEN CAST(TRY_CAST(issued_raw AS DATE) AS TIMESTAMP) + to_microseconds(86399640000)
+      |              ELSE TRY_CAST(issued_raw AS TIMESTAMP) END AS c_issued,
+      |         len(band_names) AS n_bands
+      |  FROM inc LEFT JOIN idx ON idx.rsid = inc.rsid
+      |), gated AS (
+      |  SELECT *,
+      |         CASE WHEN band_names IS NULL OR n_bands < 1 THEN 'missing_bands'
+      |              WHEN c_from IS NULL THEN 'bad_valid_from'
+      |              WHEN c_to IS NULL THEN 'bad_valid_to'
+      |              WHEN issued_raw IS NOT NULL AND c_issued IS NULL THEN 'bad_issued'
+      |              WHEN units IS NOT NULL AND len(units) > 1 AND len(units) <> n_bands THEN 'units_band_mismatch'
+      |              WHEN idx_n IS NULL THEN 'unknown_series'
+      |              WHEN idx_n > 1 THEN 'ambiguous_series'
+      |         END AS reject_reason
+      |  FROM coerced
+      |), ids AS (
+      |  SELECT *,
+      |         CASE WHEN reject_reason IS NULL
+      |              THEN 500 + row_number() OVER (
+      |                     PARTITION BY (reject_reason IS NULL) ORDER BY src_key)
+      |         END AS reference_id
+      |  FROM gated
+      |)
+      |SELECT src_key,
+      |       coalesce(reject_reason, 'accepted') AS status,
+      |       reference_id,
+      |       CASE WHEN reject_reason IS NULL THEN rsid END AS raster_series_id,
+      |       CASE WHEN reject_reason IS NULL
+      |            THEN '{{' || array_to_string(band_names, '},{') || '}}' END AS band_names_str,
+      |       CASE WHEN reject_reason IS NOT NULL THEN NULL
+      |            WHEN units IS NULL THEN array_to_string(list_transform(band_names, x -> ''), ', ')
+      |            ELSE array_to_string(units, ', ') END AS units_str,
+      |       CASE WHEN reject_reason IS NULL THEN epoch_us(c_from) END AS from_us,
+      |       CASE WHEN reject_reason IS NULL THEN epoch_us(c_to) END AS to_us,
+      |       CASE WHEN reject_reason IS NULL THEN epoch_us(c_issued) END AS issued_us,
+      |       CASE WHEN reject_reason IS NULL THEN coalesce(model, idx_model) END AS model,
+      |       CASE WHEN reject_reason IS NULL THEN CAST(parameter_id AS BIGINT) END AS parameter_id
+      |FROM ids
+      |ORDER BY src_key""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_raster_zonal", rasterZonal, Some(rasterZonalSql), headline = true),
     QueryDef("q_raster_pyramid", rasterPyramid, Some(rasterPyramidSql)),
     QueryDef("q_raster_supersede", rasterSupersede, Some(rasterSupersedeSql)),
     QueryDef("q_image_latest", imageLatest, Some(imageLatestSql)),
-    QueryDef("q_raster_series", rasterSeries, Some(rasterSeriesSql))
+    QueryDef("q_raster_series", rasterSeries, Some(rasterSeriesSql)),
+    QueryDef("q_model_raster_insert", modelRasterInsert, Some(modelRasterInsertSql))
   )
 }

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The incremental raster-fetch driver — `R/getNewRasters.R:80-220` in
@@ -273,5 +273,119 @@ object RasterIngest {
         "multi_state", "reject_reason"
       )
     RegisterResult(accepted, rejects)
+  }
+
+  final case class ModelRasterResult(accepted: DataFrame, rejects: DataFrame)
+
+  /** Batch-first re-expression of the reference's one-raster
+    * `insertACModelRaster` (`R/insertACModelRaster.R:1-237` in
+    * YukonWRB/AquaCache): metadata reference-row insertion for model
+    * rasters, with the reference's gates —
+    *
+    *   - timestamp coercion (`:32-95`): a 10-char date-only string is
+    *     midnight UTC; date-only `valid_to`/`issued` extend to
+    *     end-of-day (+23.9999 h = the reference's exact 86399.64 s);
+    *     an uncoercible value rejects the row (the reference stops);
+    *     `issued` may be absent (NA allowed);
+    *   - units (`:97-111`): absent -> empty per-band defaults joined
+    *     ", "; one element applies as-is; several elements must match
+    *     the band count exactly or the row rejects;
+    *   - the series must resolve to EXACTLY ONE
+    *     `raster_series_index` row (`:130-147`) — unknown or
+    *     ambiguous series reject; `parameter_id` / `media_id` /
+    *     `matrix_state_id` inherit from the index row, `model`
+    *     falls back to it when the insert leaves it null;
+    *   - `band_names` is stored in the reference's "{{b1},{b2}}"
+    *     literal shape (`:149-152`);
+    *   - reference ids assign above max(existing) via the
+    *     distributed rank ([[graft.operators.SeqIds]]).
+    *
+    * @param incoming    src_key, raster_series_id,
+    *                    band_names ARRAY<STRING>, units ARRAY<STRING>
+    *                    (nullable), valid_from_raw / valid_to_raw /
+    *                    issued_raw STRING, model, source, description,
+    *                    flag (all nullable strings)
+    * @param seriesIndex raster_series_id, parameter_id, media_id,
+    *                    matrix_state_id, model
+    * @param existing    reference_id (the stored reference rows)
+    */
+  def insertModelRasters(
+      incoming: DataFrame,
+      seriesIndex: DataFrame,
+      existing: DataFrame
+  ): ModelRasterResult = {
+    val EndOfDayMicros = 86399640000L // 60*60*23.9999 s, as the reference
+    def coerce(raw: Column, endOfDay: Boolean): Column = {
+      val dateOnly = length(raw) === 10
+      val asDate = try_to_timestamp(raw, lit("yyyy-MM-dd"))
+      val full = try_to_timestamp(raw)
+      val base = when(dateOnly, asDate).otherwise(full)
+      if (!endOfDay) base
+      else when(dateOnly, timestamp_micros(unix_micros(asDate) + EndOfDayMicros)).otherwise(full)
+    }
+    val idx = broadcast(
+      seriesIndex
+        .groupBy(col("raster_series_id"))
+        .agg(
+          count(lit(1)).as("__idx_n"),
+          first(col("parameter_id")).as("parameter_id"),
+          first(col("media_id")).as("media_id"),
+          first(col("matrix_state_id")).as("matrix_state_id"),
+          first(col("model")).as("__idx_model")
+        )
+    )
+    val coerced = incoming
+      .join(idx, Seq("raster_series_id"), "left")
+      .withColumn("__from", coerce(col("valid_from_raw"), endOfDay = false))
+      .withColumn("__to", coerce(col("valid_to_raw"), endOfDay = true))
+      .withColumn("__issued", coerce(col("issued_raw"), endOfDay = true))
+      .withColumn("__n_bands", size(col("band_names")))
+      .withColumn(
+        "reject_reason",
+        when(col("band_names").isNull || col("__n_bands") < 1, "missing_bands")
+          .when(col("__from").isNull, "bad_valid_from")
+          .when(col("__to").isNull, "bad_valid_to")
+          .when(col("issued_raw").isNotNull && col("__issued").isNull, "bad_issued")
+          .when(
+            col("units").isNotNull && size(col("units")) > 1 &&
+              size(col("units")) =!= col("__n_bands"),
+            "units_band_mismatch"
+          )
+          .when(col("__idx_n").isNull, "unknown_series")
+          .when(col("__idx_n") > 1, "ambiguous_series")
+      )
+    val rejects = coerced
+      .filter(col("reject_reason").isNotNull)
+      .select(col("src_key"), col("reject_reason"))
+    val maxId = existing.agg(coalesce(max(col("reference_id")), lit(0L)).as("__max_id"))
+    val accepted = graft.operators.SeqIds
+      .globalRank(coerced.filter(col("reject_reason").isNull), Seq(col("src_key")), "__seq")
+      .crossJoin(broadcast(maxId))
+      .withColumn("reference_id", col("__max_id") + col("__seq"))
+      .withColumn(
+        "band_names_str",
+        concat(lit("{{"), array_join(col("band_names"), "},{"), lit("}}"))
+      )
+      .withColumn(
+        "units_str",
+        when(col("units").isNull, array_join(transform(col("band_names"), _ => lit("")), ", "))
+          .otherwise(array_join(col("units"), ", "))
+      )
+      .withColumn("model", coalesce(col("model"), col("__idx_model")))
+      .select(
+        col("src_key"),
+        col("reference_id"),
+        col("raster_series_id"),
+        col("band_names_str"),
+        col("units_str"),
+        col("__from").as("valid_from"),
+        col("__to").as("valid_to"),
+        col("__issued").as("issued"),
+        col("model"),
+        col("parameter_id"),
+        col("media_id"),
+        col("matrix_state_id")
+      )
+    ModelRasterResult(accepted, rejects)
   }
 }
