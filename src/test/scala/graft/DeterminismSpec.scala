@@ -42,7 +42,8 @@ class DeterminismSpec extends SparkSpec {
     "q_simhash_screen",    // persisted band-index probe (round 7)
     "q_semdedup_screen",   // persisted cluster-index probe (round 7)
     "q_shard_manifest",    // prefix-sum pack plan aggregate (round 7)
-    "q_embed_neardup_blocked" // multiprobe bucket pair join (round 7)
+    "q_embed_neardup_blocked", // multiprobe bucket pair join (round 7)
+    "q_model_raster_insert" // first()-aggregated index join + distributed id rank (round 7)
   )
 
   private def rows(name: String): Seq[String] =
