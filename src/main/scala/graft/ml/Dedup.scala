@@ -260,19 +260,12 @@ object Dedup {
     bandRows(simHash(corpus, idCol, textCol), idCol)
       .select(col("band"), col("bv"), col(idCol).as("ex_id"), col("simhash").as("ex_h"))
 
-  /** Screen an incoming batch against a prebuilt (typically
-    * parquet-persisted) [[buildBandIndex]] index. Output contract is
-    * [[simHashIncremental]]'s: one row per incoming doc —
-    * (idCol, is_dup, dup_of, hamming), closest corpus match wins,
-    * ties toward the lower id, token-less docs surface with
-    * is_dup=false.
-    */
   /** Persist a band index as a catalog BUCKETED table on the probe
     * key (band, bv): the screen's index-side scan then arrives
     * pre-distributed — only the (small) incoming batch shuffles into
     * place, the corpus index never moves again
     * (IncrementalIndexSpec asserts the probe plan has no exchange
-    * above the bucketed scan).
+    * between the bucketed scan and its join).
     */
   def saveBandIndexTable(index: DataFrame, tableName: String, nBuckets: Int = 64): Unit =
     index.write
@@ -282,6 +275,13 @@ object Dedup {
       .mode("overwrite")
       .saveAsTable(tableName)
 
+  /** Screen an incoming batch against a prebuilt (typically
+    * parquet-persisted) [[buildBandIndex]] index. Output contract is
+    * [[simHashIncremental]]'s: one row per incoming doc —
+    * (idCol, is_dup, dup_of, hamming), closest corpus match wins,
+    * ties toward the lower id, token-less docs surface with
+    * is_dup=false.
+    */
   def simHashScreen(
       incoming: DataFrame,
       idCol: String,
@@ -547,19 +547,9 @@ object Dedup {
   ): DataFrame = {
     import graft.functions.VectorOps
     VectorOps.register(emb.sparkSession)
-    val centroids = Similarity.normalizedCentroids(nCentroids, dim, seed)
-    val ranked = sort_array(
-      array(centroids.zipWithIndex.map { case (c, i) =>
-        struct(VectorOps.dot(col("nv"), array(c.map(lit): _*)).as("s"), lit(i).as("c"))
-      }: _*),
-      asc = false
-    )
     // one materialization feeds the a-side, b-side and the flag-back
     // join — without it the normalize+assign scan runs three times
-    val e = Similarity
-      .normalizedVecs(emb, idCol, vecCol)
-      .withColumn("cluster", ranked.getItem(0).getField("c"))
-      .localCheckpoint(false)
+    val e = assignedVecs(emb, idCol, vecCol, nCentroids, seed, dim).localCheckpoint(false)
     val a = e.select(col("cluster"), col("id").as("a_id"), col("nv").as("va"))
     val b = e.select(col("cluster"), col("id").as("b_id"), col("nv").as("vb"))
     val dupIds = a
@@ -602,24 +592,10 @@ object Dedup {
   ): DataFrame = {
     import graft.functions.VectorOps
     VectorOps.register(emb.sparkSession)
-    val centroids = Similarity.normalizedCentroids(nCentroids, dim, seed)
-    val ranked = sort_array(
-      array(centroids.zipWithIndex.map { case (c, i) =>
-        struct(VectorOps.dot(col("nv"), array(c.map(lit): _*)).as("s"), lit(i).as("c"))
-      }: _*),
-      asc = false
-    )
-    val assigned = emb
-      .select(
-        col(idCol).as("id"),
-        transform(col(vecCol), x => x.cast("double")).as("vd"),
-        incomingPred.as("__incoming")
-      )
-      .withColumn("norm", sqrt(VectorOps.dot(col("vd"), col("vd"))))
-      .withColumn("nv", transform(col("vd"), x => x / col("norm")))
-      .withColumn("cluster", ranked.getItem(0).getField("c"))
-      .select("id", "nv", "cluster", "__incoming")
-      .localCheckpoint(false)
+    val assigned = assignedVecs(
+      emb, idCol, vecCol, nCentroids, seed, dim,
+      keep = Seq("__incoming" -> incomingPred)
+    ).localCheckpoint(false)
     val incoming = assigned.filter(col("__incoming"))
     val corpus = assigned
       .filter(!col("__incoming"))
@@ -636,9 +612,14 @@ object Dedup {
       .select(col("id").as(idCol), col("cluster"), col("dup").isNotNull.as("is_dup"))
   }
 
-  /** Normalize + nearest-centroid assignment: (id, nv, cluster) —
-    * the shared projection under [[buildClusterIndex]] and
-    * [[semDedupScreen]].
+  /** Normalize + nearest-centroid assignment:
+    * (id, [keep...], nv, cluster) — THE one copy of the codebook
+    * assignment projection under [[semDedup]], [[semDedupIncremental]],
+    * [[buildClusterIndex]] and [[semDedupScreen]]: a tie-break or
+    * normalization change here changes all four together, which the
+    * oracle parity depends on. `keep` columns are evaluated against
+    * the ORIGINAL frame (so predicates over source columns survive
+    * the projection).
     */
   private def assignedVecs(
       emb: DataFrame,
@@ -646,7 +627,8 @@ object Dedup {
       vecCol: String,
       nCentroids: Int,
       seed: Long,
-      dim: Int
+      dim: Int,
+      keep: Seq[(String, Column)] = Nil
   ): DataFrame = {
     import graft.functions.VectorOps
     VectorOps.register(emb.sparkSession)
@@ -657,9 +639,14 @@ object Dedup {
       }: _*),
       asc = false
     )
-    Similarity
-      .normalizedVecs(emb, idCol, vecCol)
+    val cols = (col(idCol).as("id") +: keep.map { case (n, c) => c.as(n) }) :+
+      transform(col(vecCol), x => x.cast("double")).as("v")
+    emb
+      .select(cols: _*)
+      .withColumn("norm", sqrt(VectorOps.dot(col("v"), col("v"))))
+      .withColumn("nv", transform(col("v"), x => x / col("norm")))
       .withColumn("cluster", ranked.getItem(0).getField("c"))
+      .drop("v", "norm")
   }
 
   /** Corpus-side SemDeDup cluster index — the persistable half of

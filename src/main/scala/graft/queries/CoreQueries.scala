@@ -10,9 +10,14 @@ import graft.tables.TestTables
   */
 object CoreQueries {
 
-  /** Catalog enrichment: fact ⋈ chain of small dims, all broadcast —
-    * zero shuffle on the join itself, one shuffle for the final
-    * aggregation. Mirrors timeseries ⋈ locations ⋈ parameters ⋈ …
+  /** Catalog enrichment: fact ⋈ dims. Only the genuinely
+    * dimension-sized tables (nation 25 rows, region 5 — the
+    * reference's parameters/media lookups) carry a broadcast hint;
+    * orders and customer SCALE WITH THE FACT SIDE, so their joins are
+    * left to Catalyst/AQE — at bench SF they still broadcast at
+    * runtime, at 100 TB they become key-shuffled joins instead of an
+    * OOM'd driver collect. Mirrors timeseries ⋈ locations ⋈
+    * parameters ⋈ … (`R/getNewContinuous.R:119-139`).
     */
   private def catalogEnrich(s: SparkSession, d: String) = {
     val li = TestTables.lineitem(s, d)
@@ -20,8 +25,8 @@ object CoreQueries {
     val c = TestTables.customer(s, d)
     val n = TestTables.nation(s, d)
     val r = TestTables.region(s, d)
-    li.join(broadcast(o), li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(r("r_name").as("region_name"), li("l_returnflag").as("return_flag"))

@@ -212,12 +212,10 @@ object IngestQueries {
     // overlap is dense (129 s). The cell-keyed join produces exactly
     // the needed nearby pair-hour stream, straight into the partial
     // aggregation.
-    val tc = coords.select(col("user_id").as("target"), col("lat").as("t_lat"), col("lon").as("t_lon"))
-    val dc = coords.select(col("user_id").as("donor"), col("lat").as("d_lat"), col("lon").as("d_lon"))
     val offsets = th
-      .join(broadcast(tc), Seq("target"))
+      .join(broadcast(t), Seq("target"))
       .join(broadcast(cellPairs.select("t_lat", "t_lon", "d_lat", "d_lon")), Seq("t_lat", "t_lon"))
-      .join(dh.join(broadcast(dc), Seq("donor")), Seq("d_lat", "d_lon", "hour_ts"))
+      .join(dh.join(broadcast(dn), Seq("donor")), Seq("d_lat", "d_lon", "hour_ts"))
       .filter(col("target") =!= col("donor"))
       .groupBy(col("target"), col("donor"))
       .agg(

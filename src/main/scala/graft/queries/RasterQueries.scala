@@ -357,32 +357,39 @@ object RasterQueries {
   private def modelRasterInsert(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val k = col("p_partkey")
+    // selectors run off the QUOTIENT j = k div 9, which walks every
+    // residue class — selecting off k itself would freeze k mod 3 at
+    // zero (the filter) and leave half the gates dead in the fixture
+    val j = expr("p_partkey div 9")
     val incoming = TestTables
       .part(s, d)
       .filter(k % 9 === 0)
       .select(
         k.as("src_key"),
-        (k % 12).as("raster_series_id"),
-        when(k % 11 === 0, lit(null).cast("array<string>"))
-          .otherwise(transform(sequence(lit(1), (k % 3 + 1).cast("int")), i => concat(lit("band"), i.cast("string"))))
+        (j % 12).as("raster_series_id"),
+        when(j % 11 === 0, lit(null).cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), (j % 3 + 1).cast("int")), i => concat(lit("band"), i.cast("string"))))
           .as("band_names"),
-        when(k % 5 === 0, lit(null).cast("array<string>"))
-          .when(k % 5 === 1, array(lit("mm")))
-          .when(k % 5 === 2, transform(sequence(lit(1), (k % 3 + 1).cast("int")), i => concat(lit("u"), i.cast("string"))))
-          .when(k % 5 === 3, array(lit("C"), lit("kPa")))
+        when(j % 5 === 0, lit(null).cast("array<string>"))
+          .when(j % 5 === 1, array(lit("mm")))
+          .when(j % 5 === 2, transform(sequence(lit(1), (j % 3 + 1).cast("int")), i => concat(lit("u"), i.cast("string"))))
+          .when(j % 5 === 3, array(lit("C"), lit("kPa")))
           .otherwise(array(lit("C")))
           .as("units"),
-        when(k % 7 === 0, lit("2024-03-01"))
-          .when(k % 7 === 1, lit("not-a-date"))
+        when(j % 7 === 0, lit("2024-03-01"))
+          .when(j % 7 === 1, lit("not-a-date"))
           .otherwise(lit("2024-03-01 06:00:00"))
           .as("valid_from_raw"),
-        when(k % 4 === 0, lit("2024-03-05")).otherwise(lit("2024-03-05 12:00:00")).as("valid_to_raw"),
-        when(k % 6 === 0, lit(null).cast("string"))
-          .when(k % 6 === 1, lit("2024-03-02"))
-          .when(k % 6 === 2, lit("junk"))
+        when(j % 13 === 0, lit("2024-03-05"))
+          .when(j % 13 === 1, lit("never"))
+          .otherwise(lit("2024-03-05 12:00:00"))
+          .as("valid_to_raw"),
+        when(j % 6 === 0, lit(null).cast("string"))
+          .when(j % 6 === 1, lit("2024-03-02"))
+          .when(j % 6 === 2, lit("junk"))
           .otherwise(lit("2024-03-02 03:00:00"))
           .as("issued_raw"),
-        when(k % 8 === 0, lit(null).cast("string")).otherwise(lit("HRDPS")).as("model"),
+        when(j % 8 === 0, lit(null).cast("string")).otherwise(lit("HRDPS")).as("model"),
         lit("eccc").as("source"),
         lit(null).cast("string").as("description"),
         lit(null).cast("string").as("flag")
@@ -430,23 +437,25 @@ object RasterQueries {
 
   private val modelRasterInsertSql =
     """WITH inc AS (
-      |  SELECT p_partkey AS src_key, p_partkey % 12 AS rsid,
-      |         CASE WHEN p_partkey % 11 = 0 THEN NULL
-      |              ELSE list_transform(range(1, CAST(p_partkey % 3 AS INT) + 2), i -> 'band' || i) END AS band_names,
-      |         CASE WHEN p_partkey % 5 = 0 THEN NULL
-      |              WHEN p_partkey % 5 = 1 THEN ['mm']
-      |              WHEN p_partkey % 5 = 2 THEN list_transform(range(1, CAST(p_partkey % 3 AS INT) + 2), i -> 'u' || i)
-      |              WHEN p_partkey % 5 = 3 THEN ['C', 'kPa']
+      |  SELECT p_partkey AS src_key, (p_partkey // 9) % 12 AS rsid,
+      |         CASE WHEN (p_partkey // 9) % 11 = 0 THEN NULL
+      |              ELSE list_transform(range(1, CAST((p_partkey // 9) % 3 AS INT) + 2), i -> 'band' || i) END AS band_names,
+      |         CASE WHEN (p_partkey // 9) % 5 = 0 THEN NULL
+      |              WHEN (p_partkey // 9) % 5 = 1 THEN ['mm']
+      |              WHEN (p_partkey // 9) % 5 = 2 THEN list_transform(range(1, CAST((p_partkey // 9) % 3 AS INT) + 2), i -> 'u' || i)
+      |              WHEN (p_partkey // 9) % 5 = 3 THEN ['C', 'kPa']
       |              ELSE ['C'] END AS units,
-      |         CASE WHEN p_partkey % 7 = 0 THEN '2024-03-01'
-      |              WHEN p_partkey % 7 = 1 THEN 'not-a-date'
+      |         CASE WHEN (p_partkey // 9) % 7 = 0 THEN '2024-03-01'
+      |              WHEN (p_partkey // 9) % 7 = 1 THEN 'not-a-date'
       |              ELSE '2024-03-01 06:00:00' END AS valid_from_raw,
-      |         CASE WHEN p_partkey % 4 = 0 THEN '2024-03-05' ELSE '2024-03-05 12:00:00' END AS valid_to_raw,
-      |         CASE WHEN p_partkey % 6 = 0 THEN NULL
-      |              WHEN p_partkey % 6 = 1 THEN '2024-03-02'
-      |              WHEN p_partkey % 6 = 2 THEN 'junk'
+      |         CASE WHEN (p_partkey // 9) % 13 = 0 THEN '2024-03-05'
+      |              WHEN (p_partkey // 9) % 13 = 1 THEN 'never'
+      |              ELSE '2024-03-05 12:00:00' END AS valid_to_raw,
+      |         CASE WHEN (p_partkey // 9) % 6 = 0 THEN NULL
+      |              WHEN (p_partkey // 9) % 6 = 1 THEN '2024-03-02'
+      |              WHEN (p_partkey // 9) % 6 = 2 THEN 'junk'
       |              ELSE '2024-03-02 03:00:00' END AS issued_raw,
-      |         CASE WHEN p_partkey % 8 = 0 THEN NULL ELSE 'HRDPS' END AS model
+      |         CASE WHEN (p_partkey // 9) % 8 = 0 THEN NULL ELSE 'HRDPS' END AS model
       |  FROM part WHERE p_partkey % 9 = 0
       |), idx AS (
       |  SELECT rsid, count(*) AS idx_n,

@@ -584,29 +584,37 @@ object TextMlQueries {
 
   private lazy val embedNearDupBlockedSql = {
     val planes = Similarity.hyperplanes(8, 64)
+    // bucket the NORMALIZED vector, exactly as lshBucket does in
+    // nearDupPairsBlocked — sign(dot(nv, plane)) and sign(dot(v, plane))
+    // agree in exact arithmetic but are different float roundings, and
+    // the oracle must reproduce the engine's formula, not an algebraic
+    // equivalent
     val bits = planes.zipWithIndex.map { case (p, i) =>
       val arr = p.mkString("[", ", ", "]")
-      s"CASE WHEN list_inner_product(v, $arr) >= 0 THEN ${1L << i} ELSE 0 END"
+      s"CASE WHEN list_inner_product(nv, $arr) >= 0 THEN ${1L << i} ELSE 0 END"
     }
     val probes = (0 until 8).map(i => s"xor(bucket, ${1L << i})").mkString(", ")
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
        |), n AS (
        |  SELECT vec_id,
-       |         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv,
-       |         CAST(${bits.mkString("\n  + ")} AS BIGINT) AS bucket
+       |         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
        |  FROM e
+       |), nb AS (
+       |  SELECT vec_id, nv,
+       |         CAST(${bits.mkString("\n  + ")} AS BIGINT) AS bucket
+       |  FROM n
        |), probed AS (
-       |  SELECT vec_id, nv, unnest([bucket, $probes]) AS bucket FROM n
+       |  SELECT vec_id, nv, unnest([bucket, $probes]) AS bucket FROM nb
        |), pairs AS (
        |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
-       |  FROM probed a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  FROM probed a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        |)
-       |SELECT p.a_id, p.b_id, round(list_dot_product(na.nv, nb.nv), 4) AS cos
+       |SELECT p.a_id, p.b_id, round(list_dot_product(na.nv, ob.nv), 4) AS cos
        |FROM pairs p
        |JOIN n na ON na.vec_id = p.a_id
-       |JOIN n nb ON nb.vec_id = p.b_id
-       |WHERE list_dot_product(na.nv, nb.nv) >= 0.35
+       |JOIN n ob ON ob.vec_id = p.b_id
+       |WHERE list_dot_product(na.nv, ob.nv) >= 0.35
        |ORDER BY a_id, b_id""".stripMargin
   }
 

@@ -85,18 +85,35 @@ class IncrementalIndexSpec extends SparkSpec {
       nBuckets = 8
     )
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // the 100 TB regime: nothing broadcasts
+      // static plans: under AQE the executedPlan is an opaque
+      // AdaptiveSparkPlanExec LEAF, so a collect over it finds no
+      // exchanges at all and the assertion would pass vacuously
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
       def indexNeverShuffles(df: org.apache.spark.sql.DataFrame, label: String): Unit = {
-        df.collect() // materialize so AQE finalizes the plan
+        import org.apache.spark.sql.execution.SparkPlan
+        import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
         val plan = df.queryExecution.executedPlan
-        val shuffledBucketedScan = plan
-          .collect { case e: ShuffleExchangeExec => e }
-          .exists(_.collectLeaves().exists {
-            case f: FileSourceScanExec => f.relation.bucketSpec.isDefined
-            case _                     => false
-          })
-        assert(!shuffledBucketedScan, s"$label: the persisted index rode a shuffle:\n$plan")
+        // the property: between the bucketed index scan and the FIRST
+        // join above it (the probe), there is no exchange — downstream
+        // joins/aggregations above the probe legitimately shuffle
+        def pathToBucketScan(p: SparkPlan): Option[List[SparkPlan]] = p match {
+          case f: FileSourceScanExec if f.relation.bucketSpec.isDefined => Some(List(p))
+          case _ => p.children.view.flatMap(pathToBucketScan).headOption.map(p :: _)
+        }
+        val path = pathToBucketScan(plan)
+        assert(path.isDefined, s"$label: no bucketed index scan in the plan:\n$plan")
+        val isJoin = (p: SparkPlan) =>
+          p.isInstanceOf[SortMergeJoinExec] || p.isInstanceOf[ShuffledHashJoinExec]
+        val probeIdx = path.get.lastIndexWhere(isJoin)
+        assert(probeIdx >= 0, s"$label: no join consumes the bucketed index scan:\n$plan")
+        val betweenProbeAndScan = path.get.drop(probeIdx + 1)
+        assert(
+          !betweenProbeAndScan.exists(_.isInstanceOf[ShuffleExchangeExec]),
+          s"$label: the persisted index rode a shuffle between scan and probe join:\n$plan"
+        )
       }
       val screened = Dedup.simHashScreen(
         docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", spark.table("band_idx_tbl"))
@@ -110,6 +127,7 @@ class IncrementalIndexSpec extends SparkSpec {
       assert(sorted(screened) == sorted(inline))
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       spark.sql("DROP TABLE IF EXISTS band_idx_tbl")
       spark.sql("DROP TABLE IF EXISTS cluster_idx_tbl")
     }
