@@ -20,6 +20,14 @@ import org.apache.spark.sql.functions._
   * id) is broadcast; the only shuffles are the results-to-samples
   * equi join on the batch's own sample key and the id-assignment
   * window — both bounded by batch size, not store size.
+  *
+  * Bench note: at sf0.1 the registered query costs ~1.1 s/rep
+  * regardless of core count (8 vs 32) and regardless of whether the
+  * shared frontiers are checkpointed — i.e. the time is plan
+  * construction + codegen of the three-branch union plus the id
+  * allocator's materialization job, a fixed per-invocation cost, not
+  * a data-volume cost. Isolated measurement 2026-08: 1.19 s/rep at
+  * 32 cores, 1.11 at 8; checkpoint on/off within noise.
   */
 object AddDiscrete {
 
@@ -71,6 +79,10 @@ object AddDiscrete {
           .when(coalesce(col("__n_results"), lit(0L)) === 0, "no_results")
       )
       .drop("__key_n")
+      // the gate frontier feeds rejects AND the accepted id path —
+      // materialize once (batch-bounded) so the four output frames
+      // don't each rescan+regate the batch
+      .localCheckpoint(false)
     val sampleRejects = sampleFlagged
       .filter(col("reject_reason").isNotNull)
       .select(col("sample_key"), col("reject_reason"))
@@ -126,6 +138,8 @@ object AddDiscrete {
             "missing_speciation"
           )
       )
+      // shared by resultRejects and goodResults (batch-bounded)
+      .localCheckpoint(false)
     val resultRejects = keyed
       .filter(col("reject_reason").isNotNull)
       .select(col("sample_key"), col("parameter_id"), col("reject_reason"))

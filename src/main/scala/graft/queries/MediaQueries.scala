@@ -217,6 +217,10 @@ object MediaQueries {
     val h = Multimodal
       .imageDHashes(dhashImages(s, d), "doc_id", "media")
       .filter(col("dhash").isNotNull)
+      // both sides of the band self-join read this projection; without
+      // a materialization the PNG decode + resize + hash (the dominant
+      // cost) runs once per side
+      .localCheckpoint(false)
     val banded = h
       .select(col("doc_id"), col("dhash"), explode(expr("sequence(0, 6)")).as("band"))
       .withColumn("band_key", expr("(dhash >> (band * 8)) & 255"))
