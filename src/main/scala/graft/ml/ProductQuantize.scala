@@ -1,0 +1,186 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+
+/** IVF-PQ: product quantization over the embedding corpus plus an
+  * inverted-file coarse layer — the standard billion-scale ANN
+  * storage/serving layout (FAISS-style), re-expressed as Spark
+  * dataframe plans.
+  *
+  * The 64-dim unit vector is split into `m` = 8 subvectors of 8 dims;
+  * each subvector is encoded as its nearest centroid (squared-L2) in
+  * a per-subspace codebook of `k` = 16 entries, and the 8 4-bit codes
+  * pack into ONE 32-bit word stored in a BIGINT. The serving scan then
+  * carries 8 bytes + a coarse cluster id per vector instead of a
+  * 256-byte float array — a 100 TB embedding corpus becomes ~3 TB of
+  * codes, and ADC scoring (per-query lookup tables over the codebook)
+  * never touches the original vectors.
+  *
+  * Scale shape mirrors [[Similarity.ivfTopK]]: corpus coarse-assigned
+  * once (map-side), queries broadcast with their nProbe probe lists,
+  * the cluster equi-join bounds candidates to nProbe/nCentroids of the
+  * corpus, and only (query_id, neighbor_id, adc) rows reach the top-k
+  * window (WindowGroupLimit). Re-ranking survivors against exact
+  * vectors is a second broadcast join the caller can add; the oracle
+  * checks the ADC ranking itself.
+  *
+  * Determinism (the DuckDB-oracle contract): codebooks are
+  * deterministic pseudo-random (splitmix mix, no RNG state), inlined
+  * as literals in BOTH engines; the assignment surrogate is
+  * `c·c − 2·(sub·c)` with `c·c` precomputed in Scala and inlined, so
+  * every float op is a literal, a sequential dot product
+  * (vec_dot ≡ list_dot_product), one multiply and one subtract —
+  * bit-identical cross-engine, making the packed code word
+  * hash-comparable with no rounding discipline.
+  *
+  * Reference behavior being scaled: the corpus-dedup/similarity needs
+  * of a training-data pipeline (SURVEY §2 LLM-ops block); the
+  * reference itself has no ANN — this is part of the
+  * beyond-the-reference operator set.
+  */
+object ProductQuantize {
+
+  /** Deterministic per-subspace codebooks: entry (j, c) is a
+    * pseudo-random direction scaled to norm 1/sqrt(m) — the expected
+    * subvector norm of a unit vector — so centroids live where the
+    * data lives and reconstruction error is meaningful.
+    */
+  def codebooks(m: Int, k: Int, subDim: Int, seed: Long): Array[Array[Array[Double]]] =
+    Array.tabulate(m) { j =>
+      Similarity.hyperplanes(k, subDim, seed + 1000L * j).map { raw =>
+        val scale = math.sqrt(raw.map(x => x * x).sum) * math.sqrt(m.toDouble)
+        raw.map(_ / scale)
+      }
+    }
+
+  /** (code, distSurrogate) struct for subspace `j`: argmin over the
+    * codebook of `c·c − 2·sub·c` (equal ordering to squared L2 —
+    * `sub·sub` is constant across candidates), ties toward the lower
+    * code. `.getField("c")` is the code, `.getField("s")` + `sub·sub`
+    * is the subspace's squared reconstruction error.
+    */
+  private def codeStruct(nv: Column, j: Int, subDim: Int, cb: Array[Array[Double]]): Column = {
+    val sub = slice(nv, j * subDim + 1, subDim)
+    sort_array(
+      array(cb.zipWithIndex.map { case (c, i) =>
+        val cc = c.map(x => x * x).sum // inlined literal, same decimal text both engines
+        struct((lit(cc) - lit(2.0) * VectorOps.dot(sub, array(c.map(lit): _*))).as("s"), lit(i).as("c"))
+      }: _*),
+      asc = true
+    ).getItem(0)
+  }
+
+  /** Encode each (normalized) vector as a packed PQ code word.
+    *
+    * Output: (idCol, pq_code BIGINT — 4 bits per subspace, subspace 0
+    * in the low bits, recon_err = Σ_j ‖sub_j − cb[j][code_j]‖²).
+    * Everything is a map-side projection — zero shuffles.
+    */
+  def encode(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int = 8,
+      k: Int = 16,
+      seed: Long = 11L,
+      dim: Int = 64
+  ): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    val bits = 64 / m // bits available per code; k must fit
+    require(k <= (1 << bits), s"k=$k codes do not fit ${bits} bits")
+    VectorOps.register(emb.sparkSession)
+    val cb = codebooks(m, k, subDim, seed)
+    val e = Similarity.normalizedVecs(emb, idCol, vecCol)
+    val structs = (0 until m).map(j => codeStruct(col("nv"), j, subDim, cb(j)))
+    val packed = structs.zipWithIndex
+      .map { case (st, j) => shiftleft(st.getField("c").cast("long"), 4 * j) }
+      .reduce(_ + _)
+    val recon = structs.zipWithIndex
+      .map { case (st, j) =>
+        val sub = slice(col("nv"), j * subDim + 1, subDim)
+        VectorOps.dot(sub, sub) + st.getField("s")
+      }
+      .reduce(_ + _)
+    e.select(col("id").as(idCol), packed.as("pq_code"), recon.as("recon_err"))
+  }
+
+  /** IVF-PQ approximate top-k: coarse inverted lists bound the
+    * candidate set (as [[Similarity.ivfTopK]]), then candidates are
+    * scored by ADC — the query's exact subvectors dotted against the
+    * CODEBOOK ENTRY named by each corpus code, so the corpus side of
+    * the join carries only (cluster, id, pq_code).
+    *
+    * Ranking uses the deterministic-margin discipline (round the ADC
+    * score to 4 decimals, break ties by id) so the top-k is
+    * engine-stable.
+    */
+  def ivfPqTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryPred: Column,
+      kNN: Int = 5,
+      m: Int = 8,
+      k: Int = 16,
+      pqSeed: Long = 11L,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      coarseSeed: Long = 7L,
+      dim: Int = 64
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    VectorOps.register(emb.sparkSession)
+    val subDim = dim / m
+    val cb = codebooks(m, k, subDim, pqSeed)
+    val coarse = Similarity.normalizedCentroids(nCentroids, dim, coarseSeed)
+    val e = Similarity.normalizedVecs(emb, idCol, vecCol)
+    // corpus rows shrink to (cluster, id, code word) before any join
+    val corpus = e
+      .withColumn("cluster", Similarity.rankedCentroids(col("nv"), coarse).getItem(0).getField("c"))
+      .withColumn(
+        "pq_code",
+        (0 until m)
+          .map(j => shiftleft(codeStruct(col("nv"), j, subDim, cb(j)).getField("c").cast("long"), 4 * j))
+          .reduce(_ + _)
+      )
+      .select(col("id").as("neighbor_id"), col("cluster"), col("pq_code"))
+    val queries = emb
+      .filter(queryPred)
+      .select(col(idCol).as("qid"))
+      .join(e.withColumnRenamed("id", "qid"), Seq("qid"))
+      .withColumn(
+        "cluster",
+        explode(
+          transform(
+            slice(Similarity.rankedCentroids(col("nv"), coarse), 1, nProbe),
+            x => x.getField("c")
+          )
+        )
+      )
+      .select(col("qid").as("query_id"), col("nv").as("q"), col("cluster"))
+    // ADC: Σ_j q_sub_j · cb[j][code_j]; the codebook is a literal
+    // array-of-arrays per subspace, indexed by the unpacked 4-bit code
+    val adc = (0 until m)
+      .map { j =>
+        val cbLit = array(cb(j).map(c => array(c.map(lit): _*)): _*)
+        val code = shiftright(col("pq_code"), 4 * j).bitwiseAND(lit(15L))
+        VectorOps.dot(slice(col("q"), j * subDim + 1, subDim), element_at(cbLit, (code + 1).cast("int")))
+      }
+      .reduce(_ + _)
+    val scored = corpus
+      .join(broadcast(queries), Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", adc)
+      .select("query_id", "neighbor_id", "adc")
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(round(col("adc"), 4).desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kNN)
+      .select("query_id", "rank", "neighbor_id", "adc")
+  }
+}

@@ -164,6 +164,19 @@ object Similarity {
       .select(col("id").as(idCol), scored.getItem(0).getField("c").as("cluster"))
   }
 
+  /** Struct array of (centroid dot score, centroid id) sorted desc —
+    * the coarse-assignment expression shared by [[ivfTopK]] and
+    * [[ProductQuantize.ivfPqTopK]]; item 0 is the nearest centroid,
+    * a slice of the first nProbe items is the probe set.
+    */
+  private[ml] def rankedCentroids(vec: Column, centroids: Array[Array[Double]]): Column =
+    sort_array(
+      array(centroids.zipWithIndex.map { case (c, i) =>
+        struct(VectorOps.dot(vec, array(c.map(lit): _*)).as("s"), lit(i).as("c"))
+      }: _*),
+      asc = false
+    )
+
   def ivfTopK(
       emb: DataFrame,
       idCol: String,
@@ -178,14 +191,7 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     VectorOps.register(emb.sparkSession)
     val centroids = normalizedCentroids(nCentroids, dim, seed)
-    // struct array of (centroid score, centroid id), sorted desc
-    def ranked(vec: Column): Column =
-      sort_array(
-        array(centroids.zipWithIndex.map { case (c, i) =>
-          struct(VectorOps.dot(vec, array(c.map(lit): _*)).as("s"), lit(i).as("c"))
-        }: _*),
-        asc = false
-      )
+    def ranked(vec: Column): Column = rankedCentroids(vec, centroids)
     val e = normalizedVecs(emb, idCol, vecCol)
     val corpus = e
       .withColumn("cluster", ranked(col("nv")).getItem(0).getField("c"))

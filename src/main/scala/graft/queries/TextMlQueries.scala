@@ -793,6 +793,138 @@ object TextMlQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---- IVF-PQ: product-quantized ANN -------------------------------
+
+  private val PqM = 8
+  private val PqK = 16
+  private val PqSubDim = 8
+  private val PqSeed = 11L
+  private lazy val pqCb = graft.ml.ProductQuantize.codebooks(PqM, PqK, PqSubDim, PqSeed)
+
+  private def sqlList(xs: Array[Double]): String = xs.mkString("[", ", ", "]")
+
+  /** DuckDB argmin struct for subspace j — the same `c·c − 2·sub·c`
+    * surrogate with the SAME inlined literals as the engine, so the
+    * packed code word is bit-identical (every float op is a literal,
+    * a sequential dot, one multiply, one subtract).
+    */
+  private def pqStSql(j: Int): String = {
+    val entries = pqCb(j).zipWithIndex.map { case (c, i) =>
+      val cc = c.map(x => x * x).sum
+      s"{'s': $cc - 2.0 * list_dot_product(sub$j, ${sqlList(c)}), 'c': $i}"
+    }
+    s"list_sort([${entries.mkString(",\n             ")}])[1]"
+  }
+
+  private val pqNvCte =
+    """nv0 AS (
+      |  SELECT vec_id,
+      |         list_transform(
+      |           CAST(embedding AS DOUBLE[]),
+      |           x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+      |         ) AS nv
+      |  FROM embeddings
+      |)""".stripMargin
+
+  private def pqSubsCte: String = {
+    val subs = (0 until PqM)
+      .map(j => s"list_slice(nv, ${j * PqSubDim + 1}, ${(j + 1) * PqSubDim}) AS sub$j")
+      .mkString(",\n         ")
+    s"""subs AS (
+       |  SELECT vec_id, nv,
+       |         $subs
+       |  FROM nv0
+       |)""".stripMargin
+  }
+
+  private def pqEncQuery(s: SparkSession, d: String): DataFrame =
+    graft.ml.ProductQuantize
+      .encode(TestTables.embeddings(s, d), "vec_id", "embedding", PqM, PqK, PqSeed)
+      .select(col("vec_id"), col("pq_code"), round(col("recon_err"), 6).as("recon_err"))
+      .orderBy(col("vec_id"))
+
+  private lazy val pqEncodeSql = {
+    val sts = (0 until PqM).map(j => s"${pqStSql(j)} AS st$j").mkString(",\n         ")
+    val code = (0 until PqM)
+      .map(j => s"(CAST(st$j.c AS BIGINT) << ${4 * j})")
+      .mkString(" + ")
+    val recon = (0 until PqM)
+      .map(j => s"(list_dot_product(sub$j, sub$j) + st$j.s)")
+      .mkString(" + ")
+    s"""WITH $pqNvCte, $pqSubsCte, enc AS (
+       |  SELECT vec_id,
+       |         $sts
+       |  FROM subs
+       |)
+       |SELECT e.vec_id, $code AS pq_code,
+       |       round($recon, 6) AS recon_err
+       |FROM enc e JOIN subs USING (vec_id)
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  private def ivfPqAnn(s: SparkSession, d: String): DataFrame =
+    graft.ml.ProductQuantize
+      .ivfPqTopK(
+        TestTables.embeddings(s, d),
+        "vec_id",
+        "embedding",
+        queryPred = col("vec_id") % 100 === 0,
+        kNN = 5,
+        m = PqM,
+        k = PqK,
+        pqSeed = PqSeed,
+        nCentroids = 16,
+        nProbe = 4,
+        coarseSeed = 7L
+      )
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("adc"), 4).as("adc"))
+      .orderBy(col("query_id"), col("rank"))
+
+  /** Full IVF-PQ oracle: coarse probe lists from the q_ivf_ann
+    * centroid literals, per-subspace argmin codes, ADC scoring of the
+    * query's exact subvectors against the code-named codebook entries,
+    * quantized-margin rank.
+    */
+  private lazy val ivfPqAnnSql = {
+    val coarse = Similarity.normalizedCentroids(16, 64, 7L)
+    val coarseStructs = coarse.zipWithIndex.map { case (c, i) =>
+      s"{'s': list_dot_product(nv, ${sqlList(c)}), 'c': $i}"
+    }
+    val sts = (0 until PqM).map(j => s"${pqStSql(j)}.c AS code$j").mkString(",\n         ")
+    val adc = (0 until PqM)
+      .map { j =>
+        val cbLit = s"[${pqCb(j).map(sqlList).mkString(", ")}]"
+        s"list_dot_product(list_slice(q.nv, ${j * PqSubDim + 1}, ${(j + 1) * PqSubDim}), ($cbLit)[c.code$j + 1])"
+      }
+      .mkString("\n         + ")
+    s"""WITH $pqNvCte, $pqSubsCte, rankedc AS (
+       |  SELECT vec_id, list_reverse_sort([${coarseStructs.mkString(",\n         ")}]) AS rc FROM nv0
+       |), enc AS (
+       |  SELECT vec_id,
+       |         $sts
+       |  FROM subs
+       |), corpus AS (
+       |  SELECT r.vec_id AS neighbor_id, CAST((r.rc[1]).c AS INT) AS cluster,
+       |         e.* EXCLUDE (vec_id)
+       |  FROM rankedc r JOIN enc e USING (vec_id)
+       |), q AS (
+       |  SELECT r.vec_id AS query_id, n.nv,
+       |         CAST(unnest(list_transform(list_slice(r.rc, 1, 4), x -> x.c)) AS INT) AS cluster
+       |  FROM rankedc r JOIN nv0 n USING (vec_id) WHERE r.vec_id % 100 = 0
+       |), scored AS (
+       |  SELECT q.query_id, c.neighbor_id,
+       |         $adc AS adc
+       |  FROM q JOIN corpus c USING (cluster)
+       |  WHERE c.neighbor_id <> q.query_id
+       |), r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY round(adc, 4) DESC, neighbor_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, rank, neighbor_id, round(adc, 4) AS adc
+       |FROM r WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   // ---- multimodal binary plumbing ----------------------------------
 
   private def multimodalFeatures(s: SparkSession, d: String): DataFrame =
@@ -996,6 +1128,8 @@ object TextMlQueries {
     QueryDef("q_lsh_buckets", lshBuckets, Some(lshBucketsSql)),
     QueryDef("q_ivf_ann", ivfAnn, Some(ivfAnnSql)),
     QueryDef("q_ivf_clusters", ivfClusters, Some(ivfClustersSql)),
+    QueryDef("q_pq_encode", pqEncQuery, Some(pqEncodeSql)),
+    QueryDef("q_ivf_pq_ann", ivfPqAnn, Some(ivfPqAnnSql)),
     QueryDef("q_multimodal_features", multimodalFeatures, Some(multimodalFeaturesSql)),
     QueryDef("q_frame_sample", frameSample, Some(frameSampleSql))
   )
