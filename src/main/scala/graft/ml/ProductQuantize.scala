@@ -63,11 +63,23 @@ object ProductQuantize {
     */
   private def codeStruct(nv: Column, j: Int, subDim: Int, cb: Array[Array[Double]]): Column = {
     val sub = slice(nv, j * subDim + 1, subDim)
+    // HOF over a literal codebook matrix, NOT an unrolled
+    // expression-per-centroid: unrolling put 16 copies of the dot
+    // expression per subspace into the generated code and Janino
+    // compilation (~1.1 s/stage) dwarfed the actual scan at bench SF.
+    // The zip_with lambda evaluates the same floats in the same order.
+    val cbLit = typedlit(cb.map(_.toSeq).toSeq)
+    val metaLit = typedlit(cb.zipWithIndex.map { case (c, i) => (c.map(x => x * x).sum, i) }.toSeq)
     sort_array(
-      array(cb.zipWithIndex.map { case (c, i) =>
-        val cc = c.map(x => x * x).sum // inlined literal, same decimal text both engines
-        struct((lit(cc) - lit(2.0) * VectorOps.dot(sub, array(c.map(lit): _*))).as("s"), lit(i).as("c"))
-      }: _*),
+      zip_with(
+        cbLit,
+        metaLit,
+        (cvec, meta) =>
+          struct(
+            (meta.getField("_1") - lit(2.0) * VectorOps.dot(sub, cvec)).as("s"),
+            meta.getField("_2").as("c")
+          )
+      ),
       asc = true
     ).getItem(0)
   }
@@ -161,23 +173,43 @@ object ProductQuantize {
         )
       )
       .select(col("qid").as("query_id"), col("nv").as("q"), col("cluster"))
-    // ADC: Σ_j q_sub_j · cb[j][code_j]; the codebook is a literal
-    // array-of-arrays per subspace, indexed by the unpacked 4-bit code
+      // the ADC lookup table — lut[j][c] = q_sub_j · cb[j][c] — is
+      // computed ONCE PER QUERY on the (tiny, broadcast) side: per
+      // CANDIDATE the score is then 8 table lookups + 7 adds, no dot
+      // products on the hot path. Same floats in the same order as
+      // dotting per pair, so the oracle's per-pair formula still
+      // matches bit-for-bit. Before this hoist the per-candidate dots
+      // were ~60% of query cost at sf0.1.
+      .withColumn(
+        "lut",
+        array((0 until m).map { j =>
+          transform(
+            typedlit(cb(j).map(_.toSeq).toSeq),
+            cvec => VectorOps.dot(slice(col("q"), j * subDim + 1, subDim), cvec)
+          )
+        }: _*)
+      )
+    // ADC: Σ_j lut[j][code_j] with the 4-bit code unpacked per subspace
     val adc = (0 until m)
       .map { j =>
-        val cbLit = array(cb(j).map(c => array(c.map(lit): _*)): _*)
         val code = shiftright(col("pq_code"), 4 * j).bitwiseAND(lit(15L))
-        VectorOps.dot(slice(col("q"), j * subDim + 1, subDim), element_at(cbLit, (code + 1).cast("int")))
+        element_at(element_at(col("lut"), j + 1), (code + 1).cast("int"))
       }
       .reduce(_ + _)
+    // the quantized sort key is PROJECTED (a column, not an orderBy
+    // expression): an expression in the window's orderBy is
+    // re-evaluated per sort COMPARISON (n log n times), and this one
+    // is 128 dot products — measured 3x the whole query's cost at
+    // sf0.1 before the projection
     val scored = corpus
       .join(broadcast(queries), Seq("cluster"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc", adc)
-      .select("query_id", "neighbor_id", "adc")
+      .withColumn("adc_r", round(col("adc"), 4))
+      .select("query_id", "neighbor_id", "adc", "adc_r")
     val w = Window
       .partitionBy(col("query_id"))
-      .orderBy(round(col("adc"), 4).desc, col("neighbor_id"))
+      .orderBy(col("adc_r").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= kNN)

@@ -156,7 +156,7 @@ object Similarity {
     val centroids = normalizedCentroids(nCentroids, dim, seed)
     val scored = sort_array(
       array(centroids.zipWithIndex.map { case (c, i) =>
-        struct(VectorOps.dot(col("nv"), array(c.map(lit): _*)).as("s"), lit(i).as("c"))
+        struct(VectorOps.dot(col("nv"), typedlit(c.toSeq)).as("s"), lit(i).as("c"))
       }: _*),
       asc = false
     )
@@ -170,9 +170,14 @@ object Similarity {
     * a slice of the first nProbe items is the probe set.
     */
   private[ml] def rankedCentroids(vec: Column, centroids: Array[Array[Double]]): Column =
+    // unrolled per-centroid dots, deliberately: a zip_with-lambda form
+    // (one dot per literal codebook row) was measured 6x SLOWER at
+    // sf0.1 — interpreted HOF evaluation of the 64-dim dot per element
+    // costs far more at runtime than the one-off Janino compile of the
+    // unrolled projection costs per stage
     sort_array(
       array(centroids.zipWithIndex.map { case (c, i) =>
-        struct(VectorOps.dot(vec, array(c.map(lit): _*)).as("s"), lit(i).as("c"))
+        struct(VectorOps.dot(vec, typedlit(c.toSeq)).as("s"), lit(i).as("c"))
       }: _*),
       asc = false
     )
@@ -252,7 +257,7 @@ object Similarity {
     */
   def lshBucket(vec: Column, planes: Array[Array[Double]], nativeDot: Boolean = false): Column = {
     val bits = planes.zipWithIndex.map { case (plane, i) =>
-      val planeCol = array(plane.map(lit): _*)
+      val planeCol = typedlit(plane.toSeq)
       val dot =
         if (nativeDot) VectorOps.dot(vec, planeCol)
         else aggregate(zip_with(vec, planeCol, (x, p) => x * p), lit(0.0), (a, v) => a + v)
