@@ -65,7 +65,27 @@ object Bench {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
   }
 
-  def main(args: Array[String]): Unit = {
+  /** The driver records only the LAST lines of a failed bench run, so
+    * a failure must re-state its root cause at the very end of stderr —
+    * round 6's artifact captured a mid-stack tail with no exception
+    * message and the failure was undiagnosable from the artifact alone.
+    */
+  def main(args: Array[String]): Unit =
+    try run()
+    catch {
+      case e: Throwable =>
+        val chain = Iterator
+          .iterate(e)(_.getCause)
+          .takeWhile(_ != null)
+          .map(t => s"${t.getClass.getName}: ${t.getMessage}")
+          .toSeq
+        e.printStackTrace()
+        System.err.println("BENCH FAILED — root cause chain (innermost last):")
+        chain.foreach(m => System.err.println(s"  $m"))
+        sys.exit(1)
+    }
+
+  private def run(): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val only: Option[Set[String]] =

@@ -27,14 +27,29 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val failures = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failures += name -> String.valueOf(e.getMessage)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+    }
+    // A failed dump silently VANISHES from the driver's correctness
+    // artifact (round 6 lost 10 queries this way and the round still
+    // read "all pass"). Make the loss impossible to miss with a
+    // summary line the driver's log capture keeps. No extra files in
+    // outDir: the driver treats its contents as query dumps.
+    if (failures.nonEmpty) {
+      System.err.println(
+        s"[verify] *** ${failures.size}/${selected.size} QUERIES FAILED TO DUMP: " +
+          failures.map(_._1).mkString(", ") + " ***"
+      )
+    } else {
+      System.err.println(s"[verify] dumped ${selected.size}/${selected.size} queries")
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

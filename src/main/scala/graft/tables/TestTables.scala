@@ -20,20 +20,29 @@ object TestTables {
   def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
-  /** `events.ts` is NANOS in parquet, which Spark 4 only reads with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (set in Verify/Bench).
-    * Normalize either representation to a microsecond TimestampType.
+  /** `events.ts` has shipped in three physical shapes across testdata
+    * generations: INT64 epoch-NANOS (readable only with
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, set in Verify/Bench),
+    * parquet TIMESTAMP with isAdjustedToUTC=false (Spark 4 infers
+    * TIMESTAMP_NTZ), and a UTC-adjusted TIMESTAMP. Normalize all three
+    * to a microsecond TimestampType instant so downstream
+    * `unix_micros`/window logic sees one type regardless of which
+    * generation of parquet is on disk.
     * ns -> us MUST be exact integer division (`div`, truncating like
     * DuckDB's TIMESTAMP cast): epoch-ns values exceed 2^53, so a
     * double division loses the low microsecond bit.
+    * NTZ -> instant via cast is exact under the UTC session timezone
+    * (Verify/Bench both set it), matching DuckDB's naive read.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = t(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw
     }
   }
