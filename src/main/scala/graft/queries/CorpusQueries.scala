@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.PortableHash
-import graft.ml.{Dedup, FineDedup, Sampling, TextStats}
+import graft.ml.{Dedup, FineDedup, KnLm, Sampling, TextStats}
 import graft.tables.TestTables
 
 /** Corpus-construction operators a large-scale training-data pipeline
@@ -469,6 +469,97 @@ object CorpusQueries {
        |SELECT CAST(order_n AS INT) AS order_n, gram, count(*) AS c
        |FROM ex GROUP BY 1, 2 HAVING count(*) >= 5
        |ORDER BY order_n, gram""".stripMargin
+
+  // ---- KN perplexity scoring (CCNet head/middle/tail) --------------
+
+  /** CCNet-style LM quality filter: score every document's perplexity
+    * under an interpolated Kneser-Ney bigram model self-trained on the
+    * corpus ([[graft.ml.KnLm]]), then bucket the corpus into
+    * head/middle/tail by exact perplexity terciles — the signal CCNet
+    * uses to keep/downsample/drop crawl partitions. Documents with no
+    * bigrams (< 2 tokens) carry NULL score and bucket.
+    *
+    * Engine parity: per-bigram log-probs are IEEE-identical (same
+    * formula, same association order in both engines); the per-doc
+    * mean is rounded to 4 decimals BEFORE the tercile thresholds, so
+    * both engines take percentiles over identical inputs (Spark
+    * `percentile` and DuckDB `quantile_cont` share the linear
+    * interpolation definition — the q_doy_stats discipline).
+    *
+    * Scale: one corpus shuffle for counts, one (w1,w2)-keyed scoring
+    * join, vocabulary-sized broadcasts, a 2-double threshold collect.
+    * The global sort this replaces (rank-based terciles) would
+    * single-task; threshold comparison is a map-side projection.
+    */
+  private def knPerplexity(s: SparkSession, d: String): DataFrame = {
+    val docs = TestTables.documents(s, d)
+    val bigrams = KnLm
+      .docBigrams(docs, "doc_id", TextStats.tokens(col("text")))
+      .localCheckpoint(false) // trains the model AND is scored by it
+    val model = KnLm.bigramLogProbs(bigrams)
+    val scored = KnLm.perplexity(bigrams, model, "doc_id")
+    val thr = scored
+      .agg(expr("percentile(ppl, array(0.3333333333333333d, 0.6666666666666666d))").as("t"))
+      .head()
+      .getSeq[Double](0)
+    val (t1, t2) = (thr(0), thr(1))
+    docs
+      .join(scored, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("ppl"),
+        when(col("ppl").isNull, lit(null).cast("string"))
+          .when(col("ppl") <= t1, "head")
+          .when(col("ppl") <= t2, "middle")
+          .otherwise("tail")
+          .as("bucket")
+      )
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val knPerplexitySql =
+    s"""WITH $tokCte, big AS (
+       |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+       |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+       |        FROM tok WHERE len(toks) >= 2)
+       |), counts AS (
+       |  SELECT w1, w2, count(*) AS c FROM big GROUP BY 1, 2
+       |), ctx AS (
+       |  SELECT w1, sum(c) AS ctx_c, count(*) AS fwd_types FROM counts GROUP BY 1
+       |), cont AS (
+       |  SELECT w2, count(*) AS back_types FROM counts GROUP BY 1
+       |), nt AS (
+       |  SELECT count(*)::DOUBLE AS ntypes FROM counts
+       |), model AS (
+       |  SELECT counts.w1, counts.w2,
+       |         ln((greatest(c - 0.75, 0.0)
+       |             + 0.75 * fwd_types * back_types / ntypes) / ctx_c) AS logp
+       |  FROM counts
+       |  JOIN ctx USING (w1)
+       |  JOIN cont USING (w2)
+       |  CROSS JOIN nt
+       |), sc AS (
+       |  SELECT big.doc_id, count(*) AS n_bigrams,
+       |         round(exp(-avg(logp)), 4) AS ppl
+       |  FROM big JOIN model USING (w1, w2)
+       |  GROUP BY 1
+       |), th AS (
+       |  SELECT quantile_cont(ppl, 0.3333333333333333) AS t1,
+       |         quantile_cont(ppl, 0.6666666666666666) AS t2
+       |  FROM sc
+       |)
+       |SELECT d.doc_id,
+       |       CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |       sc.ppl,
+       |       CASE WHEN sc.ppl IS NULL THEN NULL
+       |            WHEN sc.ppl <= th.t1 THEN 'head'
+       |            WHEN sc.ppl <= th.t2 THEN 'middle'
+       |            ELSE 'tail' END AS bucket
+       |FROM documents d
+       |LEFT JOIN sc ON sc.doc_id = d.doc_id
+       |CROSS JOIN th
+       |ORDER BY d.doc_id""".stripMargin
 
   // ---- weighted mixture sampling (largest-remainder quotas) --------
 
@@ -1238,6 +1329,7 @@ object CorpusQueries {
     QueryDef("q_semdedup_incr", semDedupIncr, Some(semDedupIncrSql)),
     QueryDef("q_oov_score", oovScore, Some(oovScoreSql)),
     QueryDef("q_kn_counts", knCounts, Some(knCountsSql)),
+    QueryDef("q_kn_perplexity", knPerplexity, Some(knPerplexitySql)),
     QueryDef("q_ngram_orders", ngramOrders, Some(ngramOrdersSql)),
     QueryDef("q_boilerplate", boilerplate, Some(boilerplateSql)),
     QueryDef("q_dup_spans", dupSpans, Some(dupSpansSql)),

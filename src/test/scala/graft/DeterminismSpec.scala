@@ -43,7 +43,8 @@ class DeterminismSpec extends SparkSpec {
     "q_semdedup_screen",   // persisted cluster-index probe (round 7)
     "q_shard_manifest",    // prefix-sum pack plan aggregate (round 7)
     "q_embed_neardup_blocked", // multiprobe bucket pair join (round 7)
-    "q_model_raster_insert" // first()-aggregated index join + distributed id rank (round 7)
+    "q_model_raster_insert", // first()-aggregated index join + distributed id rank (round 7)
+    "q_kn_perplexity"      // self-trained LM scoring + percentile tercile thresholds (round 7)
   )
 
   private def rows(name: String): Seq[String] =
