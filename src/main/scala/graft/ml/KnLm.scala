@@ -54,10 +54,13 @@ object KnLm {
       )
       .select(col(idCol), col("g.w1"), col("g.w2"))
 
-  /** Bigram model table: (w1, w2, logp). One corpus shuffle; the two
-    * marginal tables broadcast (vocabulary-sized by construction).
+  /** The three count tables every KN quantity derives from: bigram
+    * counts (one corpus shuffle, localCheckpointed — every consumer
+    * reads the materialized table, the corpus is never rescanned),
+    * the per-context marginals and the per-word continuation types
+    * (both vocabulary-sized aggregates OF the count table).
     */
-  def bigramLogProbs(bigrams: DataFrame): DataFrame = {
+  private def countTables(bigrams: DataFrame): (DataFrame, DataFrame, DataFrame, Double) = {
     val counts = bigrams
       .groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c"))
@@ -69,6 +72,14 @@ object KnLm {
       .groupBy(col("w2"))
       .agg(count(lit(1)).as("back_types"))
     val nTypes = counts.count().toDouble // scalar of the model table, not the corpus
+    (counts, ctx, cont, nTypes)
+  }
+
+  /** Bigram model table: (w1, w2, logp). One corpus shuffle; the two
+    * marginal tables broadcast (vocabulary-sized by construction).
+    */
+  def bigramLogProbs(bigrams: DataFrame): DataFrame = {
+    val (counts, ctx, cont, nTypes) = countTables(bigrams)
     counts
       .join(broadcast(ctx), Seq("w1"))
       .join(broadcast(cont), Seq("w2"))
@@ -80,6 +91,86 @@ object KnLm {
             + lit(Discount) * col("fwd_types") * col("back_types") / lit(nTypes))
             / col("ctx_c")
         ).as("logp")
+      )
+  }
+
+  /** Persistable LM index — the whole scoring model as ONE tagged
+    * frame (parquet-friendly, like [[Dedup.buildBandIndex]]):
+    *   kind='big'  (w1, w2, v=logp)        seen-bigram log-probs
+    *   kind='ctx'  (w1, v=λ(w1))           backoff weight per context
+    *   kind='cont' (w2, v=Pcont(w2))       continuation probability
+    *   kind='meta' (v=1/(V+1))             uniform floor for unknown words
+    * A 100 TB pipeline builds this once per corpus snapshot and
+    * screens every incoming crawl against it without touching corpus
+    * text again.
+    */
+  def buildLmIndex(bigrams: DataFrame): DataFrame = {
+    val (counts, ctx, cont, nTypes) = countTables(bigrams)
+    val vocab = cont.count()
+    val nullW = lit(null).cast("string")
+    val big = counts
+      .join(broadcast(ctx), Seq("w1"))
+      .join(broadcast(cont), Seq("w2"))
+      .select(
+        lit("big").as("kind"),
+        col("w1"),
+        col("w2"),
+        log(
+          (greatest(col("c") - lit(Discount), lit(0.0))
+            + lit(Discount) * col("fwd_types") * col("back_types") / lit(nTypes))
+            / col("ctx_c")
+        ).as("v")
+      )
+    val lam = ctx.select(
+      lit("ctx").as("kind"),
+      col("w1"),
+      nullW.as("w2"),
+      (lit(Discount) * col("fwd_types") / col("ctx_c")).as("v")
+    )
+    val pc = cont.select(
+      lit("cont").as("kind"),
+      nullW.as("w1"),
+      col("w2"),
+      (col("back_types") / lit(nTypes)).as("v")
+    )
+    val meta = bigrams.sparkSession
+      .range(1)
+      .select(lit("meta").as("kind"), nullW.as("w1"), nullW.as("w2"), lit(1.0 / (vocab + 1)).as("v"))
+    big.unionByName(lam).unionByName(pc).unionByName(meta)
+  }
+
+  /** Score an incoming batch against a prebuilt [[buildLmIndex]] —
+    * the CCNet deployment shape (pretrained LM, new crawl). Full KN
+    * backoff chain for material the corpus never saw:
+    * seen bigram → λ(w1)·Pcont(w2) → Pcont(w2) → uniform floor.
+    * Output: (idCol, n_bigrams, n_unseen, ppl).
+    *
+    * Scale: the big table joins (w1, w2)-keyed (batch side small —
+    * AQE broadcasts it); λ/Pcont are vocabulary-sized broadcasts; the
+    * floor is one collected double. The index never rebuilds between
+    * batches.
+    */
+  def screenPerplexity(batchBigrams: DataFrame, index: DataFrame, idCol: String): DataFrame = {
+    val big = index.filter(col("kind") === "big").select(col("w1"), col("w2"), col("v").as("logp_hit"))
+    val lam = index.filter(col("kind") === "ctx").select(col("w1"), col("v").as("lam"))
+    val pc = index.filter(col("kind") === "cont").select(col("w2"), col("v").as("pcont"))
+    val floorP = index.filter(col("kind") === "meta").select(col("v")).head().getDouble(0)
+    batchBigrams
+      .join(big, Seq("w1", "w2"), "left")
+      .join(broadcast(lam), Seq("w1"), "left")
+      .join(broadcast(pc), Seq("w2"), "left")
+      .withColumn(
+        "logp",
+        when(col("logp_hit").isNotNull, col("logp_hit"))
+          .when(col("lam").isNotNull && col("pcont").isNotNull, log(col("lam") * col("pcont")))
+          .when(col("pcont").isNotNull, log(col("pcont")))
+          .otherwise(log(lit(floorP)))
+      )
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("logp_hit").isNull, 1L).otherwise(0L)).as("n_unseen"),
+        round(exp(-avg(col("logp"))), 4).as("ppl")
       )
   }
 

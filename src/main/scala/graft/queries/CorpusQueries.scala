@@ -561,6 +561,92 @@ object CorpusQueries {
        |CROSS JOIN th
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---- KN screen: new crawl vs persisted corpus LM -----------------
+
+  /** Index-path perplexity screening: the standing corpus
+    * (doc_id % 3 <> 1) trains the LM index ONCE via
+    * [[graft.ml.KnLm.buildLmIndex]] and the incoming batch
+    * (doc_id % 3 = 1) scores against it — the CCNet deployment shape
+    * (pretrained LM, new crawl). Unlike q_kn_perplexity's self-scored
+    * corpus, the batch contains material the model never saw, so the
+    * full KN backoff chain fires: seen bigram → λ(w1)·Pcont(w2) →
+    * Pcont(w2) → uniform 1/(V+1) floor. n_unseen counts the backoff
+    * rows — itself a quality signal (vocabulary novelty).
+    */
+  private def knScreen(s: SparkSession, d: String): DataFrame = {
+    val docs = TestTables.documents(s, d)
+    val toks = TextStats.tokens(col("text"))
+    val idx = KnLm.buildLmIndex(
+      KnLm.docBigrams(docs.filter(col("doc_id") % 3 =!= 1), "doc_id", toks)
+    )
+    val scored = KnLm.screenPerplexity(
+      KnLm.docBigrams(docs.filter(col("doc_id") % 3 === 1), "doc_id", toks),
+      idx,
+      "doc_id"
+    )
+    docs
+      .filter(col("doc_id") % 3 === 1)
+      .join(scored, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_unseen"), lit(0L)).as("n_unseen"),
+        col("ppl")
+      )
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val knScreenSql =
+    s"""WITH $tokCte, bigall AS (
+       |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+       |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+       |        FROM tok WHERE len(toks) >= 2)
+       |), counts AS (
+       |  SELECT w1, w2, count(*) AS c FROM bigall WHERE doc_id % 3 <> 1 GROUP BY 1, 2
+       |), ctx AS (
+       |  SELECT w1, sum(c) AS ctx_c, count(*) AS fwd_types FROM counts GROUP BY 1
+       |), cont AS (
+       |  SELECT w2, count(*) AS back_types FROM counts GROUP BY 1
+       |), nt AS (
+       |  SELECT count(*)::DOUBLE AS ntypes,
+       |         (SELECT count(*) FROM cont) AS vocab
+       |  FROM counts
+       |), model AS (
+       |  SELECT counts.w1, counts.w2,
+       |         ln((greatest(c - 0.75, 0.0)
+       |             + 0.75 * fwd_types * back_types / ntypes) / ctx_c) AS logp
+       |  FROM counts JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN nt
+       |), lam AS (
+       |  SELECT w1, 0.75 * fwd_types / ctx_c AS lam FROM ctx
+       |), pc AS (
+       |  SELECT w2, back_types / ntypes AS pcont FROM cont CROSS JOIN nt
+       |), scored AS (
+       |  SELECT bb.doc_id,
+       |         CASE WHEN m.logp IS NOT NULL THEN m.logp
+       |              WHEN l.lam IS NOT NULL AND p.pcont IS NOT NULL THEN ln(l.lam * p.pcont)
+       |              WHEN p.pcont IS NOT NULL THEN ln(p.pcont)
+       |              ELSE ln(1.0 / (nt.vocab + 1)) END AS logp,
+       |         m.logp IS NULL AS unseen
+       |  FROM (SELECT * FROM bigall WHERE doc_id % 3 = 1) bb
+       |  LEFT JOIN model m ON m.w1 = bb.w1 AND m.w2 = bb.w2
+       |  LEFT JOIN lam l ON l.w1 = bb.w1
+       |  LEFT JOIN pc p ON p.w2 = bb.w2
+       |  CROSS JOIN nt
+       |), sc AS (
+       |  SELECT doc_id, count(*) AS n_bigrams,
+       |         sum(CASE WHEN unseen THEN 1 ELSE 0 END) AS n_unseen,
+       |         round(exp(-avg(logp)), 4) AS ppl
+       |  FROM scored GROUP BY 1
+       |)
+       |SELECT d.doc_id,
+       |       CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |       CAST(COALESCE(sc.n_unseen, 0) AS BIGINT) AS n_unseen,
+       |       sc.ppl
+       |FROM documents d
+       |LEFT JOIN sc ON sc.doc_id = d.doc_id
+       |WHERE d.doc_id % 3 = 1
+       |ORDER BY d.doc_id""".stripMargin
+
   // ---- weighted mixture sampling (largest-remainder quotas) --------
 
   private val MixWeights = Seq(("src0", 5), ("src1", 3), ("src2", 2), ("src3", 1), ("src7", 4))
@@ -1330,6 +1416,7 @@ object CorpusQueries {
     QueryDef("q_oov_score", oovScore, Some(oovScoreSql)),
     QueryDef("q_kn_counts", knCounts, Some(knCountsSql)),
     QueryDef("q_kn_perplexity", knPerplexity, Some(knPerplexitySql)),
+    QueryDef("q_kn_screen", knScreen, Some(knScreenSql)),
     QueryDef("q_ngram_orders", ngramOrders, Some(ngramOrdersSql)),
     QueryDef("q_boilerplate", boilerplate, Some(boilerplateSql)),
     QueryDef("q_dup_spans", dupSpans, Some(dupSpansSql)),

@@ -47,5 +47,20 @@ object TestTables {
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+  /** The vector ops (`vec_dot`, IVF/PQ codebooks) are Array[Float]-
+    * typed. Like `events.ts`, the physical element type is the
+    * driver's choice per regeneration — normalize a double-typed
+    * embedding back to float so an upstream shape flip can't break
+    * analysis across the whole similarity family.
+    */
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    val raw = t(s, d, "embeddings")
+    raw.schema("embedding").dataType match {
+      case ArrayType(DoubleType, n) =>
+        raw.withColumn("embedding", col("embedding").cast(ArrayType(FloatType, n)))
+      case _ => raw
+    }
+  }
 }

@@ -56,6 +56,32 @@ class KnLmSpec extends SparkSpec {
     assert(ppl(1L) < ppl(4L) && ppl(4L) < ppl(3L))
   }
 
+  test("screening against a parquet-persisted LM index equals the in-memory index path") {
+    val corpus = docs.filter($"doc_id" =!= 4L)
+    val batch = Seq(
+      (10L, "the cat sat on the mat"),        // all bigrams seen
+      (11L, "the cat slept on the mat"),      // backoff: known words, unseen bigrams
+      (12L, "zyzzyva the cat")                // unknown-word floor fires
+    ).toDF("doc_id", "text")
+    val cb = KnLm.docBigrams(corpus, "doc_id", TextStats.tokens(col("text")))
+    val bb = KnLm.docBigrams(batch, "doc_id", TextStats.tokens(col("text")))
+    val idx = KnLm.buildLmIndex(cb)
+
+    val dir = java.nio.file.Files.createTempDirectory("knidx").toString
+    idx.write.mode("overwrite").parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+
+    val direct = KnLm.screenPerplexity(bb, idx, "doc_id").orderBy("doc_id").collect().toSeq
+    val persisted = KnLm.screenPerplexity(bb, reloaded, "doc_id").orderBy("doc_id").collect().toSeq
+    assert(direct == persisted)
+
+    val byId = direct.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(byId(10L)._2 == 0, "fully-seen doc must have no unseen bigrams")
+    assert(byId(11L)._2 > 0 && byId(12L)._2 > 0)
+    assert(byId(10L)._3 < byId(11L)._3, "seen text must score below backoff text")
+    assert(byId(11L)._3 < byId(12L)._3, "backoff text must score below unknown-word text")
+  }
+
   test("docs with fewer than 2 tokens produce no score row") {
     val tiny = Seq((1L, "word"), (2L, ""), (3L, "two tokens")).toDF("doc_id", "text")
     val b = KnLm.docBigrams(tiny, "doc_id", TextStats.tokens(col("text")))
