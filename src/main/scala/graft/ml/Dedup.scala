@@ -118,6 +118,45 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Asymmetric containment pairs: |A∩B| / min(|A|, |B|) ≥ threshold
+    * over distinct shingle sets — the quote/subset detector symmetric
+    * Jaccard structurally misses (a 100-shingle doc fully embedded in
+    * a 10,000-shingle doc has Jaccard ≈ 0.01 but containment 1.0, so
+    * MinHash-LSH candidates can never surface it). The inverted-index
+    * pair join IS the honest scale path here: the df cap bounds each
+    * shingle's posting list, so pair production is bounded by
+    * Σ df² over kept shingles, never corpus².
+    *
+    * Output keeps both sizes and the intersection so the caller can
+    * re-derive either directional containment (inter/n1, inter/n2);
+    * `containment` is the max of the two (= inter/min side).
+    */
+  def containmentPairs(
+      sh: DataFrame,
+      idCol: String,
+      threshold: Double,
+      maxShingleDocFreq: Int
+  ): DataFrame = {
+    val shM = sh.localCheckpoint(false) // feeds sizes + both join sides
+    val sizes = shM.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val rare = shM
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDocFreq)
+      .select("shingle")
+    val filtered = shM.join(rare, Seq("shingle"), "left_semi")
+    val a = filtered.select(col(idCol).as("d1"), col("shingle"))
+    val b = filtered.select(col(idCol).as("d2"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col(idCol).as("d1"), col("n_sh").as("n1")), Seq("d1"))
+      .join(sizes.select(col(idCol).as("d2"), col("n_sh").as("n2")), Seq("d2"))
+      .withColumn("containment", col("inter").cast("double") / least(col("n1"), col("n2")))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Per-doc MinHash signature columns mh0..mh{k-1}. For the md5
     * family the base hash is materialized as ONE column before the
     * aggregate, so the digest runs once per shingle and the k

@@ -385,6 +385,59 @@ object TextMlQueries {
        |WHERE jaccard >= 0.6
        |ORDER BY d1, d2""".stripMargin
 
+  // ---- asymmetric containment (quote/subset detection) -------------
+
+  /** Containment pairs |A∩B| / min(|A|,|B|) ≥ 0.5 — the asymmetric
+    * relation symmetric Jaccard structurally misses (a short doc fully
+    * quoted inside a long one has Jaccard ≈ |A|/|B| but containment
+    * 1.0, so the MinHash-LSH candidate path can never surface it;
+    * see [[graft.ml.Dedup.containmentPairs]] for why the df-capped
+    * inverted index IS the honest scale path here).
+    */
+  private def containment(s: SparkSession, d: String): DataFrame =
+    Dedup
+      .containmentPairs(
+        Dedup.shingles(TestTables.documents(s, d), "doc_id", "text", 3),
+        "doc_id",
+        threshold = 0.5,
+        maxShingleDocFreq = JaccardMaxDf
+      )
+      .select(
+        col("d1"),
+        col("d2"),
+        col("inter"),
+        col("n1"),
+        col("n2"),
+        round(col("containment"), 6).as("containment")
+      )
+      .orderBy(col("d1"), col("d2"))
+
+  // same df-cap discipline as q_ngram_jaccard (sizes uncapped); the
+  // score divides by the SMALLER side instead of the union
+  private lazy val containmentSql =
+    s"""WITH $tokCte, $shCte,
+       |rare AS (
+       |  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= $JaccardMaxDf
+       |), shf AS (
+       |  SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)
+       |), pair AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+       |  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+       |), cts AS (
+       |  SELECT d1, d2, inter, s1.n_sh AS n1, s2.n_sh AS n2,
+       |         inter::DOUBLE / least(s1.n_sh, s2.n_sh) AS containment
+       |  FROM pair
+       |  JOIN sizes s1 ON s1.doc_id = d1
+       |  JOIN sizes s2 ON s2.doc_id = d2
+       |)
+       |SELECT d1, d2, inter, n1, n2, round(containment, 6) AS containment
+       |FROM cts
+       |WHERE containment >= 0.5
+       |ORDER BY d1, d2""".stripMargin
+
   // ---- MinHash + LSH near-dup pairs --------------------------------
 
   private[queries] val MinHashPerms = 8
@@ -1119,6 +1172,7 @@ object TextMlQueries {
     QueryDef("q_corpus_funnel", corpusFunnel, Some(corpusFunnelSql)),
     QueryDef("q_fingerprint", fingerprint, Some(fingerprintSql)),
     QueryDef("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql), headline = true),
+    QueryDef("q_containment", containment, Some(containmentSql)),
     QueryDef("q_minhash_lsh", minHashLsh, Some(minHashLshSql), headline = true),
     QueryDef("q_simhash", simHash, Some(simHashSql), headline = true),
     QueryDef("q_cosine_topk", cosineTopK, Some(cosineTopKSql), headline = true),

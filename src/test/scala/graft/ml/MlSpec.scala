@@ -61,6 +61,27 @@ class MlSpec extends SparkSpec {
     assert(pairs.toList == List((1L, 2L, 1.0)))
   }
 
+  test("Dedup.containmentPairs surfaces a quoted subset that Jaccard misses") {
+    // doc 1 is fully contained in doc 2 (a long doc quoting a short
+    // one); their Jaccard is small but containment is 1.0
+    val d = docs(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon one two three four five six seven " +
+        "eight nine ten eleven twelve thirteen fourteen fifteen sixteen"),
+      (3L, "red orange yellow green blue indigo violet")
+    )
+    val sh = Dedup.shingles(d, "doc_id", "text", 3)
+    val cts = Dedup
+      .containmentPairs(sh, "doc_id", threshold = 0.9, maxShingleDocFreq = 50)
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("d1")), r.getLong(r.fieldIndex("d2")),
+        r.getDouble(r.fieldIndex("containment"))))
+    assert(cts.toList == List((1L, 2L, 1.0)))
+    // the same pair is invisible to symmetric Jaccard at any useful threshold
+    val jac = Dedup.jaccardPairs(sh, "doc_id", 0.5).collect()
+    assert(jac.isEmpty)
+  }
+
   test("Dedup.minHashNearDups catches a high-Jaccard pair with both hash families") {
     val d = docs(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),
