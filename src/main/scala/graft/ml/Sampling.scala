@@ -97,4 +97,37 @@ object Sampling {
       .withColumn("rk", rk)
       .filter(col("rk") <= col("quota"))
   }
+
+  /** Deterministic epoch shuffle: the seeded global permutation a
+    * training run consumes the corpus in. Each key hashes (with the
+    * epoch seed) to a pseudo-random 56-bit rank; shard = hash mod
+    * nShards, position = rank within the shard by (hash, key). A
+    * different seed yields an independent permutation — re-shuffling
+    * between epochs is a constant change, never a data move.
+    *
+    * Scale: no global sort anywhere. The only shuffle is on the shard
+    * key, and the per-shard rank window is bounded by corpus/nShards —
+    * pick nShards so a shard is one output file (the same discipline
+    * as [[graft.jobs.CorpusExport]]'s packer, whose shards this
+    * ordering feeds). A global `ORDER BY hash` would range-partition
+    * the whole corpus for an ordering no consumer needs globally:
+    * readers consume per-shard files anyway.
+    */
+  def epochShuffle(
+      df: DataFrame,
+      keyCol: String,
+      seed: String,
+      nShards: Int
+  ): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val h = PortableHash.md5num56(concat(lit(s"$seed:"), col(keyCol).cast("string")))
+    df.select(col(keyCol), h.as("h"))
+      .withColumn("shard", pmod(col("h"), lit(nShards.toLong)).cast("int"))
+      .withColumn(
+        "pos",
+        row_number().over(Window.partitionBy(col("shard")).orderBy(col("h"), col(keyCol)))
+      )
+      .select(col(keyCol), col("shard"), col("pos"))
+  }
 }

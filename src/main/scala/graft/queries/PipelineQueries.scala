@@ -205,10 +205,33 @@ object PipelineQueries {
        |GROUP BY 1
        |ORDER BY 1""".stripMargin
 
+  /** Seeded epoch shuffle: the deterministic global permutation a
+    * training run reads the corpus in ([[graft.ml.Sampling.epochShuffle]]
+    * — shard by hash, rank within shard, no global sort). The query
+    * pins the full (doc -> shard, pos) assignment; changing the seed
+    * string re-permutes without moving data.
+    */
+  private def epochShuffle(s: SparkSession, d: String): DataFrame =
+    graft.ml.Sampling
+      .epochShuffle(TestTables.documents(s, d), "doc_id", "epoch7", nShards = 8)
+      .orderBy(col("shard"), col("pos"))
+
+  private val epochShuffleSql =
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |         ${PortableHash.md5num56Sql("'epoch7:' || CAST(doc_id AS VARCHAR)")} AS h
+       |  FROM documents
+       |)
+       |SELECT doc_id, CAST(h % 8 AS INT) AS shard,
+       |       CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS INT) AS pos
+       |FROM h
+       |ORDER BY shard, pos""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_corpus_select", corpusSelect, Some(corpusSelectSql), headline = true),
     QueryDef("q_sessionize", sessionize, Some(sessionizeSql)),
     QueryDef("q_censored_stats", censoredStats, Some(censoredStatsSql)),
-    QueryDef("q_deterministic_split", deterministicSplit, Some(deterministicSplitSql))
+    QueryDef("q_deterministic_split", deterministicSplit, Some(deterministicSplitSql)),
+    QueryDef("q_epoch_shuffle", epochShuffle, Some(epochShuffleSql))
   )
 }

@@ -46,7 +46,8 @@ class DeterminismSpec extends SparkSpec {
     "q_model_raster_insert", // first()-aggregated index join + distributed id rank (round 7)
     "q_kn_perplexity",     // self-trained LM scoring + percentile tercile thresholds (round 7)
     "q_kn_screen",         // persisted-LM-index probe with backoff chain (round 7)
-    "q_containment"        // df-capped inverted-index pair join, asymmetric score (round 7)
+    "q_containment",       // df-capped inverted-index pair join, asymmetric score (round 7)
+    "q_epoch_shuffle"      // seeded hash permutation + per-shard rank windows (round 7)
   )
 
   private def rows(name: String): Seq[String] =

@@ -69,6 +69,25 @@ class SamplingSpec extends SparkSpec {
     assert(!picked.exists(_._1 == "zz"), "unlisted sources never selected")
   }
 
+  test("epochShuffle is a permutation: every key once, contiguous positions, seed re-permutes") {
+    val out = Sampling.epochShuffle(docs, "doc_id", "seedA", nShards = 4).collect()
+    assert(out.map(_.getLong(0)).toSet == (1L to 500L).toSet, "every doc exactly once")
+    out.groupBy(_.getInt(1)).foreach { case (shard, rows) =>
+      val ps = rows.map(_.getInt(2)).sorted.toSeq
+      assert(ps == (1 to rows.length), s"shard $shard positions not contiguous")
+    }
+    // a different seed yields a genuinely different ordering
+    val a = Sampling.epochShuffle(docs, "doc_id", "seedA", 4).orderBy("shard", "pos")
+      .collect().map(_.getLong(0)).toSeq
+    val b = Sampling.epochShuffle(docs, "doc_id", "seedB", 4).orderBy("shard", "pos")
+      .collect().map(_.getLong(0)).toSeq
+    assert(a != b && a.sorted == b.sorted)
+    // and the same seed is bit-stable under repartitioning
+    val c = Sampling.epochShuffle(docs.repartition(13), "doc_id", "seedA", 4)
+      .orderBy("shard", "pos").collect().map(_.getLong(0)).toSeq
+    assert(a == c)
+  }
+
   test("weightedQuota selection is stable under repartitioning") {
     import spark.implicits._
     val df = (1 to 200).map(i => (i.toLong, s"s${i % 2}")).toDF("doc_id", "source")
