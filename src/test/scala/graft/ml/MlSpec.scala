@@ -82,6 +82,24 @@ class MlSpec extends SparkSpec {
     assert(jac.isEmpty)
   }
 
+  test("containment prefix filter is lossless: equals the exhaustive pair join on real data") {
+    val d = spark.read.parquet(s"$sf001/documents.parquet")
+    val sh = Dedup.shingles(d, "doc_id", "text", 3)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("d1", "d2", "inter", "n1", "n2")
+      .orderBy("d1", "d2")
+      .collect()
+      .map(_.toString)
+      .toSeq
+    // two thresholds: 0.5 (the registered query) and 0.9 (deep prefix cut)
+    Seq(0.5, 0.9).foreach { t =>
+      val pref = rows(Dedup.containmentPairsPrefix(sh, "doc_id", t, maxShingleDocFreq = 50))
+      val plain = rows(Dedup.containmentPairs(sh, "doc_id", t, maxShingleDocFreq = 50))
+      assert(pref == plain, s"prefix filter dropped qualifying pairs at t=$t")
+      assert(pref.nonEmpty, s"fixture produced no containment pairs at t=$t")
+    }
+  }
+
   test("Dedup.minHashNearDups catches a high-Jaccard pair with both hash families") {
     val d = docs(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),
