@@ -247,6 +247,63 @@ object StreamingIngest {
       }
   }
 
+  final case class LmScreenResult(
+      doc_id: Long,
+      n_bigrams: Long,
+      n_unseen: Long,
+      ppl: Double
+  )
+
+  /** Streaming face of [[graft.ml.KnLm.screenPerplexity]]: incoming
+    * docs (doc_id, text) score against a parquet-persisted
+    * [[graft.ml.KnLm.buildLmIndex]] as they land. Tokenize + bigram
+    * explode are map-side projections; the model/λ/Pcont probes are
+    * stream-STATIC left joins (stateless — the index never enters
+    * streaming state); one emit-once state bit per doc computes the
+    * perplexity from that doc's joined rows and suppresses re-crawled
+    * doc_ids across batches. Docs with < 2 tokens produce no bigram
+    * rows and are absent from the output, matching the batch twin.
+    */
+  def screenPerplexityStream(
+      stream: DataFrame,
+      lmIndex: DataFrame
+  ): org.apache.spark.sql.Dataset[LmScreenResult] = {
+    import stream.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val big = lmIndex.filter(col("kind") === "big").select(col("w1"), col("w2"), col("v").as("logp_hit"))
+    val lam = lmIndex.filter(col("kind") === "ctx").select(col("w1"), col("v").as("lam"))
+    val pc = lmIndex.filter(col("kind") === "cont").select(col("w2"), col("v").as("pcont"))
+    val floorP = lmIndex.filter(col("kind") === "meta").select(col("v")).head().getDouble(0)
+    val scored = graft.ml.KnLm
+      .docBigrams(stream, "doc_id", graft.ml.TextStats.tokens(col("text")))
+      .join(big, Seq("w1", "w2"), "left")
+      .join(broadcast(lam), Seq("w1"), "left")
+      .join(broadcast(pc), Seq("w2"), "left")
+      .select(
+        col("doc_id"),
+        when(col("logp_hit").isNotNull, col("logp_hit"))
+          .when(col("lam").isNotNull && col("pcont").isNotNull, log(col("lam") * col("pcont")))
+          .when(col("pcont").isNotNull, log(col("pcont")))
+          .otherwise(log(lit(floorP)))
+          .as("logp"),
+        col("logp_hit").isNull.as("unseen")
+      )
+      .as[(Long, Double, Boolean)]
+    scored
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id: Long, rows: Iterator[(Long, Double, Boolean)], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty // re-crawl: first batch won
+          else {
+            state.update(true)
+            val rs = rows.toSeq
+            val ppl = math.exp(-rs.map(_._2).sum / rs.size)
+            val rounded = BigDecimal(ppl).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+            Iterator.single(LmScreenResult(id, rs.size.toLong, rs.count(_._3).toLong, rounded))
+          }
+      }
+  }
+
   /** Watermarked tumbling daily mean per series over a streaming
     * frame with (timeseries_id, datetime, value).
     */

@@ -270,4 +270,62 @@ class StreamingSpec extends SparkSpec {
     run()
     assert(spark.read.parquet(sink).count() == streamed.size.toLong, "re-crawled docs must be suppressed")
   }
+
+  test("screenPerplexityStream: stream-static LM probe converges to the batch screen") {
+    import spark.implicits._
+    import graft.ml.{KnLm, TextStats}
+    import graft.tables.TestTables
+    val base = java.nio.file.Files.createTempDirectory("stream8").toString
+    val src = s"$base/src"; val cp = s"$base/cp"; val sink = s"$base/sink"
+    val idxPath = s"$base/idx"
+    new java.io.File(src).mkdirs()
+
+    val docs = TestTables.documents(spark, sf001)
+    val toks = TextStats.tokens(col("text"))
+    // corpus LM persisted ONCE, exactly as a crawl loop would
+    KnLm
+      .buildLmIndex(KnLm.docBigrams(docs.filter(col("doc_id") % 3 =!= 1), "doc_id", toks))
+      .write.parquet(idxPath)
+    val lmIndex = spark.read.parquet(idxPath)
+
+    val incoming = docs.filter(col("doc_id") % 3 === 1).select("doc_id", "text")
+    val schema = StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType)))
+    def run(): Unit = {
+      val q = StreamingIngest
+        .screenPerplexityStream(spark.readStream.schema(schema).parquet(src), lmIndex)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "stream did not terminate within 120s")
+    }
+
+    // two crawl batches against the same stored index
+    incoming.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(src)
+    run()
+    incoming.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(src)
+    run()
+
+    val streamed = spark.read.parquet(sink).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    val batch = KnLm
+      .screenPerplexity(KnLm.docBigrams(incoming, "doc_id", toks), lmIndex, "doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    assert(streamed.map(t => (t._1, t._2, t._3)) == batch.map(t => (t._1, t._2, t._3)))
+    // perplexities agree to the 4-decimal contract (summation order may
+    // differ in the last ulp between the group fold and the batch agg)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(math.abs(s._4 - b._4) <= 1e-4 + 1e-9, s"doc ${s._1}: ${s._4} vs ${b._4}")
+    }
+
+    // re-crawl replay: the same docs again produce NOTHING new
+    incoming.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(src)
+    run()
+    assert(spark.read.parquet(sink).count() == streamed.size.toLong, "re-crawled docs must be suppressed")
+  }
 }
