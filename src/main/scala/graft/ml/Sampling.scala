@@ -98,6 +98,61 @@ object Sampling {
       .filter(col("rk") <= col("quota"))
   }
 
+  /** Temperature-balanced mixture (α = 0.5): per-source quotas
+    * proportional to sqrt(source size) — the standard multilingual
+    * re-balancing that up-weights small sources without letting any
+    * head source dominate. Cross-engine exactness: IEEE sqrt is
+    * correctly rounded on both engines, so `round(sqrt(n) · 10⁶)`
+    * yields identical INTEGER weights, and from there the Hamilton
+    * apportionment and the content-hash rank fill are the same
+    * all-integer discipline as [[weightedQuota]]. An over-subscribed
+    * source contributes everything it has (rk ≤ quota); quotas are
+    * not reallocated.
+    *
+    * Scale: the weight table is one row per source (collected
+    * driver-side like every quota table here); the corpus pass is one
+    * broadcast quota join + a per-source rank window.
+    */
+  def temperatureQuota(
+      df: DataFrame,
+      keyCol: String,
+      sourceCol: String,
+      targetN: Long
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    val weighted = counts.map { case (s, n) => (s, math.round(math.sqrt(n.toDouble) * 1e6)) }
+    val totalW = weighted.map(_._2).sum
+    val apportioned = weighted.map { case (s, wt) =>
+      val num = targetN * wt
+      (s, num / totalW, num % totalW)
+    }
+    val leftover = targetN - apportioned.map(_._2).sum
+    val topUp = apportioned
+      .sortBy { case (s, _, rem) => (-rem, s) }
+      .take(leftover.toInt)
+      .map(_._1)
+      .toSet
+    val quotaRows = apportioned.toSeq.map { case (s, base, _) =>
+      (s, base + (if (topUp(s)) 1L else 0L))
+    }
+    val quotas = spark.createDataFrame(quotaRows).toDF(sourceCol, "quota")
+    val rk = row_number().over(
+      Window
+        .partitionBy(col(sourceCol))
+        .orderBy(PortableHash.md5num56(col(keyCol).cast("string")), col(keyCol))
+    )
+    df.join(broadcast(quotas), Seq(sourceCol))
+      .withColumn("rk", rk)
+      .filter(col("rk") <= col("quota"))
+  }
+
   /** Deterministic epoch shuffle: the seeded global permutation a
     * training run consumes the corpus in. Each key hashes (with the
     * epoch seed) to a pseudo-random 56-bit rank; shard = hash mod

@@ -685,6 +685,46 @@ object CorpusQueries {
        |ORDER BY source, rk""".stripMargin
   }
 
+  // ---- temperature-balanced mixture (alpha = 0.5) ------------------
+
+  private val TempTarget = 100L
+
+  /** Square-root temperature sampling: quotas ∝ sqrt(source size) —
+    * small sources up-weighted, head sources capped, the standard
+    * multilingual balancing. See [[graft.ml.Sampling.temperatureQuota]]
+    * for the integer-exact weight construction (IEEE sqrt is correctly
+    * rounded on both engines, so the scaled weights are identical
+    * BIGINTs cross-engine and the apportionment stays all-integer).
+    */
+  private def temperatureMix(s: SparkSession, d: String): DataFrame =
+    Sampling
+      .temperatureQuota(TestTables.documents(s, d), "doc_id", "source", TempTarget)
+      .select(col("source"), col("doc_id"), col("rk"), col("quota"))
+      .orderBy(col("source"), col("rk"))
+
+  private lazy val temperatureMixSql =
+    s"""WITH cnt AS (
+       |  SELECT source, count(*) AS n FROM documents GROUP BY 1
+       |), w AS (
+       |  SELECT source, CAST(round(sqrt(n::DOUBLE) * 1000000) AS BIGINT) AS wt FROM cnt
+       |), tot AS (
+       |  SELECT sum(wt) AS tw FROM w
+       |), q AS (
+       |  SELECT source,
+       |         ($TempTarget * wt) // tw
+       |         + CASE WHEN row_number() OVER (ORDER BY ($TempTarget * wt) % tw DESC, source)
+       |                 <= $TempTarget - SUM(($TempTarget * wt) // tw) OVER () THEN 1 ELSE 0 END AS quota
+       |  FROM w CROSS JOIN tot
+       |), r AS (
+       |  SELECT d.source, d.doc_id, q.quota,
+       |         row_number() OVER (PARTITION BY d.source
+       |                            ORDER BY ${PortableHash.md5num56Sql("doc_id::VARCHAR")}, doc_id) AS rk
+       |  FROM documents d JOIN q USING (source)
+       |)
+       |SELECT source, doc_id, rk, CAST(quota AS BIGINT) AS quota
+       |FROM r WHERE rk <= quota
+       |ORDER BY source, rk""".stripMargin
+
   // ---- sub-document dedup: boilerplate lines + duplicate spans -----
 
   /** Line-level boilerplate stripping (CCNet preprocessing shape):
@@ -1417,6 +1457,7 @@ object CorpusQueries {
     QueryDef("q_kn_counts", knCounts, Some(knCountsSql)),
     QueryDef("q_kn_perplexity", knPerplexity, Some(knPerplexitySql)),
     QueryDef("q_kn_screen", knScreen, Some(knScreenSql)),
+    QueryDef("q_temperature_mix", temperatureMix, Some(temperatureMixSql)),
     QueryDef("q_ngram_orders", ngramOrders, Some(ngramOrdersSql)),
     QueryDef("q_boilerplate", boilerplate, Some(boilerplateSql)),
     QueryDef("q_dup_spans", dupSpans, Some(dupSpansSql)),

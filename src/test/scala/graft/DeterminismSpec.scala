@@ -47,7 +47,8 @@ class DeterminismSpec extends SparkSpec {
     "q_kn_perplexity",     // self-trained LM scoring + percentile tercile thresholds (round 7)
     "q_kn_screen",         // persisted-LM-index probe with backoff chain (round 7)
     "q_containment",       // df-capped inverted-index pair join, asymmetric score (round 7)
-    "q_epoch_shuffle"      // seeded hash permutation + per-shard rank windows (round 7)
+    "q_epoch_shuffle",     // seeded hash permutation + per-shard rank windows (round 7)
+    "q_temperature_mix"    // sqrt-weight apportionment + hash-rank fill (round 7)
   )
 
   private def rows(name: String): Seq[String] =

@@ -88,6 +88,26 @@ class SamplingSpec extends SparkSpec {
     assert(a == c)
   }
 
+  test("temperatureQuota: sqrt balancing up-weights small sources, quotas sum to target") {
+    import spark.implicits._
+    // sizes 400/100/25 -> sqrt weights 20/10/5 -> quotas 57/29/14 of 100
+    val d = ((1 to 400).map(i => (i.toLong, "big")) ++
+      (401 to 500).map(i => (i.toLong, "mid")) ++
+      (501 to 525).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "source")
+    val out = Sampling.temperatureQuota(d, "doc_id", "source", 100L)
+    val quotas = out.select("source", "quota").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(quotas == Map("big" -> 57L, "mid" -> 29L, "small" -> 14L), s"got $quotas")
+    assert(out.count() == 100)
+    // linear sampling would give small 4.8% of the budget; sqrt gives 14%
+    // — the up-weighting that is the point of temperature balancing
+    val sel = out.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val sel2 = Sampling.temperatureQuota(d.repartition(17), "doc_id", "source", 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(sel == sel2, "selection must be layout-invariant")
+  }
+
   test("weightedQuota selection is stable under repartitioning") {
     import spark.implicits._
     val df = (1 to 200).map(i => (i.toLong, s"s${i % 2}")).toDF("doc_id", "source")
