@@ -75,8 +75,8 @@ object Sampling {
     // Scala (no global window; all-integer, deterministic ties by
     // source name)
     val apportioned = weights.map { case (s, wt) =>
-      val num = targetN * wt.toLong
-      (s, num / totalW, num % totalW)
+      val num = BigInt(targetN) * wt // BigInt: targetN * wt can exceed Long
+      (s, (num / totalW).toLong, num % totalW)
     }
     val leftover = targetN - apportioned.map(_._2).sum
     val topUp = apportioned
@@ -127,12 +127,19 @@ object Sampling {
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
       .sortBy(_._1)
-    val weighted = counts.map { case (s, n) => (s, math.round(math.sqrt(n.toDouble) * 1e6)) }
+    // BigInt apportionment: targetN * wt (wt ~ 1e6 * sqrt(n)) overflows
+    // Long for large corpora/targets; an empty input short-circuits
+    // rather than dividing by a zero total weight.
+    val weighted =
+      counts.map { case (s, n) => (s, BigInt(math.round(math.sqrt(n.toDouble) * 1e6))) }
     val totalW = weighted.map(_._2).sum
-    val apportioned = weighted.map { case (s, wt) =>
-      val num = targetN * wt
-      (s, num / totalW, num % totalW)
-    }
+    val apportioned =
+      if (totalW == 0) Array.empty[(String, Long, BigInt)]
+      else
+        weighted.map { case (s, wt) =>
+          val num = BigInt(targetN) * wt
+          (s, (num / totalW).toLong, num % totalW)
+        }
     val leftover = targetN - apportioned.map(_._2).sum
     val topUp = apportioned
       .sortBy { case (s, _, rem) => (-rem, s) }

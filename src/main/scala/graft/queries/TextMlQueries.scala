@@ -565,7 +565,7 @@ object TextMlQueries {
 
   private val cosineTopKSql =
     """WITH e AS (
-      |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS FLOAT)::DOUBLE) AS v FROM embeddings
       |), q AS (
       |  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0
       |), scored AS (
@@ -606,7 +606,7 @@ object TextMlQueries {
   private val embedNearDupSql =
     """WITH e AS (
       |  SELECT vec_id, label,
-      |         list_transform(embedding, x -> x::DOUBLE) AS v
+      |         list_transform(embedding, x -> CAST(x AS FLOAT)::DOUBLE) AS v
       |  FROM embeddings
       |), n AS (
       |  SELECT vec_id, label,
@@ -648,7 +648,7 @@ object TextMlQueries {
     }
     val probes = (0 until 8).map(i => s"xor(bucket, ${1L << i})").mkString(", ")
     s"""WITH e AS (
-       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS FLOAT)::DOUBLE) AS v FROM embeddings
        |), n AS (
        |  SELECT vec_id,
        |         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
@@ -713,7 +713,7 @@ object TextMlQueries {
     val planes = Similarity.hyperplanes(12, 64)
     val bits = planes.zipWithIndex.map { case (p, i) =>
       val arr = p.mkString("[", ", ", "]")
-      s"CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), $arr) >= 0 THEN ${1L << i} ELSE 0 END"
+      s"CASE WHEN list_inner_product(CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[]), $arr) >= 0 THEN ${1L << i} ELSE 0 END"
     }
     s"""SELECT vec_id, CAST(${bits.mkString("\n  + ")} AS BIGINT) AS bucket
        |FROM embeddings
@@ -740,8 +740,8 @@ object TextMlQueries {
     s"""WITH nv0 AS (
        |  SELECT vec_id,
        |         list_transform(
-       |           CAST(embedding AS DOUBLE[]),
-       |           x -> x / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+       |           CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[]),
+       |           x -> x / sqrt(list_inner_product(CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[]), CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[])))
        |         ) AS nv
        |  FROM embeddings
        |)
@@ -763,7 +763,7 @@ object TextMlQueries {
     }
     val probes = (0 until 12).map(i => s"xor(bucket, ${1L << i})").mkString(", ")
     s"""WITH e AS (
-       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS FLOAT)::DOUBLE) AS v FROM embeddings
        |), b AS (
        |  SELECT vec_id, CAST(${bits.mkString("\n  + ")} AS BIGINT) AS bucket FROM e
        |), qprobe AS (
@@ -821,8 +821,8 @@ object TextMlQueries {
     s"""WITH nv0 AS (
        |  SELECT vec_id,
        |         list_transform(
-       |           CAST(embedding AS DOUBLE[]),
-       |           x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+       |           CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[]),
+       |           x -> x / sqrt(list_dot_product(CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[]), CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[])))
        |         ) AS nv
        |  FROM embeddings
        |), rankedc AS (
@@ -873,8 +873,8 @@ object TextMlQueries {
     """nv0 AS (
       |  SELECT vec_id,
       |         list_transform(
-      |           CAST(embedding AS DOUBLE[]),
-      |           x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+      |           CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[]),
+      |           x -> x / sqrt(list_dot_product(CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[]), CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[])))
       |         ) AS nv
       |  FROM embeddings
       |)""".stripMargin

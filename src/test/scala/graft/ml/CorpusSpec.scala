@@ -278,6 +278,20 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("kn perplexity: corpus with no bigrams yields all-NULL scores, not an NPE") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-knppl").toString
+    Seq((1L, "word", "en", "web", 4L), (2L, "x", "en", "web", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.Registry.byName("q_kn_perplexity").run(spark, dir).collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.getLong(1) == 0L) // n_bigrams
+      assert(r.isNullAt(2) && r.isNullAt(3)) // ppl, bucket
+    }
+  }
+
   test("dedup clusters: canonical docs are cluster minima covering all docs") {
     val out = graft.queries.Registry.byName("q_dedup_clusters").run(spark, sf001).collect()
     assert(out.length == 500)

@@ -108,6 +108,24 @@ class SamplingSpec extends SparkSpec {
     assert(sel == sel2, "selection must be layout-invariant")
   }
 
+  test("temperatureQuota: empty input yields empty selection, huge targets don't overflow") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "source")
+    assert(Sampling.temperatureQuota(empty, "doc_id", "source", 100L).count() == 0)
+    // 10^12 target x ~10^7 weight would overflow Long multiplication;
+    // BigInt apportionment must keep quotas exact (sum == min(target, corpus))
+    val d = ((1 to 300).map(i => (i.toLong, "a")) ++ (301 to 400).map(i => (i.toLong, "b")))
+      .toDF("doc_id", "source")
+    val out = Sampling.temperatureQuota(d, "doc_id", "source", 1000000000000L)
+    val quotas = out.select("source", "quota").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w = Seq(math.round(math.sqrt(300.0) * 1e6), math.round(math.sqrt(100.0) * 1e6))
+    val expectA = (BigInt(1000000000000L) * w(0) / (w(0) + w(1))).toLong
+    assert(quotas("a") == expectA || quotas("a") == expectA + 1, s"got $quotas")
+    assert(quotas.values.sum == 1000000000000L)
+    assert(out.count() == 400) // over-subscribed: everything qualifies
+  }
+
   test("weightedQuota selection is stable under repartitioning") {
     import spark.implicits._
     val df = (1 to 200).map(i => (i.toLong, s"s${i % 2}")).toDF("doc_id", "source")
