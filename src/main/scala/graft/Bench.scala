@@ -11,12 +11,13 @@ import org.apache.spark.sql.SparkSession
   * numbers swing 2-3x on unchanged code between rounds.
   *
   * Output:
-  *   - ONE JSON line on stdout (the driver's contract):
-  *     {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}
-  *   - `BENCH_LOCAL.json` in the working directory: the same data plus
-  *     per-query min/median/max and rep count, pretty-printed, so the
-  *     judge gets structured numbers even when the harness truncates
-  *     the stdout line.
+  *   - ONE compact JSON line on stdout, printed LAST (the driver's
+  *     contract): {"metric":"total","value":N,"unit":"sec",...} —
+  *     totals only; round 7's 120-entry per-query map overflowed the
+  *     driver's capture and parsed as null.
+  *   - `BENCH_LOCAL.json` in the working directory: per-query
+  *     min/median/max/runs, pretty-printed — the structured per-query
+  *     numbers live here.
   */
 object Bench {
   private def fmt(d: Double): String = f"$d%.3f"
@@ -130,13 +131,7 @@ object Bench {
       "bench produced a negative timing — a query failed without raising"
     )
 
-    val qs = results
-      .map { case (k, (med, _, _, _)) => s"\"$k\":${fmt(med)}" }
-      .mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
-    val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}"""
-    println(line)
 
     // Structured artifact: survives stdout truncation by the harness.
     val detail = results
@@ -161,5 +156,14 @@ object Bench {
       java.nio.file.Files.write(p, json.getBytes("UTF-8"))
     } catch { case _: Throwable => }
     spark.stop()
+    // The driver's stdout-capture contract: ONE compact JSON line,
+    // printed LAST (after spark.stop(), so no shutdown chatter can
+    // follow it) and WITHOUT the per-query map — round 7's 120-entry
+    // line exceeded the driver's capture and parsed as null. Per-query
+    // medians live in BENCH_LOCAL.json.
+    println(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,""" +
+        s""""n_queries":${results.size},"queries_file":"BENCH_LOCAL.json","sf":"$sfDir"}"""
+    )
   }
 }

@@ -31,8 +31,24 @@ object SeqIds {
   /** Adds `outCol` = 1-based dense global rank of `df` rows under
     * `sortCols`. Deterministic when the sort key is unique (all CRUD
     * callers rank on a unique natural/batch key).
+    *
+    * `smallBatch = true` is the documented escape hatch for batches
+    * BOUNDED BY CONSTRUCTION (manual CRUD uploads, profile key sets —
+    * dimension-sized by definition): one coalesced partition and a
+    * plain window, skipping the range-sampling job + checkpoint the
+    * distributed path pays. Never set it on a data-sized frame — that
+    * is exactly the serialization wall described above.
     */
-  def globalRank(df: DataFrame, sortCols: Seq[Column], outCol: String): DataFrame = {
+  def globalRank(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      outCol: String,
+      smallBatch: Boolean = false
+  ): DataFrame = {
+    if (smallBatch) {
+      val w = Window.partitionBy(lit(1)).orderBy(sortCols: _*)
+      return df.coalesce(1).withColumn(outCol, row_number().over(w).cast("long"))
+    }
     val staged = df
       .repartitionByRange(sortCols: _*)
       .withColumn("__gr_pid", spark_partition_id())

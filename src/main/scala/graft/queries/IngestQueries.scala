@@ -564,7 +564,155 @@ object IngestQueries {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  // ---- import-mapping profile management (R/import_mappings.R) ------
+
+  /** End-to-end profile-managed import: upsert two mapping uploads
+    * with different match-column sets (so `source_match` JSON criteria
+    * differ in arity), load them back through the filename-fallback
+    * key matching (`import_mapping_load_db`), and resolve every
+    * events-derived record against the active mappings with the
+    * (priority asc, specificity desc) best-match rule. Exercises, in
+    * one oracle row: the source_match JSON round trip (built by
+    * `to_json` on upsert, parsed by `from_json` on load, asserted as a
+    * string literal in the oracle), candidate-key fallback past an
+    * INACTIVE source, active-mapping filtering, ignore-row drop,
+    * label-based target resolution, and the tie-free best-match
+    * selection — `R/import_mappings.R:25,234,1181,1259`.
+    */
+  private def importProfile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.ImportProfiles
+    import graft.sources.ImportProfiles.{ImportLookups, Lookup}
+    val sources0 = Seq(
+      (1L, "eccc_legacy", "ECCC legacy", null.asInstanceOf[String], true),
+      (2L, "labx_2024.csv", "stale key", null.asInstanceOf[String], false)
+    ).toDF("import_source_id", "source_code", "source_name", "source_description", "active")
+    val mappings0 = s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("import_mapping_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("import_source_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("source_match", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("parameter_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("result_type", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sample_fraction_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("result_value_type", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("result_speciation_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("matrix_state_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("conversion", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("result_offset", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("priority", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("active", org.apache.spark.sql.types.BooleanType),
+        org.apache.spark.sql.types.StructField("note", org.apache.spark.sql.types.StringType)
+      ))
+    )
+    val lookups = ImportLookups(
+      parameters = Lookup(
+        Seq((201L, "zinc"), (202L, "copper"), (203L, "lead"), (204L, "iron"))
+          .toDF("parameter_id", "param_name"),
+        "parameter_id", Seq("param_name")),
+      resultTypes = Lookup(
+        Seq((1L, "numeric"), (2L, "text")).toDF("result_type_id", "result_type"),
+        "result_type_id", Seq("result_type")),
+      sampleFractions = Lookup(
+        Seq((11L, "dissolved"), (12L, "total")).toDF("sample_fraction_id", "sample_fraction"),
+        "sample_fraction_id", Seq("sample_fraction")),
+      resultValueTypes = Lookup(
+        Seq((1L, "actual")).toDF("result_value_type_id", "result_value_type"),
+        "result_value_type_id", Seq("result_value_type")),
+      resultSpeciations = Lookup(
+        Seq((31L, "as N")).toDF("result_speciation_id", "result_speciation"),
+        "result_speciation_id", Seq("result_speciation")),
+      matrixStates = Lookup(
+        Seq((41L, "liquid"), (42L, "solid")).toDF("matrix_state_id", "matrix_state"),
+        "matrix_state_id", Seq("matrix_state"))
+    )
+    val batch1 = Seq(
+      ("CLICK", "MG/L", "zinc", "numeric", "1.0", "0.0", "100", "", ""),
+      ("CLICK", "UG/L", "zinc", "numeric", "0.001", "0.0", "100", "", ""),
+      ("ERROR", "MG/L", "iron", "numeric", "2.0", "0.5", "100", "", ""),
+      ("VIEW", "MG/L", "zinc", "numeric", "1.0", "0.0", "100", "", ""),
+      ("SIGNUP", "MG/L", "lead", "numeric", "1.0", "0.0", "100", "no", ""),
+      ("PURCHASE", "MG/L", "lead", "numeric", "1.0", "0.0", "100", "", "yes")
+    ).toDF("variable", "unit", "parameter", "result_type", "conversion",
+      "result_offset", "priority", "active", "ignore")
+    val (s1, m1) = ImportProfiles.upsertParameterMappings(
+      sources0, mappings0, "labx_2024", batch1, Seq("variable", "unit"), lookups)
+    val batch2 = Seq(
+      ("ERROR", "lead", "numeric", "0.01", "100"),
+      ("VIEW", "copper", "numeric", "2.0", "10")
+    ).toDF("variable", "parameter", "result_type", "conversion", "priority")
+    val (s2, m2) = ImportProfiles.upsertParameterMappings(
+      s1, m1, "labx_2024", batch2, Seq("variable"), lookups)
+    // candidate 3 ("labx_2024.csv") names an inactive source — the
+    // basename-sans-ext fallback wins
+    val Some((_, loaded)) = ImportProfiles.loadMappings(s2, m2, "uploads/labx_2024.csv")
+    val records = TestTables.events(s, d).select(
+      upper(col("event_type")).as("variable"),
+      when(col("user_id") % 2 === 0, lit("MG/L")).otherwise(lit("UG/L")).as("unit"),
+      abs(col("value")).as("value")
+    )
+    ImportProfiles
+      // strictTies=false: the fixture is tie-free by construction and
+      // the raise path is spec-covered; skipping the tie-scan saves a
+      // full pass over the record stream
+      .resolveMatches(records, Seq("variable", "unit"), loaded, strictTies = false)
+      .join(
+        broadcast(loaded.select(col("import_mapping_id"), col("source_match"))),
+        Seq("import_mapping_id"),
+        "left"
+      )
+      .groupBy(col("parameter_id"))
+      .agg(
+        count(lit(1)).as("n_records"),
+        countDistinct(concat(col("variable"), lit("/"), col("unit"))).as("n_vu"),
+        round(
+          sum(round((col("value") * col("conversion") + col("result_offset")) * 1000000)
+            .cast("long")) / 1000000.0,
+          4
+        ).as("sum_conv"),
+        min(col("source_match")).as("match_json")
+      )
+      .orderBy(col("parameter_id").asc_nulls_last)
+  }
+
+  private val importProfileSql =
+    """WITH records AS (
+      |  SELECT upper(event_type) AS variable,
+      |         CASE WHEN user_id % 2 = 0 THEN 'MG/L' ELSE 'UG/L' END AS unit,
+      |         abs(value) AS value
+      |  FROM events
+      |), resolved AS (
+      |  SELECT variable, unit, value,
+      |         CASE WHEN variable = 'CLICK' THEN 201
+      |              WHEN variable = 'VIEW' THEN 202
+      |              WHEN variable = 'ERROR' AND unit = 'MG/L' THEN 204
+      |              WHEN variable = 'ERROR' THEN 203 END AS parameter_id,
+      |         CASE WHEN variable = 'CLICK' AND unit = 'MG/L' THEN 1.0
+      |              WHEN variable = 'CLICK' THEN 0.001
+      |              WHEN variable = 'VIEW' THEN 2.0
+      |              WHEN variable = 'ERROR' AND unit = 'MG/L' THEN 2.0
+      |              WHEN variable = 'ERROR' THEN 0.01 END AS conversion,
+      |         CASE WHEN variable = 'ERROR' AND unit = 'MG/L' THEN 0.5
+      |              ELSE 0.0 END AS result_offset,
+      |         CASE WHEN variable = 'CLICK' THEN '{"variable":"CLICK","unit":"MG/L"}'
+      |              WHEN variable = 'VIEW' THEN '{"variable":"VIEW"}'
+      |              WHEN variable = 'ERROR' AND unit = 'MG/L' THEN '{"variable":"ERROR","unit":"MG/L"}'
+      |              WHEN variable = 'ERROR' THEN '{"variable":"ERROR"}' END AS match_json
+      |  FROM records
+      |)
+      |SELECT CAST(parameter_id AS BIGINT) AS parameter_id,
+      |       count(*) AS n_records,
+      |       count(DISTINCT variable || '/' || unit) AS n_vu,
+      |       round(sum(CAST(round((value * conversion + result_offset) * 1000000) AS BIGINT))
+      |             / 1000000.0, 4) AS sum_conv,
+      |       min(match_json) AS match_json
+      |FROM resolved
+      |GROUP BY parameter_id
+      |ORDER BY parameter_id ASC NULLS LAST""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_import_profile", importProfile, Some(importProfileSql)),
     QueryDef("q_fetch_groups", fetchGroups, Some(fetchGroupsSql)),
     QueryDef("q_incremental_filter", incrementalFilter, Some(incrementalFilterSql)),
     QueryDef("q_discrete_ingest", discreteIngest, Some(discreteIngestSql)),

@@ -515,7 +515,122 @@ object RasterQueries {
       |FROM ids
       |ORDER BY src_key""".stripMargin
 
+  // ---- image SERIES registration (R/addACImageSeries.R:19-138) -----
+
+  /** Every registration gate fires somewhere in this fixture: missing
+    * start/source_fx, unknown location, invalid share_with group,
+    * one-series-per-location duplicate refusal (against both existing
+    * rows and within the batch), sequential id assignment above
+    * max(existing), the "k: v, k: v" source_fx_args JSON round trip,
+    * and the seeded first fetch that rolls back series whose fetch
+    * found nothing and rewrites first_img/last_img for the rest.
+    */
+  private def imageSeries(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.ImageIngest
+    val n = TestTables.nation(s, d).select(col("n_nationkey").cast("long").as("n"))
+    val base = n
+      .select(col("n"), (col("n") * 10).as("src_key"))
+      .unionByName(Seq((7L, 71L)).toDF("n", "src_key")) // intra-batch dup
+    val incoming = base.select(
+      col("src_key"),
+      col("n").as("location_id"),
+      when(col("n") === 1, lit(null).cast("timestamp"))
+        .otherwise(timestamp_seconds(lit(1704067200L) + col("n") * 3600))
+        .as("start_datetime"),
+      when(col("n") === 2, lit(null).cast("string"))
+        .otherwise(lit("downloadWSCImages"))
+        .as("source_fx"),
+      concat(lit("camera: cam"), col("n").cast("string"), lit(", path: a:b"))
+        .as("source_fx_args"),
+      when(col("n").isin(5, 10), array(lit("badgroup")))
+        .otherwise(array(lit("public_reader")))
+        .as("share_with")
+    )
+    val locations = n.select((col("n") + 1).as("location_id")) // 1..25: location 0 unknown
+    val groups = Seq("public_reader", "yg").toDF("group_name")
+    val existing = Seq((5L, 4L), (9L, 6L)).toDF("img_series_id", "location_id")
+    val reg = ImageIngest.registerSeries(incoming, locations, groups, existing)
+    val fetched = reg.accepted
+      .filter(col("location_id") % 3 =!= 0) // the rest fetch nothing -> rollback
+      .select(col("img_series_id"), col("location_id"))
+      .withColumn("off", explode(array(lit(60L), lit(120L))))
+      .select(
+        col("img_series_id"),
+        timestamp_seconds(
+          lit(1704067200L) + col("location_id") * 3600 + col("location_id") * col("off")
+        ).as("img_ts")
+      )
+    val seed = ImageIngest.seedFirstFetch(reg.accepted, fetched)
+    val nulls = Seq(
+      lit(null).cast("long").as("img_series_id"),
+      lit(null).cast("long").as("first_img_us"),
+      lit(null).cast("string").as("args_json")
+    )
+    reg.rejects
+      .select(col("location_id") +: col("reject_reason").as("status") +: nulls: _*)
+      .unionByName(
+        seed.rolledBack.select(
+          col("location_id"),
+          lit("rolled_back").as("status"),
+          col("img_series_id"),
+          lit(null).cast("long").as("first_img_us"),
+          lit(null).cast("string").as("args_json")
+        )
+      )
+      .unionByName(
+        seed.kept.select(
+          col("location_id"),
+          lit("registered").as("status"),
+          col("img_series_id"),
+          unix_micros(col("first_img")).as("first_img_us"),
+          col("source_fx_args").as("args_json")
+        )
+      )
+      .orderBy(col("location_id"), col("status"))
+  }
+
+  private val imageSeriesSql =
+    """WITH inc AS (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS n,
+      |         CAST(n_nationkey AS BIGINT) * 10 AS src_key
+      |  FROM nation
+      |  UNION ALL
+      |  SELECT 7, 71
+      |), flags AS (
+      |  SELECT n, src_key,
+      |         CASE WHEN n = 1 THEN 'missing_start'
+      |              WHEN n = 2 THEN 'missing_source_fx'
+      |              WHEN n = 0 THEN 'unknown_location'
+      |              WHEN n IN (5, 10) THEN 'bad_share_with'
+      |              WHEN n IN (4, 6) THEN 'duplicate_series'
+      |              WHEN src_key = 71 THEN 'duplicate_in_batch'
+      |         END AS reject
+      |  FROM inc
+      |), accepted AS (
+      |  SELECT n, 9 + row_number() OVER (ORDER BY src_key) AS img_series_id
+      |  FROM flags WHERE reject IS NULL
+      |)
+      |SELECT location_id, status, img_series_id, first_img_us, args_json
+      |FROM (
+      |  SELECT n AS location_id, reject AS status,
+      |         CAST(NULL AS BIGINT) AS img_series_id,
+      |         CAST(NULL AS BIGINT) AS first_img_us,
+      |         CAST(NULL AS VARCHAR) AS args_json
+      |  FROM flags WHERE reject IS NOT NULL
+      |  UNION ALL
+      |  SELECT n, 'rolled_back', img_series_id, NULL, NULL
+      |  FROM accepted WHERE n % 3 = 0
+      |  UNION ALL
+      |  SELECT n, 'registered', img_series_id,
+      |         (1704067200 + n * 3600 + n * 60) * 1000000,
+      |         '{"camera":"cam' || n || '","path":"a:b"}'
+      |  FROM accepted WHERE n % 3 <> 0
+      |)
+      |ORDER BY location_id, status""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_image_series", imageSeries, Some(imageSeriesSql)),
     QueryDef("q_raster_zonal", rasterZonal, Some(rasterZonalSql), headline = true),
     QueryDef("q_raster_pyramid", rasterPyramid, Some(rasterPyramidSql)),
     QueryDef("q_raster_supersede", rasterSupersede, Some(rasterSupersedeSql)),

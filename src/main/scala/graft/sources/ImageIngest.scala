@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -61,6 +61,129 @@ object ImageIngest {
       Seq("img_series_id", "img_ts"),
       "left_anti"
     )
+
+  final case class RegisterResult(accepted: DataFrame, rejects: DataFrame)
+  final case class SeedResult(kept: DataFrame, rolledBack: DataFrame)
+
+  /** `source_fx_args` parser — the reference's "argument1: value1,
+    * argument2: value2" string becomes a compact JSON object
+    * (`R/addACImageSeries.R:77-90`): entries split on ",\\s*", each key
+    * is everything before the FIRST colon, each value everything after
+    * it (colons allowed inside values); a colon-less entry keeps the
+    * whole text as both key and value, exactly like R's no-match
+    * `sub`. Pure codegen'd string ops — no UDF.
+    */
+  def parseFxArgs(args: Column): Column =
+    when(args.isNull, lit(null).cast("string")).otherwise(
+      to_json(
+        map_from_entries(
+          transform(
+            split(args, ",\\s*"),
+            e =>
+              struct(
+                regexp_replace(e, ":.*", "").as("key"),
+                regexp_replace(e, "^[^:]+:\\s*", "").as("value")
+              )
+          )
+        )
+      )
+    )
+
+  /** Image-series registration gates — `R/addACImageSeries.R:19-138`:
+    * the location must exist (`:36-49`), share_with must be a
+    * non-empty set of known groups (`:57-59` plus the share_with
+    * trigger the DB enforces), one auto series per location
+    * (`:61-73`), and start/source_fx must be present for the fetch
+    * trigger to mean anything. Accepted rows get sequential ids above
+    * max(existing) and `first_img = last_img = start_datetime` (the
+    * pre-fetch watermark, `:92-105`); the seeded first fetch then
+    * confirms or rolls back via [[seedFirstFetch]].
+    *
+    * Batch-first like the raster twin
+    * ([[RasterIngest.registerSeries]]): every gate is a broadcast
+    * join + one flag projection, so registering a million cameras is
+    * the same plan as one.
+    */
+  def registerSeries(
+      incoming: DataFrame,
+      locations: DataFrame,
+      groups: DataFrame,
+      existing: DataFrame
+  ): RegisterResult = {
+    val locs = broadcast(
+      locations.select(col("location_id"), lit(true).as("__known_loc"))
+    )
+    val groupArr = broadcast(
+      groups.select(collect_set(col("group_name")).as("__groups"))
+    )
+    val dupes = broadcast(
+      existing.select(col("location_id")).distinct().withColumn("__dup", lit(true))
+    )
+    val flagged = incoming
+      .join(locs, Seq("location_id"), "left")
+      .join(dupes, Seq("location_id"), "left")
+      .crossJoin(groupArr) // one-row dimension
+      .withColumn(
+        "reject_reason",
+        when(col("start_datetime").isNull, "missing_start")
+          .when(col("source_fx").isNull, "missing_source_fx")
+          .when(col("__known_loc").isNull, "unknown_location")
+          .when(
+            size(col("share_with")) === 0 ||
+              !forall(col("share_with"), g => array_contains(col("__groups"), g)),
+            "bad_share_with"
+          )
+          .when(col("__dup").isNotNull, "duplicate_series")
+      )
+    val wBatch = Window
+      .partitionBy(col("location_id"))
+      .orderBy(col("reject_reason").isNotNull, col("src_key"))
+    val batchGated = flagged
+      .withColumn("__batch_rank", row_number().over(wBatch))
+      .withColumn(
+        "reject_reason",
+        coalesce(col("reject_reason"), when(col("__batch_rank") > 1, "duplicate_in_batch"))
+      )
+    val rejects = batchGated
+      .filter(col("reject_reason").isNotNull)
+      .select(col("src_key"), col("location_id"), col("reject_reason"))
+    val maxId = existing.agg(coalesce(max(col("img_series_id")), lit(0L)).as("__max_id"))
+    val accepted = graft.operators.SeqIds
+      .globalRank(batchGated.filter(col("reject_reason").isNull), Seq(col("src_key")), "__seq")
+      .crossJoin(broadcast(maxId))
+      .withColumn("img_series_id", col("__max_id") + col("__seq"))
+      .withColumn("source_fx_args", parseFxArgs(col("source_fx_args")))
+      .withColumn("first_img", col("start_datetime"))
+      .withColumn("last_img", col("start_datetime"))
+      .withColumn("active", lit(true))
+      .withColumn(
+        "description",
+        lit("Image series automatically taken from a web or server location.")
+      )
+      .drop("__max_id", "__seq", "__known_loc", "__dup", "__groups", "__batch_rank", "reject_reason")
+    RegisterResult(accepted, rejects)
+  }
+
+  /** The seeded first fetch (`R/addACImageSeries.R:106-137`): a new
+    * series whose first fetch finds nothing is DELETED (the reference's
+    * rollback-with-warning); one that finds images gets `first_img` =
+    * min(fetched datetime) and `last_img` = max. One aggregation over
+    * the fetched batch, one broadcast-able join back.
+    */
+  def seedFirstFetch(accepted: DataFrame, fetchedImages: DataFrame): SeedResult = {
+    val seeded = fetchedImages
+      .groupBy(col("img_series_id"))
+      .agg(min(col("img_ts")).as("__first"), max(col("img_ts")).as("__last"))
+    val kept = accepted
+      .join(seeded, Seq("img_series_id"))
+      .withColumn("first_img", col("__first"))
+      .withColumn("last_img", col("__last"))
+      .drop("__first", "__last")
+    val rolledBack = accepted
+      .join(seeded.select("img_series_id"), Seq("img_series_id"), "left_anti")
+      .select(col("src_key"), col("location_id"), col("img_series_id"))
+    SeedResult(kept, rolledBack)
+  }
 
   /** Per-series latest image + the new watermark — what `getNewImages`
     * writes back to `image_series.last_img` after a fetch round.

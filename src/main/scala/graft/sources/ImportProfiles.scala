@@ -76,7 +76,8 @@ object ImportProfiles {
     val fresh = SeqIds.globalRank(
       incoming.join(existing.select("source_code"), Seq("source_code"), "left_anti"),
       Seq(col("source_code")),
-      "__rk"
+      "__rk",
+      smallBatch = true // profile/key uploads are dimension-sized by definition
     ).withColumn("import_source_id", lit(maxId) + col("__rk")).drop("__rk")
     val staged = known
       .unionByName(fresh)
@@ -129,7 +130,8 @@ object ImportProfiles {
         "left_anti"
       ),
       Seq(col("import_source_id"), col("profile_code")),
-      "__rk"
+      "__rk",
+      smallBatch = true // profile/key uploads are dimension-sized by definition
     ).withColumn("import_profile_id", lit(maxId) + col("__rk")).drop("__rk")
     val staged = known.unionByName(fresh).select(ProfileCols.map(col): _*)
     Upsert(existing, staged, Seq("import_source_id", "profile_code"), Upsert.DoUpdate)
@@ -140,8 +142,28 @@ object ImportProfiles {
   // ---------------------------------------------------------------
 
   /** One lookup dimension: id column + the label columns a name may
-    * match (case-insensitively) — `R/import_mappings.R:938-996`. */
-  final case class Lookup(df: DataFrame, idCol: String, labelCols: Seq[String])
+    * match (case-insensitively) — `R/import_mappings.R:938-996`.
+    *
+    * The label table is a catalog dimension (parameters, result
+    * types, ...), so it collects ONCE into a literal map — the same
+    * dimension-collect discipline as Corrections/Guidelines — and
+    * resolution becomes a pure projection instead of six
+    * shuffle-backed joins per batch. */
+  final case class Lookup(df: DataFrame, idCol: String, labelCols: Seq[String]) {
+    /** lower(trim(label)) -> id, plus the set of DB-side-ambiguous
+      * labels (several ids share one lowercased name). */
+    lazy val (labelMap: Map[String, Long], ambiguous: Set[String]) = {
+      val pairs = labelCols.flatMap { lc =>
+        df.select(trim(lower(col(lc))).cast("string").as("l"), col(idCol).cast("long").as("id"))
+          .collect()
+          .collect { case r if !r.isNullAt(0) && r.getString(0).nonEmpty => (r.getString(0), r.getLong(1)) }
+      }.distinct
+      val grouped = pairs.groupBy(_._1)
+      (grouped.map { case (l, hits) => l -> hits.map(_._2).min }, grouped.collect {
+        case (l, hits) if hits.size > 1 => l
+      }.toSet)
+    }
+  }
 
   /** The six AquaCache target dimensions. */
   final case class ImportLookups(
@@ -190,46 +212,38 @@ object ImportProfiles {
             )
         base.withColumn(outCol, lit(null).cast("long"))
       case Some(inCol) =>
-        // (lower(label), id, n_hits) — n_hits > 1 marks DB-side ambiguity
-        val labels = lookup.labelCols
-          .map(lc =>
-            lookup.df.select(
-              lower(trim(col(lc))).as("__label"),
-              col(lookup.idCol).cast("long").as("__lid")
-            )
-          )
-          .reduce(_ unionByName _)
-          .filter(col("__label").isNotNull)
-          .distinct()
-        val grouped = labels
-          .groupBy("__label")
-          .agg(min(col("__lid")).as("__lid"), count(lit(1)).as("__nhits"))
         val v = col(inCol).cast("string")
         val isInt = v.rlike("^\\s*[0-9]+\\s*$")
         val isBool = asLogical(col(inCol)).isNotNull &&
           col(inCol).cast("string").rlike("(?i)^\\s*(true|t|false|f|yes|y|no|n)\\s*$")
-        val joined = df
-          .withColumn("__lookup_key", when(!isMissingStr(v) && !isInt && !isBool, lower(trim(v))))
-          .join(broadcast(grouped), col("__lookup_key") === col("__label"), "left")
+        val key = lower(trim(v))
+        // dimension-collected literal map: resolution is a projection,
+        // not a join — no shuffle, no broadcast job per field
+        val hit =
+          if (lookup.labelMap.isEmpty) lit(null).cast("long")
+          else element_at(typedLit(lookup.labelMap), key)
+        val isAmbiguous =
+          if (lookup.ambiguous.isEmpty) lit(false) else key.isin(lookup.ambiguous.toSeq: _*)
         val intVal = trim(v).cast("long")
         val boolVal = asLogical(col(inCol)).cast("long")
         val resolved = when(isMissingStr(v), lit(null).cast("long"))
           .when(isBool, if (allowNa) nullif(boolVal, lit(0L)) else boolVal)
           .when(isInt, if (allowNa) nullif(intVal, lit(0L)) else intVal)
-          .otherwise(col("__lid"))
+          .otherwise(hit)
         val err = when(isMissingStr(v) && !allowNa, concat(lit(s"missing required $valueName")))
           .when(
-            !isMissingStr(v) && !isInt && !isBool && col("__lid").isNull,
+            !isMissingStr(v) && !isInt && !isBool && isAmbiguous,
+            concat(lit(s"ambiguous $valueName: "), v)
+          )
+          .when(
+            !isMissingStr(v) && !isInt && !isBool && hit.isNull,
             concat(lit(s"unknown $valueName: "), v)
           )
-          .when(col("__nhits") > 1, concat(lit(s"ambiguous $valueName: "), v))
-        joined
-          .withColumn(outCol, resolved)
+        df.withColumn(outCol, resolved)
           .withColumn(
             "__errs",
             when(err.isNotNull, array_union(col("__errs"), array(err))).otherwise(col("__errs"))
           )
-          .drop("__lookup_key", "__label", "__lid", "__nhits")
     }
   }
 
@@ -342,14 +356,18 @@ object ImportProfiles {
         "left_anti"
       ),
       Seq(col("source_match")),
-      "__rk"
+      "__rk",
+      smallBatch = true // profile/key uploads are dimension-sized by definition
     ).withColumn("import_mapping_id", lit(maxId) + col("__rk")).drop("__rk")
     val upserted = Upsert(
       mappings,
       known.unionByName(fresh).select(MappingCols.map(col): _*),
       Seq("import_source_id", "source_match"),
       Upsert.DoUpdate
-    )
+    // lazy lineage cut: the upserted table is dimension-sized and every
+    // downstream consumer (a follow-up upsert, loadMappings, the
+    // resolve join) would otherwise replay this call's whole join DAG
+    ).localCheckpoint(false)
     (newSources, upserted)
   }
 
@@ -426,10 +444,10 @@ object ImportProfiles {
     // join only (Postgres treats the whole tuple as the conflict key)
     val keyed = staged
       .withColumn("__kp", coalesce(col("import_profile_id"), lit(-1L)))
-      .withColumn("__kc", coalesce(col("qualifier_column"), lit(" ")))
+      .withColumn("__kc", coalesce(col("qualifier_column"), lit("\u0000")))
     val target = existing
       .withColumn("__kp", coalesce(col("import_profile_id"), lit(-1L)))
-      .withColumn("__kc", coalesce(col("qualifier_column"), lit(" ")))
+      .withColumn("__kc", coalesce(col("qualifier_column"), lit("\u0000")))
     val maxId = existing
       .agg(coalesce(max(col("import_qualifier_mapping_id")), lit(0L)))
       .head()
@@ -442,7 +460,8 @@ object ImportProfiles {
     val fresh = SeqIds.globalRank(
       keyed.join(target.select(keyCols.map(col): _*), keyCols, "left_anti"),
       Seq(col("qualifier_value"), col("__kc")),
-      "__rk"
+      "__rk",
+      smallBatch = true // profile/key uploads are dimension-sized by definition
     ).withColumn("import_qualifier_mapping_id", lit(maxId) + col("__rk")).drop("__rk")
     Upsert(
       target,
@@ -510,8 +529,8 @@ object ImportProfiles {
       .withColumn("import_upload_session_id", lit(sessionId))
       .withColumn("result_index", coalesce(col("result_index").cast("int"), lit(1)))
       .select(UploadRowCols.map(col): _*)
-    val keyed = staged.withColumn("__ks", coalesce(col("sheet_name"), lit(" ")))
-    val target = existing.withColumn("__ks", coalesce(col("sheet_name"), lit(" ")))
+    val keyed = staged.withColumn("__ks", coalesce(col("sheet_name"), lit("\u0000")))
+    val target = existing.withColumn("__ks", coalesce(col("sheet_name"), lit("\u0000")))
     Upsert(
       target,
       keyed,
@@ -550,80 +569,132 @@ object ImportProfiles {
       mappings: DataFrame,
       key: String
   ): Option[(String, DataFrame)] = {
-    val active = sources.filter(col("active")).select("import_source_id", "source_code")
-    candidateKeys(key).iterator
-      .map { cand =>
-        val ids = active.filter(col("source_code") === cand).limit(1).collect()
-        if (ids.isEmpty) None
-        else {
-          val sid = ids.head.getAs[Long]("import_source_id")
-          val m = mappings
+    val cands = candidateKeys(key)
+    // ONE probe job for all candidates (the reference loops a DB query
+    // per candidate; ≤4 candidates makes one IN-probe strictly better),
+    // then one active-mapping count pass over the hit sources.
+    val hitSources = sources
+      .filter(col("active") && col("source_code").isin(cands: _*))
+      .select(col("import_source_id"), col("source_code"))
+      .collect()
+      .map(r => r.getString(1) -> r.getLong(0))
+      .toMap
+    if (hitSources.isEmpty) return None
+    val counts = mappings
+      .filter(col("active") && col("import_source_id").isin(hitSources.values.toSeq: _*))
+      .groupBy(col("import_source_id"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    cands
+      .collectFirst {
+        case cand if hitSources.get(cand).exists(sid => counts.getOrElse(sid, 0L) > 0) =>
+          val sid = hitSources(cand)
+          cand -> mappings
             .filter(col("import_source_id") === sid && col("active"))
-            .withColumn("source_match_values", from_json(col("source_match"), "map<string,string>"))
+            .withColumn(
+              "source_match_values",
+              from_json(col("source_match"), org.apache.spark.sql.types.MapType(
+                org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType))
+            )
             .withColumn("source_match_size", size(map_keys(col("source_match_values"))))
-          if (m.isEmpty) None else Some(cand -> m)
-        }
       }
-      .collectFirst { case Some(hit) => hit }
   }
 
   /** `import_mapping_resolve_match` (`R/import_mappings.R:1259`),
-    * distributed: every record joins the broadcast mapping dimension on
-    * "all criteria equal" (record values read through a map column,
-    * missing/NULL as ""), then one per-record window keeps the best
-    * match by (priority asc, specificity desc, import_mapping_id asc).
-    * A priority+specificity tie is an error in the reference; here the
-    * per-record `tied` flag carries it, and `strictTies` raises once
-    * driver-side. Unmatched records survive with NULL mapping columns
-    * (the callers decide whether unmapped rows drop). */
+    * distributed: the mapping dimension collapses to ONE array-of-
+    * struct row (ordered by priority asc, specificity desc, id asc —
+    * the reference's setorder), broadcast onto the record stream, and
+    * per record a codegen'd `filter` keeps the mappings whose criteria
+    * all equal the record's values (missing/NULL reads as ""); element
+    * 1 of the already-ordered survivors is the winner. Zero shuffle of
+    * the record stream — no join blowup, no per-record window — so a
+    * 100 TB import maps in its scan stage. A priority+specificity tie
+    * between survivors is an error in the reference; the per-record
+    * `tied` flag carries it and `strictTies` raises once driver-side.
+    * Unmatched records survive with NULL mapping columns (callers
+    * decide whether unmapped rows drop). */
   def resolveMatches(
       records: DataFrame,
       recordCols: Seq[String],
       mappings: DataFrame,
       strictTies: Boolean = true
   ): DataFrame = {
+    def rankKey(m: Column): Column =
+      struct(m.getField("prio"), -m.getField("msize"), m.getField("mid"))
+    val dim = mappings
+      .select(
+        collect_list(
+          struct(
+            col("priority").cast("int").as("prio"),
+            col("source_match_size").cast("int").as("msize"),
+            col("import_mapping_id").cast("long").as("mid"),
+            col("source_match_values").as("crit"),
+            col("parameter_id").cast("long").as("parameter_id"),
+            col("result_type").cast("long").as("result_type"),
+            col("sample_fraction_id").cast("long").as("sample_fraction_id"),
+            col("result_value_type").cast("long").as("result_value_type"),
+            col("result_speciation_id").cast("long").as("result_speciation_id"),
+            col("matrix_state_id").cast("long").as("matrix_state_id"),
+            col("conversion").cast("double").as("conversion"),
+            col("result_offset").cast("double").as("result_offset")
+          )
+        ).as("__maps")
+      )
     val recVals = map(
       recordCols.flatMap(c =>
         Seq(lit(c), coalesce(col(c).cast("string"), lit("")))): _*
     )
-    val withVals = records.withColumn("__rec_vals", recVals)
-      .withColumn("__rec_id", monotonically_increasing_id())
-    val m = broadcast(
-      mappings.select(
-        col("import_mapping_id").as("__mid"),
-        col("source_match_values").as("__crit"),
-        col("source_match_size").as("__size"),
-        col("priority").as("__prio"),
-        col("parameter_id"), col("result_type"), col("sample_fraction_id"),
-        col("result_value_type"), col("result_speciation_id"),
-        col("matrix_state_id"), col("conversion"), col("result_offset")
+    // collect_list order is partition-dependent — sort the array column
+    // itself (priority asc, specificity desc, id asc), which is
+    // deterministic regardless of how the dimension arrived
+    val sortedMaps = array_sort(
+      col("__maps"),
+      (l, r) => when(rankKey(l) < rankKey(r), -1).when(rankKey(l) > rankKey(r), 1).otherwise(lit(0))
+    )
+    val sortedHits = filter(
+      sortedMaps,
+      m =>
+        forall(
+          map_keys(m.getField("crit")),
+          k =>
+            element_at(col("__rec_vals"), k).isNotNull &&
+              element_at(col("__rec_vals"), k) === element_at(m.getField("crit"), k)
+        )
+    )
+    // get() (not getItem/element_at): NULL-tolerant under ANSI when a
+    // record has zero or one surviving mapping
+    val best = get(col("__hits"), lit(0))
+    val second = get(col("__hits"), lit(1))
+    val out = records
+      .withColumn("__rec_vals", recVals)
+      .crossJoin(broadcast(dim)) // one-row dimension: no blowup
+      .withColumn("__hits", sortedHits)
+      .withColumn(
+        "tied",
+        size(col("__hits")) >= 2 &&
+          best.getField("prio") === second.getField("prio") &&
+          best.getField("msize") === second.getField("msize")
       )
-    )
-    val matchCond = forall(
-      map_keys(col("__crit")),
-      k => element_at(col("__rec_vals"), k).isNotNull &&
-        element_at(col("__rec_vals"), k) === element_at(col("__crit"), k)
-    )
-    val joined = withVals.join(m, matchCond, "left")
-    val w = Window
-      .partitionBy(col("__rec_id"))
-      .orderBy(col("__prio").asc_nulls_last, col("__size").desc_nulls_last, col("__mid").asc_nulls_last)
-    val tw = Window.partitionBy(col("__rec_id"), col("__prio"), col("__size"))
-    val best = joined
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__ties", count(lit(1)).over(tw))
-      .filter(col("__rn") === 1)
-      .withColumn("tied", col("__mid").isNotNull && col("__ties") > 1)
-      .withColumn("import_mapping_id", col("__mid"))
-      .drop("__rec_vals", "__rec_id", "__mid", "__crit", "__size", "__prio", "__rn", "__ties")
+      .withColumn("import_mapping_id", best.getField("mid"))
+      .withColumn("parameter_id", best.getField("parameter_id"))
+      .withColumn("result_type", best.getField("result_type"))
+      .withColumn("sample_fraction_id", best.getField("sample_fraction_id"))
+      .withColumn("result_value_type", best.getField("result_value_type"))
+      .withColumn("result_speciation_id", best.getField("result_speciation_id"))
+      .withColumn("matrix_state_id", best.getField("matrix_state_id"))
+      .withColumn("conversion", best.getField("conversion"))
+      .withColumn("result_offset", best.getField("result_offset"))
+      .drop("__rec_vals", "__maps", "__hits")
     if (strictTies) {
-      val anyTie = best.filter(col("tied")).limit(1).collect()
+      val anyTie = out.filter(col("tied")).limit(1).collect()
       if (anyTie.nonEmpty) {
         throw new IllegalStateException(
           "Multiple import mappings matched the same source record with equal priority and specificity."
         )
       }
     }
-    best
+    out
   }
 }

@@ -53,4 +53,57 @@ class ImageIngestSpec extends SparkSpec {
     assert(latest(0).getAs[java.sql.Timestamp]("last_img") == ts("2024-01-01 13:00:00"))
     assert(latest(0).getAs[Int]("last_bytes") == 3)
   }
+
+  test("registerSeries: every gate fires; ids sequential; args JSON keeps colons in values") {
+    import spark.implicits._
+    val incoming = Seq(
+      (10L, 1L, Some(ts("2024-01-01 00:00:00")), Some("fx"), "cam: c1, path: a:b", Seq("public_reader")),
+      (20L, 2L, None, Some("fx"), "cam: c2", Seq("public_reader")), // missing start
+      (30L, 3L, Some(ts("2024-01-01 00:00:00")), None, "cam: c3", Seq("public_reader")), // missing fx
+      (40L, 99L, Some(ts("2024-01-01 00:00:00")), Some("fx"), "cam: c4", Seq("public_reader")), // unknown loc
+      (50L, 4L, Some(ts("2024-01-01 00:00:00")), Some("fx"), "cam: c5", Seq("nonesuch")), // bad group
+      (60L, 5L, Some(ts("2024-01-01 00:00:00")), Some("fx"), "cam: c6", Seq("public_reader")), // dup existing
+      (70L, 6L, Some(ts("2024-01-01 00:00:00")), Some("fx"), "cam: c7", Seq("public_reader")),
+      (71L, 6L, Some(ts("2024-01-01 00:00:00")), Some("fx"), "cam: c8", Seq("public_reader")) // dup in batch
+    ).toDF("src_key", "location_id", "start_datetime", "source_fx", "source_fx_args", "share_with")
+    val locations = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("location_id")
+    val groups = Seq("public_reader", "yg").toDF("group_name")
+    val existing = Seq((7L, 5L)).toDF("img_series_id", "location_id")
+    val reg = ImageIngest.registerSeries(incoming, locations, groups, existing)
+    val rejects = reg.rejects.collect()
+      .map(r => r.getAs[Long]("src_key") -> r.getAs[String]("reject_reason")).toMap
+    assert(rejects == Map(
+      20L -> "missing_start", 30L -> "missing_source_fx", 40L -> "unknown_location",
+      50L -> "bad_share_with", 60L -> "duplicate_series", 71L -> "duplicate_in_batch"))
+    val acc = reg.accepted.orderBy("src_key").collect()
+    assert(acc.map(_.getAs[Long]("src_key")).toSeq == Seq(10L, 70L))
+    assert(acc.map(_.getAs[Long]("img_series_id")).toSeq == Seq(8L, 9L)) // above max(existing)=7
+    assert(acc(0).getAs[String]("source_fx_args") == """{"cam":"c1","path":"a:b"}""")
+    // pre-fetch watermark: first_img = last_img = start
+    assert(acc(0).getAs[java.sql.Timestamp]("first_img") == ts("2024-01-01 00:00:00"))
+    assert(acc(0).getAs[java.sql.Timestamp]("last_img") == ts("2024-01-01 00:00:00"))
+  }
+
+  test("seedFirstFetch: empty first fetch rolls the series back; hits rewrite the watermarks") {
+    import spark.implicits._
+    val incoming = Seq(
+      (10L, 1L, Some(ts("2024-01-01 00:00:00")), Some("fx"), "cam: c1", Seq("public_reader")),
+      (20L, 2L, Some(ts("2024-01-01 00:00:00")), Some("fx"), "cam: c2", Seq("public_reader"))
+    ).toDF("src_key", "location_id", "start_datetime", "source_fx", "source_fx_args", "share_with")
+    val reg = ImageIngest.registerSeries(
+      incoming,
+      Seq(1L, 2L).toDF("location_id"),
+      Seq("public_reader").toDF("group_name"),
+      Seq((0L, 0L)).toDF("img_series_id", "location_id").limit(0)
+    )
+    val fetched = Seq( // only series 1 finds images
+      (1L, ts("2024-01-02 06:00:00")), (1L, ts("2024-01-03 06:00:00"))
+    ).toDF("img_series_id", "img_ts")
+    val seed = ImageIngest.seedFirstFetch(reg.accepted, fetched)
+    assert(seed.rolledBack.collect().map(_.getAs[Long]("img_series_id")).toSeq == Seq(2L))
+    val kept = seed.kept.collect()
+    assert(kept.length == 1)
+    assert(kept(0).getAs[java.sql.Timestamp]("first_img") == ts("2024-01-02 06:00:00"))
+    assert(kept(0).getAs[java.sql.Timestamp]("last_img") == ts("2024-01-03 06:00:00"))
+  }
 }
