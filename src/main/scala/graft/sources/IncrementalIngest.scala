@@ -19,18 +19,25 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalIngest {
 
+  private val Epoch = java.sql.Timestamp.valueOf("1970-01-01 00:00:00")
+
   /** @return the new measurement rows to append (canonical schema +
     *         timeseries_id), strictly after each series' last point
     *
-    * Scale notes: adapter fetches are parameterized by a per-series
-    * start timestamp, which MUST exist at driver time — but the
-    * collection is explicitly bounded to the WORKLIST (the catalog
-    * passed in, already driver-resident metadata), never O(all series
-    * in the fact table): the last-point aggregate is semi-joined to
-    * the catalog ids first. The correctness-critical "never re-append
-    * at-or-before the last point" guard is NOT the driver map — it is
-    * a distributed broadcast join against the last-point frame, so a
-    * fetched batch of any size is filtered executor-side.
+    * Scale notes: the dispatch worklist is a DATAFRAME — catalog ids
+    * joined to the last-point aggregate with the start timestamp
+    * (`last + 1s`) computed distributed. Driver-side collection is
+    * demoted to the Transport-seam fetch boundary, where a scalar
+    * start genuinely must exist to parameterize the remote call:
+    * ONE ROW PER FETCH GROUP for cache-sharing adapters (the scale
+    * path — a million ECCC series at a thousand stations collects a
+    * thousand rows), and one row per series only for adapters whose
+    * protocol is inherently per-series (that driver loop is then
+    * bounded by the number of remote calls, not by the catalog). The
+    * correctness-critical "never re-append at-or-before the last
+    * point" guard is NOT driver state — it is a distributed broadcast
+    * join against the last-point frame, so a fetched batch of any
+    * size is filtered executor-side.
     */
   def getNewContinuous(
       spark: SparkSession,
@@ -47,16 +54,48 @@ object IncrementalIngest {
       .filter(col("timeseries_id").isin(catalogIds: _*))
       .groupBy(col("timeseries_id"))
       .agg(max(col("datetime")).as("last_dt"))
-    val lastPoints: Map[Long, java.sql.Timestamp] = lastPointsDf
+
+    // the worklist frame: (series, fx, fetch group) x start timestamp.
+    // cache_key is NULL for per-series adapters; the group key of a
+    // shared adapter is computed from catalog metadata (driver data
+    // already — no fact-table access).
+    val sharedFx: Set[String] = known.map(_.sourceFx).distinct.collect {
+      case fx if registry(fx).isInstanceOf[SharedFetchAdapter] => fx
+    }.toSet
+    val worklist = known
+      .map { c =>
+        val key = registry(c.sourceFx) match {
+          case sa: SharedFetchAdapter => sa.cacheKey(c)
+          case _                      => null
+        }
+        (c.timeseriesId, c.sourceFx, key)
+      }
+      .toDF("timeseries_id", "source_fx", "cache_key")
+      .join(lastPointsDf, Seq("timeseries_id"), "left")
+      .withColumn(
+        "start_ts",
+        coalesce(timestamp_millis(unix_millis(col("last_dt")) + 1000L), lit(Epoch))
+      )
+
+    // fetch-boundary collects: one row per shared GROUP...
+    val groupStarts: Map[(String, String), java.sql.Timestamp] = worklist
+      .filter(col("cache_key").isNotNull)
+      .groupBy(col("source_fx"), col("cache_key"))
+      .agg(min(col("start_ts")).as("start_ts"))
+      .as[(String, String, java.sql.Timestamp)]
+      .collect()
+      .map { case (fx, key, ts) => (fx, key) -> ts }
+      .toMap
+    // ...and one per series only where the protocol is per-series
+    val seriesStarts: Map[Long, java.sql.Timestamp] = worklist
+      .filter(col("cache_key").isNull)
+      .select(col("timeseries_id"), col("start_ts"))
       .as[(Long, java.sql.Timestamp)]
       .collect()
       .toMap
 
     def startOf(cfg: SeriesConfig): java.sql.Timestamp =
-      lastPoints
-        .get(cfg.timeseriesId)
-        .map(t => new java.sql.Timestamp(t.getTime + 1000L))
-        .getOrElse(java.sql.Timestamp.valueOf("1970-01-01 00:00:00"))
+      seriesStarts.getOrElse(cfg.timeseriesId, Epoch)
 
     def normalize(fetched: DataFrame, cfg: SeriesConfig): DataFrame =
       fetched
@@ -75,8 +114,8 @@ object IncrementalIngest {
       case (fx, cfgs) =>
         registry(fx) match {
           case sa: SharedFetchAdapter =>
-            cfgs.groupBy(sa.cacheKey).toSeq.sortBy(_._1).flatMap { case (_, group) =>
-              val earliest = group.map(startOf).minBy(_.getTime)
+            cfgs.groupBy(sa.cacheKey).toSeq.sortBy(_._1).flatMap { case (key, group) =>
+              val earliest = groupStarts.getOrElse((fx, key), Epoch)
               val shared0 = sa.fetchShared(spark, group, earliest)
               // barrier: N extracts must not re-run the fetch
               val shared = if (group.size > 1) shared0.localCheckpoint(false) else shared0
