@@ -292,8 +292,11 @@ object CorpusQueries {
     * periodic job and the broadcast table is the artifact.
     */
   private def oovScore(s: SparkSession, d: String): DataFrame = {
-    val sh2 =
-      Dedup.shingles(TestTables.documents(s, d), "doc_id", "text", 2).localCheckpoint(false)
+    // no localCheckpoint: the shingle projection is scan-side and
+    // cheap to recompute for the scoring pass, while retained
+    // checkpoint blocks (unpersisted only when the ContextCleaner gets
+    // to them) made warm-rep timings swing 3.6x within one session
+    val sh2 = Dedup.shingles(TestTables.documents(s, d), "doc_id", "text", 2)
     val vocab = sh2
       .groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))
