@@ -320,6 +320,62 @@ object TextMlQueries {
        |FROM fp
        |ORDER BY doc_id""".stripMargin
 
+  // ---- streaming dedup parity (registered streaming twin) ----------
+
+  /** The streaming fingerprint-dedup twin AS AN ORACLE ROW: the corpus
+    * fingerprints stream through [[graft.streaming.StreamingIngest
+    * .dedupeByFingerprint]] in two doc_id-ordered AvailableNow drains
+    * (genuine cross-batch state via the checkpoint), and the QUERY
+    * OUTPUT IS THE STREAMED RESULT — so the driver's DuckDB compare
+    * verifies stream ≡ batch semantics (first doc per fingerprint)
+    * directly, not via a spec assertion. Ordered feeding makes the
+    * cross-batch winner the global min doc_id, which is exactly the
+    * batch QUALIFY the oracle states.
+    */
+  private def streamDedup(s: SparkSession, d: String): DataFrame = {
+    val norm = array_join(TextStats.tokens(col("text")), " ")
+    val fp = TestTables
+      .documents(s, d)
+      .select(col("doc_id"), PortableHash.md5num56(norm).as("fingerprint"))
+      .localCheckpoint(false)
+    val midVal = fp.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val base = java.nio.file.Files.createTempDirectory("graft-streamdedup").toString
+    val src = s"$base/src"; val cp = s"$base/cp"; val sink = s"$base/sink"
+    new java.io.File(src).mkdirs()
+    def drain(): Unit = {
+      val q = graft.streaming.StreamingIngest
+        .dedupeByFingerprint(
+          s.readStream
+            .schema("doc_id LONG, fingerprint LONG")
+            .parquet(src)
+        )
+        .writeStream
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(120000), "stream drain did not terminate")
+    }
+    fp.filter(col("doc_id") <= midVal).write.mode("append").parquet(src)
+    drain()
+    fp.filter(col("doc_id") > midVal).write.mode("append").parquet(src)
+    drain()
+    s.read.parquet(sink).select(col("doc_id"), col("fingerprint")).orderBy(col("doc_id"))
+  }
+
+  private lazy val streamDedupSql =
+    s"""WITH $tokCte,
+       |fp AS (
+       |  SELECT doc_id, ${PortableHash.md5num56Sql("array_to_string(toks, ' ')")} AS fingerprint
+       |  FROM tok
+       |)
+       |SELECT doc_id, fingerprint
+       |FROM fp
+       |QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fingerprint)
+       |ORDER BY doc_id""".stripMargin
+
   // ---- n-gram Jaccard near-dup pairs -------------------------------
 
   /** Shingles occurring in more docs than this are dropped before the
@@ -1171,6 +1227,7 @@ object TextMlQueries {
     QueryDef("q_filter_decision", filterDecision, Some(filterDecisionSql)),
     QueryDef("q_corpus_funnel", corpusFunnel, Some(corpusFunnelSql)),
     QueryDef("q_fingerprint", fingerprint, Some(fingerprintSql)),
+    QueryDef("q_stream_dedup", streamDedup, Some(streamDedupSql)),
     QueryDef("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql), headline = true),
     QueryDef("q_containment", containment, Some(containmentSql)),
     QueryDef("q_minhash_lsh", minHashLsh, Some(minHashLshSql), headline = true),

@@ -2,7 +2,6 @@ package graft.sources
 
 import graft.operators.{SeqIds, Upsert}
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Import-mapping profile management — the discrete-import key/profile
@@ -150,20 +149,25 @@ object ImportProfiles {
     * resolution becomes a pure projection instead of six
     * shuffle-backed joins per batch. */
   final case class Lookup(df: DataFrame, idCol: String, labelCols: Seq[String]) {
-    /** lower(trim(label)) -> id, plus the set of DB-side-ambiguous
-      * labels (several ids share one lowercased name). */
-    lazy val (labelMap: Map[String, Long], ambiguous: Set[String]) = {
-      val pairs = labelCols.flatMap { lc =>
-        df.select(trim(lower(col(lc))).cast("string").as("l"), col(idCol).cast("long").as("id"))
-          .collect()
-          .collect { case r if !r.isNullAt(0) && r.getString(0).nonEmpty => (r.getString(0), r.getLong(1)) }
-      }.distinct
-      val grouped = pairs.groupBy(_._1)
-      (grouped.map { case (l, hits) => l -> hits.map(_._2).min }, grouped.collect {
-        case (l, hits) if hits.size > 1 => l
-      }.toSet)
-    }
+    /** (lower(trim(label)), id) pairs as a tagged frame — unioned
+      * across all six dimensions so [[ImportLookups]] collects them in
+      * ONE job instead of six. */
+    private[ImportProfiles] def tagged(tag: String): DataFrame =
+      labelCols
+        .map(lc =>
+          df.select(
+            lit(tag).as("t"),
+            trim(lower(col(lc))).cast("string").as("l"),
+            col(idCol).cast("long").as("id")
+          )
+        )
+        .reduce(_ unionByName _)
   }
+
+  /** One resolved label dimension: lower(trim(label)) -> id, plus the
+    * set of DB-side-ambiguous labels (several ids share one lowercased
+    * name). */
+  final case class ResolvedLookup(labelMap: Map[String, Long], ambiguous: Set[String])
 
   /** The six AquaCache target dimensions. */
   final case class ImportLookups(
@@ -173,7 +177,38 @@ object ImportProfiles {
       resultValueTypes: Lookup,
       resultSpeciations: Lookup,
       matrixStates: Lookup
-  )
+  ) {
+    /** All six label maps, collected in ONE Spark job (lookups are
+      * catalog dimensions; this is the Corrections/Guidelines
+      * dimension-collect discipline, fused). */
+    lazy val resolved: Map[String, ResolvedLookup] = {
+      val all = Seq(
+        "parameter" -> parameters,
+        "result_type" -> resultTypes,
+        "sample_fraction" -> sampleFractions,
+        "result_value_type" -> resultValueTypes,
+        "result_speciation" -> resultSpeciations,
+        "matrix_state" -> matrixStates
+      )
+      val rows = all
+        .map { case (tag, lk) => lk.tagged(tag) }
+        .reduce(_ unionByName _)
+        .collect()
+        .collect {
+          case r if !r.isNullAt(1) && r.getString(1).nonEmpty =>
+            (r.getString(0), r.getString(1), r.getLong(2))
+        }
+        .distinct
+      val byTag = rows.groupBy(_._1)
+      all.map { case (tag, _) =>
+        val grouped = byTag.getOrElse(tag, Array.empty).groupBy(_._2)
+        tag -> ResolvedLookup(
+          grouped.map { case (l, hits) => l -> hits.map(_._3).min },
+          grouped.collect { case (l, hits) if hits.length > 1 => l }.toSet
+        )
+      }.toMap
+    }
+  }
 
   /** Default candidate input columns per target field —
     * `R/import_mappings.R:903-912`. */
@@ -195,7 +230,7 @@ object ImportProfiles {
   private def resolveField(
       df: DataFrame,
       candidates: Seq[String],
-      lookup: Lookup,
+      lookup: ResolvedLookup,
       outCol: String,
       valueName: String,
       allowNa: Boolean
@@ -261,12 +296,13 @@ object ImportProfiles {
   ): DataFrame = {
     val tc = DefaultTargetColumns ++ targetColumns
     var out = mappings.withColumn("__errs", array().cast("array<string>"))
-    out = resolveField(out, tc("parameter"), lookups.parameters, "parameter_id", "parameter", allowNa = true)
-    out = resolveField(out, tc("result_type"), lookups.resultTypes, "result_type", "result_type", allowNa = false)
-    out = resolveField(out, tc("sample_fraction"), lookups.sampleFractions, "sample_fraction_id", "sample_fraction", allowNa = true)
-    out = resolveField(out, tc("result_value_type"), lookups.resultValueTypes, "result_value_type", "result_value_type", allowNa = true)
-    out = resolveField(out, tc("result_speciation"), lookups.resultSpeciations, "result_speciation_id", "result_speciation", allowNa = true)
-    out = resolveField(out, tc("matrix_state"), lookups.matrixStates, "matrix_state_id", "matrix_state", allowNa = true)
+    val lk = lookups.resolved // ONE collect for all six dimensions
+    out = resolveField(out, tc("parameter"), lk("parameter"), "parameter_id", "parameter", allowNa = true)
+    out = resolveField(out, tc("result_type"), lk("result_type"), "result_type", "result_type", allowNa = false)
+    out = resolveField(out, tc("sample_fraction"), lk("sample_fraction"), "sample_fraction_id", "sample_fraction", allowNa = true)
+    out = resolveField(out, tc("result_value_type"), lk("result_value_type"), "result_value_type", "result_value_type", allowNa = true)
+    out = resolveField(out, tc("result_speciation"), lk("result_speciation"), "result_speciation_id", "result_speciation", allowNa = true)
+    out = resolveField(out, tc("matrix_state"), lk("matrix_state"), "matrix_state_id", "matrix_state", allowNa = true)
     def ensure(name: String, dflt: Column, fill: Column => Column): DataFrame => DataFrame =
       df =>
         if (df.columns.contains(name)) df.withColumn(name, fill(col(name))) else df.withColumn(name, dflt)
@@ -325,15 +361,20 @@ object ImportProfiles {
     val spark = sources.sparkSession
     import spark.implicits._
 
-    val newSources = upsertSources(
-      sources,
-      Seq((sourceCode, sourceName.getOrElse(sourceCode), sourceDescription.orNull))
-        .toDF("source_code", "source_name", "source_description")
-    ).localCheckpoint(false)
-    val sourceId = newSources
-      .filter(col("source_code") === sourceCode)
+    // max id and this code's existing id in ONE aggregate — the
+    // general upsertSources path would cost two driver actions for a
+    // single-row source upsert
+    val idRow = sources
+      .agg(
+        coalesce(max(col("import_source_id")), lit(0L)).as("max_id"),
+        max(when(col("source_code") === sourceCode, col("import_source_id"))).as("existing_id")
+      )
       .head()
-      .getAs[Long]("import_source_id")
+    val sourceId = if (idRow.isNullAt(1)) idRow.getLong(0) + 1L else idRow.getLong(1)
+    val srcRow = Seq(
+      (sourceId, sourceCode, sourceName.getOrElse(sourceCode), sourceDescription.orNull, true)
+    ).toDF("import_source_id", "source_code", "source_name", "source_description", "active")
+    val newSources = Upsert(sources, srcRow, Seq("source_code"), Upsert.DoUpdate)
 
     var staged = blankToNa(batch, exclude = matchColumns.toSet)
     if (staged.columns.contains("ignore")) {
@@ -640,21 +681,27 @@ object ImportProfiles {
             col("conversion").cast("double").as("conversion"),
             col("result_offset").cast("double").as("result_offset")
           )
+        ).as("__maps0")
+      )
+      // collect_list order is partition-dependent — sort the array
+      // (priority asc, specificity desc, id asc) ONCE here in the
+      // one-row dimension; sorting per record would run the comparator
+      // lambda rows x |mappings| x log|mappings| times for a constant
+      .select(
+        array_sort(
+          col("__maps0"),
+          (l, r) =>
+            when(rankKey(l) < rankKey(r), -1).when(rankKey(l) > rankKey(r), 1).otherwise(lit(0))
         ).as("__maps")
       )
     val recVals = map(
       recordCols.flatMap(c =>
         Seq(lit(c), coalesce(col(c).cast("string"), lit("")))): _*
     )
-    // collect_list order is partition-dependent — sort the array column
-    // itself (priority asc, specificity desc, id asc), which is
-    // deterministic regardless of how the dimension arrived
-    val sortedMaps = array_sort(
-      col("__maps"),
-      (l, r) => when(rankKey(l) < rankKey(r), -1).when(rankKey(l) > rankKey(r), 1).otherwise(lit(0))
-    )
+    // the dimension array arrives best-first: filtering preserves
+    // order, so element 0 of the survivors is the winner
     val sortedHits = filter(
-      sortedMaps,
+      col("__maps"),
       m =>
         forall(
           map_keys(m.getField("crit")),
