@@ -55,13 +55,20 @@ object Bench {
     (median(ts), ts.min, ts.max, ts)
   }
 
-  /** Per-query hygiene: drop cached plans and any leftover
-    * localCheckpoint blocks so one query's debris doesn't tax its
-    * successors — with 100+ queries in one JVM, accumulated
+  /** Per-query hygiene: drop cached plans, leftover localCheckpoint
+    * blocks and stray streaming queries so one query's debris doesn't
+    * tax its successors — with 120+ queries in one JVM, accumulated
     * checkpoint blocks shift later-query timings for reasons that
     * have nothing to do with the query itself.
+    *
+    * Deliberately NO System.gc() here: round 8 measured both a bare
+    * GC (cleanup storms land inside the next timed window, +13% on
+    * the carried total) and GC + 400 ms settle (+8%) against the
+    * plain reset — the lazy ContextCleaner debris costs less than
+    * forced cleanup ever did.
     */
   def resetSession(spark: SparkSession): Unit = {
+    spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
     spark.sharedState.cacheManager.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
   }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.PortableHash
-import graft.ml.{Dedup, FineDedup, KnLm, Sampling, TextStats}
+import graft.ml.{Dedup, Dsir, FineDedup, KnLm, Sampling, TextStats}
 import graft.tables.TestTables
 
 /** Corpus-construction operators a large-scale training-data pipeline
@@ -1455,7 +1455,57 @@ object CorpusQueries {
        |FROM inc
        |ORDER BY inc.vec_id""".stripMargin
 
+  // ---- DSIR importance resampling ----------------------------------
+
+  /** [[graft.ml.Dsir]] end to end: fit hashed-n-gram importance
+    * ratios on the `doc_id % 10 = 0` target slice, score the whole
+    * corpus, keep the 200 most target-like docs. The oracle recomputes
+    * the identical pipeline (portable md5 bucket hash, Laplace
+    * smoothing with exact integer totals, length-normalized score,
+    * 4-decimal quantized rank with id tie-break).
+    */
+  private def dsirSelect(s: SparkSession, d: String): DataFrame =
+    Dsir.select(
+      TestTables.documents(s, d),
+      "doc_id",
+      "text",
+      pmod(col("id"), lit(10)) === 0,
+      200
+    )
+
+  private lazy val dsirSelectSql = {
+    val b = Dsir.Buckets
+    s"""WITH $tokCte,
+       |grams AS (
+       |  SELECT doc_id,
+       |         unnest(list_concat(toks,
+       |           list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]))) AS gram
+       |  FROM tok WHERE len(toks) >= 1
+       |),
+       |feats AS (
+       |  SELECT doc_id, ${PortableHash.md5num28Sql("gram")} % $b AS bucket FROM grams
+       |),
+       |tcnt AS (SELECT bucket, count(*) AS pc FROM feats WHERE doc_id % 10 = 0 GROUP BY 1),
+       |scnt AS (SELECT bucket, count(*) AS qc FROM feats GROUP BY 1),
+       |tot AS (SELECT (SELECT sum(pc) FROM tcnt) AS pt, (SELECT sum(qc) FROM scnt) AS qt),
+       |ratio AS (
+       |  SELECT s.bucket,
+       |         ln((COALESCE(t.pc, 0) + 1.0) / (tot.pt + $b.0))
+       |           - ln((s.qc + 1.0) / (tot.qt + $b.0)) AS r
+       |  FROM scnt s LEFT JOIN tcnt t USING (bucket) CROSS JOIN tot
+       |),
+       |scored AS (
+       |  SELECT f.doc_id, sum(ratio.r) AS log_w, count(*) AS n_feats
+       |  FROM feats f JOIN ratio USING (bucket) GROUP BY 1
+       |)
+       |SELECT doc_id, n_feats, round(log_w / n_feats, 4) AS score_r
+       |FROM scored
+       |ORDER BY score_r DESC, doc_id
+       |LIMIT 200""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_dsir_select", dsirSelect, Some(dsirSelectSql)),
     QueryDef("q_dedup_clusters", dedupClusters, Some(dedupClustersSql), headline = true),
     QueryDef("q_semdedup", semDedup, Some(semDedupSql)),
     QueryDef("q_semdedup_incr", semDedupIncr, Some(semDedupIncrSql)),

@@ -342,6 +342,13 @@ object TextMlQueries {
     val base = java.nio.file.Files.createTempDirectory("graft-streamdedup").toString
     val src = s"$base/src"; val cp = s"$base/cp"; val sink = s"$base/sink"
     new java.io.File(src).mkdirs()
+    // Size the streaming STATE partitioning to the stream, not the
+    // session: the checkpoint pins shuffle partitions at first start,
+    // and each state partition is a store with its own maintenance +
+    // snapshot cost. A fingerprint-dedup state of one long per doc
+    // needs 4 stores at gate SF, not the session's 32 — at cluster
+    // scale this is the knob you set to (state size / store budget).
+    val sessionParts = s.conf.get("spark.sql.shuffle.partitions")
     def drain(): Unit = {
       val q = graft.streaming.StreamingIngest
         .dedupeByFingerprint(
@@ -358,10 +365,13 @@ object TextMlQueries {
         .start()
       require(q.awaitTermination(120000), "stream drain did not terminate")
     }
-    fp.filter(col("doc_id") <= midVal).write.mode("append").parquet(src)
-    drain()
-    fp.filter(col("doc_id") > midVal).write.mode("append").parquet(src)
-    drain()
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      fp.filter(col("doc_id") <= midVal).write.mode("append").parquet(src)
+      drain()
+      fp.filter(col("doc_id") > midVal).write.mode("append").parquet(src)
+      drain()
+    } finally s.conf.set("spark.sql.shuffle.partitions", sessionParts)
     s.read.parquet(sink).select(col("doc_id"), col("fingerprint")).orderBy(col("doc_id"))
   }
 

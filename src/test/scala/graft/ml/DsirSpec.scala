@@ -1,0 +1,54 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DsirSpec extends SparkSpec {
+
+  /** Two sharply different vocabularies: even ids speak "feline",
+    * odd ids speak "finance". Target = even ids, so feline docs must
+    * outscore finance docs.
+    */
+  private def corpus = {
+    import spark.implicits._
+    (1 to 60).map { i =>
+      val text =
+        if (i % 2 == 0) s"cat kitten purr whiskers cat toy number$i"
+        else s"stock bond yield market ticker price number$i"
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+  }
+
+  test("featurize emits unigrams + bigrams; single-token docs emit exactly one feature") {
+    import spark.implicits._
+    val one = Seq((1L, "hello"), (2L, "two tokens")).toDF("doc_id", "text")
+    val f = Dsir.featurize(one, "doc_id", "text")
+    val counts = f.groupBy("id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // "hello" -> 1 unigram, 0 bigrams; "two tokens" -> 2 unigrams + 1 bigram
+    assert(counts == Map(1L -> 1L, 2L -> 3L))
+    val buckets = f.select("bucket").collect().map(_.getLong(0))
+    assert(buckets.forall(b => b >= 0 && b < Dsir.Buckets))
+  }
+
+  test("select ranks target-like docs first and is repartition-stable") {
+    val sel = Dsir.select(corpus, "doc_id", "text", pmod(col("id"), lit(2)) === 0, 20)
+    val ids = sel.select("doc_id").collect().map(_.getLong(0))
+    assert(ids.length == 20)
+    assert(ids.forall(_ % 2 == 0), s"feline (even) docs must win the top 20, got ${ids.toSeq}")
+    val again = Dsir
+      .select(corpus.repartition(7), "doc_id", "text", pmod(col("id"), lit(2)) === 0, 20)
+      .select("doc_id")
+      .collect()
+      .map(_.getLong(0))
+    assert(ids.toSeq == again.toSeq, "deterministic under repartitioning")
+  }
+
+  test("ratio table is bounded by the bucket space and covers every scored feature") {
+    val feats = Dsir.featurize(corpus, "doc_id", "text")
+    val ratio = Dsir.bucketLogRatio(feats, pmod(col("id"), lit(2)) === 0)
+    assert(ratio.count() <= Dsir.Buckets)
+    // source-derived coverage: scoring joins lose no rows
+    val scored = Dsir.score(feats, ratio)
+    assert(scored.agg(sum("n_feats")).head().getLong(0) == feats.count())
+  }
+}
