@@ -79,6 +79,85 @@ object CorpusQueries {
        |FROM lab
        |ORDER BY doc_id""".stripMargin
 
+  // ---- leakage-safe splits (cluster-keyed assignment) --------------
+
+  /** Train/eval/test assignment keyed by NEAR-DUP CLUSTER, not by
+    * doc: hashing the component label means two near-duplicate
+    * documents can never straddle a split boundary — the train→eval
+    * contamination channel that per-doc splitting leaves open (the
+    * reason dedup papers re-split after clustering; cf. Lee et al.
+    * 2022 §6). Pure composition of two oracle-proven pieces
+    * ([[Dedup.connectedComponents]] over the q_minhash_lsh pairs,
+    * [[Sampling.splits]] on the cluster label), plus a per-cluster
+    * distinct-split count that STATES the guarantee in the output
+    * (always 1) so the oracle verifies it rather than assuming it.
+    */
+  private def leakageSplit(s: SparkSession, d: String): DataFrame = {
+    val docs = TestTables.documents(s, d)
+    val pairs = Dedup.minHashNearDups(
+      docs,
+      "doc_id",
+      "text",
+      shingleN = 3,
+      numPerm = MinHashPerms,
+      bands = MinHashBands,
+      threshold = 0.6,
+      family = Dedup.PortableMd5
+    )
+    val cc = Dedup.connectedComponents(docs.select("doc_id"), "doc_id", pairs.select("d1", "d2"))
+    Sampling
+      .splits(
+        cc.withColumn("ck", col("cluster_id").cast("string")),
+        "ck",
+        Seq(("train", 8), ("eval", 1), ("test", 1))
+      )
+      .withColumn(
+        "n_splits_in_cluster",
+        size(collect_set(col("split")).over(Window.partitionBy(col("cluster_id"))))
+      )
+      .select(col("doc_id"), col("cluster_id"), col("split"), col("n_splits_in_cluster"))
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val leakageSplitSql =
+    s"""WITH RECURSIVE $tokCte, $shCte,
+       |$minHashCandCtes, pair AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  JOIN cand c ON c.d1 = a.doc_id AND c.d2 = b.doc_id
+       |  GROUP BY 1, 2
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+       |), edges AS (
+       |  SELECT d1, d2
+       |  FROM pair
+       |  JOIN sizes s1 ON s1.doc_id = d1
+       |  JOIN sizes s2 ON s2.doc_id = d2
+       |  WHERE inter::DOUBLE / (s1.n_sh + s2.n_sh - inter) >= 0.6
+       |), sym AS (
+       |  SELECT d1 AS src, d2 AS dst FROM edges
+       |  UNION ALL
+       |  SELECT d2, d1 FROM edges
+       |), reach(node, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT s.src, reach.r FROM sym s JOIN reach ON reach.node = s.dst
+       |), lab AS (
+       |  SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+       |), spl AS (
+       |  SELECT doc_id, cluster_id,
+       |         CASE WHEN ${PortableHash.md5num56Sql("CAST(cluster_id AS VARCHAR)")} % 10 < 8 THEN 'train'
+       |              WHEN ${PortableHash.md5num56Sql("CAST(cluster_id AS VARCHAR)")} % 10 < 9 THEN 'eval'
+       |              ELSE 'test' END AS split
+       |  FROM lab
+       |), csumm AS (
+       |  SELECT cluster_id, CAST(count(DISTINCT split) AS INT) AS n_splits_in_cluster
+       |  FROM spl GROUP BY 1
+       |)
+       |SELECT s.doc_id, s.cluster_id, s.split, c.n_splits_in_cluster
+       |FROM spl s JOIN csumm c USING (cluster_id)
+       |ORDER BY s.doc_id""".stripMargin
+
   // ---- repetition signals (Gopher-style) ---------------------------
 
   /** Per-doc repetition metrics: duplicate-token fraction, most
@@ -1506,6 +1585,7 @@ object CorpusQueries {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_dsir_select", dsirSelect, Some(dsirSelectSql)),
+    QueryDef("q_leakage_split", leakageSplit, Some(leakageSplitSql)),
     QueryDef("q_dedup_clusters", dedupClusters, Some(dedupClustersSql), headline = true),
     QueryDef("q_semdedup", semDedup, Some(semDedupSql)),
     QueryDef("q_semdedup_incr", semDedupIncr, Some(semDedupIncrSql)),

@@ -95,6 +95,34 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("leakage-safe splits: every member of a cluster lands in the same split") {
+    import org.apache.spark.sql.functions._
+    // three components (1-2-3, 5-6, singletons 4,7) -> split keyed on
+    // the component label, so members can never straddle a boundary
+    val cc = Dedup.connectedComponents(
+      Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id"),
+      "doc_id",
+      Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("d1", "d2")
+    )
+    val out = Sampling
+      .splits(cc.withColumn("ck", col("cluster_id").cast("string")), "ck", Seq(("train", 8), ("eval", 1), ("test", 1)))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    val byCluster = out.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    assert(byCluster.values.forall(_.size == 1), s"one split per cluster: $byCluster")
+    // doc-keyed assignment would break this for any cluster whose
+    // members hash to different buckets — prove the fixture has one
+    val docKeyed = Sampling
+      .splits(cc.withColumn("dk", col("doc_id").cast("string")), "dk", Seq(("train", 8), ("eval", 1), ("test", 1)))
+      .collect()
+      .map(r => (r.getLong(1), r.getString(3)))
+    val docByCluster = docKeyed.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert(
+      docByCluster.values.exists(_.size > 1),
+      "fixture must demonstrate the leakage channel cluster-keying closes"
+    )
+  }
+
   test("repetition signals: duplicated tokens and n-grams are measured") {
     val d = Seq(
       (1L, "spam spam spam spam"), // one distinct token, one bigram repeated 3x
