@@ -90,6 +90,15 @@ object Bench {
         e.printStackTrace()
         System.err.println("BENCH FAILED — root cause chain (innermost last):")
         chain.foreach(m => System.err.println(s"  $m"))
+        // Also persist the chain: a failure's stderr routinely dies in
+        // a harness pipe (round 8 lost a transient sf1 failure this
+        // way), but a file survives for the postmortem.
+        try
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get("BENCH_FAIL.txt"),
+            (s"failed at ${java.time.Instant.now()}\n" + chain.mkString("\n")).getBytes("UTF-8")
+          )
+        catch { case _: Throwable => () }
         sys.exit(1)
     }
 

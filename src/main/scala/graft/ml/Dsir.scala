@@ -70,20 +70,52 @@ object Dsir {
     * source-side coverage is complete by construction). Output is
     * <= [[Buckets]] rows — always broadcastable.
     */
-  def bucketLogRatio(feats: DataFrame, isTarget: Column, alpha: Double = 1.0): DataFrame = {
+  def bucketLogRatio(feats: DataFrame, isTarget: Column, alpha: Double = 1.0): DataFrame =
+    fit(feats, isTarget, alpha).table
+
+  /** A fitted importance model: the bucket log-ratio table plus the
+    * Laplace default for buckets the fit corpus never saw — an
+    * incoming batch can contain novel buckets, and a screen must
+    * score them as `ln(alpha/(pTot+alpha*B)) - ln(alpha/(qTot+alpha*B))`
+    * rather than silently dropping their mass.
+    */
+  final case class RatioModel(table: DataFrame, defaultR: Double)
+
+  /** Fit on one corpus, keep the model for screening others — the
+    * deployment shape: fit once on the curated corpus, screen every
+    * incoming crawl batch against the (persistable, <= [[Buckets]]
+    * rows) table.
+    */
+  def fit(feats: DataFrame, isTarget: Column, alpha: Double = 1.0): RatioModel = {
     val tgt = feats.filter(isTarget).groupBy("bucket").agg(count(lit(1)).as("pc"))
     val src = feats.groupBy("bucket").agg(count(lit(1)).as("qc"))
-    // two scalar totals to the driver: exact integers, dimension-sized
     val pTot = tgt.agg(coalesce(sum("pc"), lit(0L))).head().getLong(0)
     val qTot = src.agg(coalesce(sum("qc"), lit(0L))).head().getLong(0)
-    src
+    val table = src
       .join(tgt, Seq("bucket"), "left")
       .select(
         col("bucket"),
         (log((coalesce(col("pc"), lit(0L)) + alpha) / (pTot + alpha * Buckets))
           - log((col("qc") + alpha) / (qTot + alpha * Buckets))).as("r")
       )
+    val defaultR =
+      math.log(alpha / (pTot + alpha * Buckets)) - math.log(alpha / (qTot + alpha * Buckets))
+    RatioModel(table, defaultR)
   }
+
+  /** Score a (possibly disjoint) featurized batch against a fitted
+    * model: novel buckets take the model's Laplace default. Same
+    * one-broadcast-join-one-shuffle shape as [[score]].
+    */
+  def screenScore(feats: DataFrame, model: RatioModel): DataFrame =
+    feats
+      .join(broadcast(model.table), Seq("bucket"), "left")
+      .groupBy("id")
+      .agg(
+        sum(coalesce(col("r"), lit(model.defaultR))).as("log_w"),
+        count(lit(1)).as("n_feats")
+      )
+      .select(col("id"), col("n_feats"), (col("log_w") / col("n_feats")).as("score"))
 
   /** Per-document importance: length-normalized sum of bucket
     * log-ratios (`log_w / n_feats` — the per-token log-likelihood

@@ -79,6 +79,74 @@ object CorpusQueries {
        |FROM lab
        |ORDER BY doc_id""".stripMargin
 
+  // ---- DSIR incremental screen (persisted-ratio probe) -------------
+
+  /** The DSIR deployment shape: [[graft.ml.Dsir.fit]] once on the
+    * curated corpus (`doc_id % 3 != 1`; target slice `doc_id % 10 = 0`
+    * within it), then screen the INCOMING batch (`doc_id % 3 = 1`)
+    * against the fitted — persistable, bucket-bounded — ratio table.
+    * Novel buckets the fit corpus never saw take the model's Laplace
+    * default instead of being dropped (a screen that silently loses
+    * unseen-feature mass over-scores out-of-domain crawls). Sibling
+    * of q_kn_screen / q_simhash_screen: corpus side never reshuffles,
+    * only the batch moves.
+    */
+  private def dsirScreen(s: SparkSession, d: String): DataFrame = {
+    val feats = Dsir
+      .featurize(TestTables.documents(s, d), "doc_id", "text")
+      .localCheckpoint(false)
+    val model = Dsir.fit(
+      feats.filter(pmod(col("id"), lit(3)) =!= 1),
+      pmod(col("id"), lit(10)) === 0
+    )
+    Dsir
+      .screenScore(feats.filter(pmod(col("id"), lit(3)) === 1), model)
+      .select(
+        col("id").as("doc_id"),
+        col("n_feats"),
+        round(col("score"), 4).as("score_r"),
+        (round(col("score"), 4) >= 0.0).as("kept")
+      )
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val dsirScreenSql = {
+    val b = Dsir.Buckets
+    s"""WITH $tokCte,
+       |grams AS (
+       |  SELECT doc_id,
+       |         unnest(list_concat(toks,
+       |           list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]))) AS gram
+       |  FROM tok WHERE len(toks) >= 1
+       |),
+       |feats AS (
+       |  SELECT doc_id, ${PortableHash.md5num28Sql("gram")} % $b AS bucket FROM grams
+       |),
+       |corp AS (SELECT * FROM feats WHERE doc_id % 3 <> 1),
+       |tcnt AS (SELECT bucket, count(*) AS pc FROM corp WHERE doc_id % 10 = 0 GROUP BY 1),
+       |scnt AS (SELECT bucket, count(*) AS qc FROM corp GROUP BY 1),
+       |tot AS (SELECT (SELECT sum(pc) FROM tcnt) AS pt, (SELECT sum(qc) FROM scnt) AS qt),
+       |ratio AS (
+       |  SELECT s.bucket,
+       |         ln((COALESCE(t.pc, 0) + 1.0) / (tot.pt + $b.0))
+       |           - ln((s.qc + 1.0) / (tot.qt + $b.0)) AS r
+       |  FROM scnt s LEFT JOIN tcnt t USING (bucket) CROSS JOIN tot
+       |),
+       |scored AS (
+       |  SELECT f.doc_id,
+       |         sum(COALESCE(ratio.r,
+       |                      ln(1.0 / (tot.pt + $b.0)) - ln(1.0 / (tot.qt + $b.0)))) AS log_w,
+       |         count(*) AS n_feats
+       |  FROM feats f LEFT JOIN ratio USING (bucket) CROSS JOIN tot
+       |  WHERE f.doc_id % 3 = 1
+       |  GROUP BY 1
+       |)
+       |SELECT doc_id, n_feats, round(log_w / n_feats, 4) AS score_r,
+       |       round(log_w / n_feats, 4) >= 0.0 AS kept
+       |FROM scored
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---- leakage-safe splits (cluster-keyed assignment) --------------
 
   /** Train/eval/test assignment keyed by NEAR-DUP CLUSTER, not by
@@ -1586,6 +1654,7 @@ object CorpusQueries {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_dsir_select", dsirSelect, Some(dsirSelectSql)),
     QueryDef("q_leakage_split", leakageSplit, Some(leakageSplitSql)),
+    QueryDef("q_dsir_screen", dsirScreen, Some(dsirScreenSql)),
     QueryDef("q_dedup_clusters", dedupClusters, Some(dedupClustersSql), headline = true),
     QueryDef("q_semdedup", semDedup, Some(semDedupSql)),
     QueryDef("q_semdedup_incr", semDedupIncr, Some(semDedupIncrSql)),

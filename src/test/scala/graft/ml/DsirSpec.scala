@@ -43,6 +43,28 @@ class DsirSpec extends SparkSpec {
     assert(ids.toSeq == again.toSeq, "deterministic under repartitioning")
   }
 
+  test("screenScore: novel buckets take the Laplace default; persisted ratio table screens identically") {
+    import spark.implicits._
+    val feats = Dsir.featurize(corpus, "doc_id", "text")
+    val model = Dsir.fit(feats, pmod(col("id"), lit(2)) === 0)
+    // a wholly out-of-vocabulary batch: every feature unseen -> every
+    // occurrence contributes exactly defaultR, so score == defaultR
+    val novel = Dsir.featurize(
+      Seq((999L, "zzqx qvv wvxk")).toDF("doc_id", "text"),
+      "doc_id",
+      "text"
+    )
+    val Array(row) = Dsir.screenScore(novel, model).collect()
+    assert(math.abs(row.getDouble(2) - model.defaultR) < 1e-12)
+    // fit-once / screen-later: the table survives a parquet round trip
+    val dir = java.nio.file.Files.createTempDirectory("dsir-ratio").toString
+    model.table.write.mode("overwrite").parquet(dir)
+    val reloaded = Dsir.RatioModel(spark.read.parquet(dir), model.defaultR)
+    val a = Dsir.screenScore(feats, model).collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    val b = Dsir.screenScore(feats, reloaded).collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(a == b, "persisted-table screen must equal the in-memory screen")
+  }
+
   test("ratio table is bounded by the bucket space and covers every scored feature") {
     val feats = Dsir.featurize(corpus, "doc_id", "text")
     val ratio = Dsir.bucketLogRatio(feats, pmod(col("id"), lit(2)) === 0)
