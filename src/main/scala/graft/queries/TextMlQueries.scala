@@ -912,6 +912,108 @@ object TextMlQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---- ANN quality evaluation: recall@k vs brute truth -------------
+
+  /** Recall@5 of the IVF index against the exact brute-force top-5 —
+    * the acceptance measurement every ANN deployment runs before
+    * trusting the approximate path. Per query: |IVF∩brute| / 5, with
+    * zero-hit queries preserved (a recall report that drops its
+    * failures isn't one). Both sides are the registered, oracle-proven
+    * pipelines (q_cosine_topk / q_ivf_ann) with identical parameters,
+    * so the top-5 SETS are cross-engine deterministic (quantized-rank
+    * + id tie-break) and the intersection count hashes exactly. Runs
+    * on the 1%-sample query set — the production shape: recall is
+    * estimated on a sample, never all queries.
+    */
+  private def annRecall(s: SparkSession, d: String): DataFrame = {
+    val e = TestTables.embeddings(s, d)
+    val brute = Similarity
+      .cosineTopK(e, "vec_id", "embedding", queryPred = col("vec_id") % 100 === 0, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val ivf = Similarity
+      .ivfTopK(e, "vec_id", "embedding", queryPred = col("vec_id") % 100 === 0, k = 5, nCentroids = 16, nProbe = 4)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = brute
+      .join(ivf, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_hits"))
+    brute
+      .select("query_id")
+      .distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(
+        col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)) / 5.0, 4).as("recall_at_5")
+      )
+      .orderBy(col("query_id"))
+  }
+
+  /** Both proven fragment chains verbatim (brute = q_cosine_topk's,
+    * IVF = q_ivf_ann's with the same inlined centroid literals),
+    * renamed to avoid CTE collisions, joined on the survivor sets.
+    */
+  private lazy val annRecallSql = {
+    val centroids = Similarity.normalizedCentroids(16, 64, 7L)
+    val structs = centroids.zipWithIndex.map { case (c, i) =>
+      val arr = c.mkString("[", ", ", "]")
+      s"{'s': list_dot_product(nv, $arr), 'c': $i}"
+    }
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS FLOAT)::DOUBLE) AS v FROM embeddings
+       |), bq AS (
+       |  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0
+       |), bscored AS (
+       |  SELECT query_id, e.vec_id AS neighbor_id,
+       |         list_dot_product(qv, v) / sqrt(list_dot_product(qv, qv) * list_dot_product(v, v)) AS cos
+       |  FROM bq, e
+       |  WHERE e.vec_id <> bq.query_id
+       |), brute AS (
+       |  SELECT query_id, neighbor_id
+       |  FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |    FROM bscored
+       |  )
+       |  WHERE rank <= 5
+       |), nv0 AS (
+       |  SELECT vec_id,
+       |         list_transform(
+       |           CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[]),
+       |           x -> x / sqrt(list_dot_product(CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[]), CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[])))
+       |         ) AS nv
+       |  FROM embeddings
+       |), rankedc AS (
+       |  SELECT vec_id, nv, list_reverse_sort([${structs.mkString(",\n         ")}]) AS rc FROM nv0
+       |), corpus AS (
+       |  SELECT vec_id AS neighbor_id, nv AS v, CAST((rc[1]).c AS INT) AS cluster FROM rankedc
+       |), iq AS (
+       |  SELECT vec_id AS query_id, nv AS qv,
+       |         CAST(unnest(list_transform(list_slice(rc, 1, 4), x -> x.c)) AS INT) AS cluster
+       |  FROM rankedc WHERE vec_id % 100 = 0
+       |), iscored AS (
+       |  SELECT query_id, neighbor_id, list_dot_product(qv, v) AS cos
+       |  FROM iq JOIN corpus USING (cluster)
+       |  WHERE neighbor_id <> query_id
+       |), ivf AS (
+       |  SELECT query_id, neighbor_id
+       |  FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY round(cos, 4) DESC, neighbor_id) AS rank
+       |    FROM iscored
+       |  )
+       |  WHERE rank <= 5
+       |), hits AS (
+       |  SELECT b.query_id, count(*) AS n_hits
+       |  FROM brute b JOIN ivf i ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+       |  GROUP BY 1
+       |)
+       |SELECT q.query_id,
+       |       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |       round(COALESCE(h.n_hits, 0) / 5.0, 4) AS recall_at_5
+       |FROM (SELECT DISTINCT query_id FROM brute) q
+       |LEFT JOIN hits h USING (query_id)
+       |ORDER BY q.query_id""".stripMargin
+  }
+
   // ---- IVF-PQ: product-quantized ANN -------------------------------
 
   private val PqM = 8
@@ -1248,6 +1350,7 @@ object TextMlQueries {
     QueryDef("q_ann_lsh", annLsh, Some(annLshSql), headline = true),
     QueryDef("q_lsh_buckets", lshBuckets, Some(lshBucketsSql)),
     QueryDef("q_ivf_ann", ivfAnn, Some(ivfAnnSql)),
+    QueryDef("q_ann_recall", annRecall, Some(annRecallSql)),
     QueryDef("q_ivf_clusters", ivfClusters, Some(ivfClustersSql)),
     QueryDef("q_pq_encode", pqEncQuery, Some(pqEncodeSql)),
     QueryDef("q_ivf_pq_ann", ivfPqAnn, Some(ivfPqAnnSql)),
