@@ -1220,6 +1220,62 @@ object CorpusQueries {
        |WHERE d.doc_id % 3 = 1
        |ORDER BY d.doc_id""".stripMargin
 
+  /** The streaming band-screen twin AS AN ORACLE ROW (sibling of
+    * q_stream_dedup): the corpus band index is PERSISTED to parquet,
+    * the incoming third streams through
+    * [[graft.streaming.StreamingIngest.screenAgainstBandIndex]] in two
+    * AvailableNow drains, and drain 2 re-appends drain 1's docs — the
+    * cross-batch emit-once state must suppress the re-crawl or the
+    * compare fails on duplicate rows. The QUERY OUTPUT IS THE STREAMED
+    * RESULT checked against the SAME oracle SQL as the batch
+    * q_simhash_screen, so stream ≡ batch is driver-verified.
+    */
+  private def streamScreen(s: SparkSession, d: String): DataFrame = {
+    val docs = TestTables.documents(s, d)
+    val base = java.nio.file.Files.createTempDirectory("graft-streamscreen").toString
+    val idxDir = s"$base/idx"; val src = s"$base/src"
+    val cp = s"$base/cp"; val sink = s"$base/sink"
+    Dedup
+      .buildBandIndex(docs.filter(col("doc_id") % 3 =!= 1), "doc_id", "text")
+      .write
+      .parquet(idxDir)
+    val persisted = s.read.parquet(idxDir)
+    val incoming = Dedup
+      .simHash(docs.filter(col("doc_id") % 3 === 1), "doc_id", "text")
+      .localCheckpoint(false)
+    val midVal = incoming.agg(max(col("doc_id"))).head().getLong(0) / 2
+    new java.io.File(src).mkdirs()
+    val sessionParts = s.conf.get("spark.sql.shuffle.partitions")
+    def drain(): Unit = {
+      val q = graft.streaming.StreamingIngest
+        .screenAgainstBandIndex(
+          s.readStream.schema("doc_id LONG, simhash LONG").parquet(src),
+          persisted
+        )
+        .writeStream
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(120000), "stream drain did not terminate")
+    }
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      incoming.filter(col("doc_id") <= midVal).write.mode("append").parquet(src)
+      drain()
+      incoming.filter(col("doc_id") > midVal).write.mode("append").parquet(src)
+      // the re-crawl: drain 1's docs land again — state suppresses them
+      incoming.filter(col("doc_id") <= midVal).write.mode("append").parquet(src)
+      drain()
+    } finally s.conf.set("spark.sql.shuffle.partitions", sessionParts)
+    s.read
+      .parquet(sink)
+      .select(col("doc_id"), col("is_dup"), col("dup_of"), col("hamming"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- int8 embedding quantization ---------------------------------
 
   private def embedQuantize(s: SparkSession, d: String): DataFrame =
@@ -1675,6 +1731,7 @@ object CorpusQueries {
     QueryDef("q_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     QueryDef("q_incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
     QueryDef("q_simhash_screen", simhashScreen, Some(simhashScreenSql)),
+    QueryDef("q_stream_screen", streamScreen, Some(simhashScreenSql)),
     QueryDef("q_semdedup_screen", semDedupScreenQ, Some(semDedupScreenSql)),
     QueryDef("q_embed_quantize", embedQuantize, Some(embedQuantizeSql)),
     QueryDef("q_source_profile", sourceProfile, Some(sourceProfileSql)),

@@ -23,6 +23,11 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("dsir select/screen join the bucket-bounded ratio table broadcast — the corpus never shuffles by bucket") {
+    assert(plan("q_dsir_select").contains("BroadcastHashJoin"), plan("q_dsir_select"))
+    assert(plan("q_dsir_screen").contains("BroadcastHashJoin"), plan("q_dsir_screen"))
+  }
+
   test("zonal stats broadcasts the zone dim — the cell side never pre-shuffles") {
     val p = plan("q_raster_zonal")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
