@@ -55,8 +55,12 @@ object HydatCheck {
     val remote = normalizeStamp(remoteVersion)
     localVersion.map(normalizeStamp) match {
       case None =>
+        // a fresh install gets the same post-download re-check the
+        // stale path performs: a None re-read (or a stamp that still
+        // isn't the remote's) is a FAILED install, not a success
         val fresh = download().map(normalizeStamp)
-        Result(Installed, updated = true, fresh)
+        if (fresh.contains(remote)) Result(Installed, updated = true, fresh)
+        else Result(UpdateFailed, updated = false, fresh)
       case Some(local) if local == remote =>
         Result(UpToDate, updated = false, Some(local))
       case Some(_) =>

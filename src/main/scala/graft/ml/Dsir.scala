@@ -89,8 +89,14 @@ object Dsir {
   def fit(feats: DataFrame, isTarget: Column, alpha: Double = 1.0): RatioModel = {
     val tgt = feats.filter(isTarget).groupBy("bucket").agg(count(lit(1)).as("pc"))
     val src = feats.groupBy("bucket").agg(count(lit(1)).as("qc"))
-    val pTot = tgt.agg(coalesce(sum("pc"), lit(0L))).head().getLong(0)
-    val qTot = src.agg(coalesce(sum("qc"), lit(0L))).head().getLong(0)
+    // both exact integer totals in ONE action — separate tgt/src
+    // aggregates would re-run the featurization twice more for
+    // un-checkpointed callers
+    val totals = feats
+      .agg(count(lit(1)).as("q"), count(when(isTarget, lit(1))).as("p"))
+      .head()
+    val qTot = totals.getLong(0)
+    val pTot = totals.getLong(1)
     val table = src
       .join(tgt, Seq("bucket"), "left")
       .select(

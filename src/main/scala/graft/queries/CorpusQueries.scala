@@ -1270,10 +1270,23 @@ object CorpusQueries {
       incoming.filter(col("doc_id") <= midVal).write.mode("append").parquet(src)
       drain()
     } finally s.conf.set("spark.sql.shuffle.partitions", sessionParts)
-    s.read
-      .parquet(sink)
-      .select(col("doc_id"), col("is_dup"), col("dup_of"), col("hamming"))
+    // left-join back to ALL incoming docs, as the batch twin does: a
+    // token-less doc produces no simhash row, never enters the stream,
+    // and must still surface as is_dup=false to match the oracle
+    val out = docs
+      .filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id"))
+      .join(s.read.parquet(sink), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"),
+        col("dup_of"),
+        col("hamming")
+      )
       .orderBy(col("doc_id"))
+      .localCheckpoint(true)
+    TextMlQueries.rmTree(base)
+    out
   }
 
   // ---- int8 embedding quantization ---------------------------------

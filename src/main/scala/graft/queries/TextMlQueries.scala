@@ -372,7 +372,27 @@ object TextMlQueries {
       fp.filter(col("doc_id") > midVal).write.mode("append").parquet(src)
       drain()
     } finally s.conf.set("spark.sql.shuffle.partitions", sessionParts)
-    s.read.parquet(sink).select(col("doc_id"), col("fingerprint")).orderBy(col("doc_id"))
+    // materialize the (small) streamed result eagerly, then remove the
+    // temp tree — each invocation otherwise leaks src+checkpoint+sink
+    // parquet until the host cleans /tmp
+    val out = s.read
+      .parquet(sink)
+      .select(col("doc_id"), col("fingerprint"))
+      .orderBy(col("doc_id"))
+      .localCheckpoint(true)
+    rmTree(base)
+    out
+  }
+
+  /** Recursive delete for the streaming queries' temp trees. */
+  private[queries] def rmTree(path: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(path)
+    if (Files.exists(root)) {
+      val all = Files.walk(root).iterator().asScala.toSeq.reverse
+      all.foreach(p => try Files.deleteIfExists(p) catch { case _: Throwable => () })
+    }
   }
 
   private lazy val streamDedupSql =

@@ -73,21 +73,29 @@ object ImageIngest {
     * whole text as both key and value, exactly like R's no-match
     * `sub`. Pure codegen'd string ops — no UDF.
     */
-  def parseFxArgs(args: Column): Column =
-    when(args.isNull, lit(null).cast("string")).otherwise(
-      to_json(
-        map_from_entries(
-          transform(
-            split(args, ",\\s*"),
-            e =>
-              struct(
-                regexp_replace(e, ":.*", "").as("key"),
-                regexp_replace(e, "^[^:]+:\\s*", "").as("value")
-              )
-          )
+  def parseFxArgs(args: Column): Column = {
+    val entries = transform(
+      split(args, ",\\s*"),
+      e =>
+        struct(
+          regexp_replace(e, ":.*", "").as("key"),
+          regexp_replace(e, "^[^:]+:\\s*", "").as("value")
         )
-      )
     )
+    // last-wins on duplicate keys (R named-list semantics): under the
+    // default EXCEPTION map-key-dedup policy a repeated key would
+    // throw at execution time and fail the whole registration batch
+    val deduped = filter(
+      entries,
+      (e, i) =>
+        !exists(
+          slice(entries, i + lit(2), greatest(size(entries) - i - lit(1), lit(0))),
+          later => later.getField("key") === e.getField("key")
+        )
+    )
+    when(args.isNull, lit(null).cast("string"))
+      .otherwise(to_json(map_from_entries(deduped)))
+  }
 
   /** Image-series registration gates — `R/addACImageSeries.R:19-138`:
     * the location must exist (`:36-49`), share_with must be a
@@ -129,8 +137,20 @@ object ImageIngest {
           .when(col("source_fx").isNull, "missing_source_fx")
           .when(col("__known_loc").isNull, "unknown_location")
           .when(
-            size(col("share_with")) === 0 ||
-              !forall(col("share_with"), g => array_contains(col("__groups"), g)),
+            // NULL-safe: size(NULL) is -1 (legacy sizeOfNull) and
+            // forall over NULL is NULL, so a bare <= 0 / negated
+            // forall would let a NULL share_with (or one containing
+            // a NULL element) slip past the non-empty-known-groups
+            // gate the reference's trigger enforces
+            col("share_with").isNull ||
+              size(col("share_with")) === 0 ||
+              !coalesce(
+                forall(
+                  col("share_with"),
+                  g => coalesce(array_contains(col("__groups"), g), lit(false))
+                ),
+                lit(false)
+              ),
             "bad_share_with"
           )
           .when(col("__dup").isNotNull, "duplicate_series")

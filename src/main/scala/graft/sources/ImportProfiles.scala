@@ -367,12 +367,20 @@ object ImportProfiles {
     val idRow = sources
       .agg(
         coalesce(max(col("import_source_id")), lit(0L)).as("max_id"),
-        max(when(col("source_code") === sourceCode, col("import_source_id"))).as("existing_id")
+        max(when(col("source_code") === sourceCode, col("import_source_id"))).as("existing_id"),
+        max(when(col("source_code") === sourceCode, col("source_name"))).as("existing_name"),
+        max(when(col("source_code") === sourceCode, col("source_description"))).as("existing_desc")
       )
       .head()
     val sourceId = if (idRow.isNullAt(1)) idRow.getLong(0) + 1L else idRow.getLong(1)
+    // an omitted name/description PRESERVES the stored value on an
+    // existing source (update only what the caller provided) instead
+    // of reverting the name to the code and nulling the description
+    val srcName =
+      sourceName.orElse(Option(idRow.getString(2))).getOrElse(sourceCode)
+    val srcDesc = sourceDescription.orElse(Option(idRow.getString(3))).orNull
     val srcRow = Seq(
-      (sourceId, sourceCode, sourceName.getOrElse(sourceCode), sourceDescription.orNull, true)
+      (sourceId, sourceCode, srcName, srcDesc, true)
     ).toDF("import_source_id", "source_code", "source_name", "source_description", "active")
     val newSources = Upsert(sources, srcRow, Seq("source_code"), Upsert.DoUpdate)
 
@@ -486,14 +494,16 @@ object ImportProfiles {
     val keyed = staged
       .withColumn("__kp", coalesce(col("import_profile_id"), lit(-1L)))
       .withColumn("__kc", coalesce(col("qualifier_column"), lit("\u0000")))
+      .withColumn("__kv", coalesce(col("qualifier_value"), lit("\u0000")))
     val target = existing
       .withColumn("__kp", coalesce(col("import_profile_id"), lit(-1L)))
       .withColumn("__kc", coalesce(col("qualifier_column"), lit("\u0000")))
+      .withColumn("__kv", coalesce(col("qualifier_value"), lit("\u0000")))
     val maxId = existing
       .agg(coalesce(max(col("import_qualifier_mapping_id")), lit(0L)))
       .head()
       .getLong(0)
-    val keyCols = Seq("import_source_id", "__kp", "__kc", "qualifier_value")
+    val keyCols = Seq("import_source_id", "__kp", "__kc", "__kv")
     val known = keyed.join(
       target.select((keyCols :+ "import_qualifier_mapping_id").map(col): _*),
       keyCols
@@ -509,7 +519,7 @@ object ImportProfiles {
       known.unionByName(fresh.select(known.columns.map(col): _*)),
       keyCols,
       Upsert.DoUpdate
-    ).drop("__kp", "__kc").select(QualifierCols.map(col): _*)
+    ).drop("__kp", "__kc", "__kv").select(QualifierCols.map(col): _*)
   }
 
   // ---------------------------------------------------------------
@@ -570,14 +580,22 @@ object ImportProfiles {
       .withColumn("import_upload_session_id", lit(sessionId))
       .withColumn("result_index", coalesce(col("result_index").cast("int"), lit(1)))
       .select(UploadRowCols.map(col): _*)
-    val keyed = staged.withColumn("__ks", coalesce(col("sheet_name"), lit("\u0000")))
-    val target = existing.withColumn("__ks", coalesce(col("sheet_name"), lit("\u0000")))
+    // EVERY nullable key part gets a sentinel: Upsert's dropDuplicates
+    // is null-equal but its conflict join is null-unequal, so a bare
+    // null in the key both collapses distinct staged rows and fails
+    // to match its own prior upload on re-validate.
+    val keyed = staged
+      .withColumn("__ks", coalesce(col("sheet_name"), lit("\u0000")))
+      .withColumn("__kr", coalesce(col("source_row_number"), lit(-1)))
+    val target = existing
+      .withColumn("__ks", coalesce(col("sheet_name"), lit("\u0000")))
+      .withColumn("__kr", coalesce(col("source_row_number"), lit(-1)))
     Upsert(
       target,
       keyed,
-      Seq("import_upload_session_id", "__ks", "source_row_number", "result_index"),
+      Seq("import_upload_session_id", "__ks", "__kr", "result_index"),
       Upsert.DoUpdate
-    ).drop("__ks")
+    ).drop("__ks", "__kr")
   }
 
   // ---------------------------------------------------------------

@@ -59,9 +59,6 @@ object IncrementalIngest {
     // cache_key is NULL for per-series adapters; the group key of a
     // shared adapter is computed from catalog metadata (driver data
     // already — no fact-table access).
-    val sharedFx: Set[String] = known.map(_.sourceFx).distinct.collect {
-      case fx if registry(fx).isInstanceOf[SharedFetchAdapter] => fx
-    }.toSet
     val worklist = known
       .map { c =>
         val key = registry(c.sourceFx) match {

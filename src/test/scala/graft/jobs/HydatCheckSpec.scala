@@ -15,6 +15,13 @@ class HydatCheckSpec extends AnyFunSuite {
     assert(downloads == 1)
   }
 
+  test("failed fresh install (re-read finds nothing or a stale stamp) is UpdateFailed, not Installed") {
+    val r = check(None, "20240115", () => None)
+    assert(r.outcome == UpdateFailed && !r.updated)
+    val r2 = check(None, "20240115", () => Some("20231001"))
+    assert(r2.outcome == UpdateFailed && !r2.updated)
+  }
+
   test("stamps equal (across formats): no download") {
     var downloads = 0
     val r = check(Some("2024-01-15"), "20240115", () => { downloads += 1; None })

@@ -84,6 +84,35 @@ class ImageIngestSpec extends SparkSpec {
     assert(acc(0).getAs[java.sql.Timestamp]("last_img") == ts("2024-01-01 00:00:00"))
   }
 
+  test("registerSeries: NULL share_with (or a NULL element) is bad_share_with, not accepted") {
+    import spark.implicits._
+    val incoming = Seq(
+      (10L, 1L, Some(ts("2024-01-01 00:00:00")), Some("fx"), "cam: c1", null),
+      (20L, 2L, Some(ts("2024-01-01 00:00:00")), Some("fx"), "cam: c2", Seq("public_reader", null)),
+      (30L, 3L, Some(ts("2024-01-01 00:00:00")), Some("fx"), "cam: c3", Seq("public_reader"))
+    ).toDF("src_key", "location_id", "start_datetime", "source_fx", "source_fx_args", "share_with")
+    val reg = ImageIngest.registerSeries(
+      incoming,
+      Seq(1L, 2L, 3L).toDF("location_id"),
+      Seq("public_reader").toDF("group_name"),
+      Seq.empty[(Long, Long)].toDF("img_series_id", "location_id")
+    )
+    val rejects = reg.rejects.collect()
+      .map(r => r.getAs[Long]("src_key") -> r.getAs[String]("reject_reason")).toMap
+    assert(rejects == Map(10L -> "bad_share_with", 20L -> "bad_share_with"))
+    assert(reg.accepted.collect().map(_.getAs[Long]("src_key")).toSeq == Seq(30L))
+  }
+
+  test("parseFxArgs: duplicate keys last-wins instead of throwing") {
+    import spark.implicits._
+    val out = Seq("cam: old, path: p, cam: new")
+      .toDF("a")
+      .select(ImageIngest.parseFxArgs(col("a")).as("j"))
+      .head()
+      .getString(0)
+    assert(out == """{"path":"p","cam":"new"}""" || out == """{"cam":"new","path":"p"}""", out)
+  }
+
   test("seedFirstFetch: empty first fetch rolls the series back; hits rewrite the watermarks") {
     import spark.implicits._
     val incoming = Seq(

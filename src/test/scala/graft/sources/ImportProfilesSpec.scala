@@ -238,6 +238,48 @@ class ImportProfilesSpec extends SparkSpec {
         .head().getAs[String]("validation_status") == "valid")
   }
 
+  test("appendRows: null row numbers neither collapse the batch nor duplicate on re-upload") {
+    val rows0 = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("import_upload_session_id", LongType),
+        StructField("sheet_name", StringType),
+        StructField("source_row_number", IntegerType),
+        StructField("result_index", IntegerType),
+        StructField("source_record", StringType),
+        StructField("normalized_sample", StringType),
+        StructField("normalized_result", StringType),
+        StructField("validation_status", StringType),
+        StructField("validation_messages", StringType),
+        StructField("sample_id", LongType),
+        StructField("result_id", LongType)
+      )))
+    // no source_row_number column at all: rows distinguished by result_index
+    val batch = Seq(("Sheet1", 1, "{\"a\":1}"), ("Sheet1", 2, "{\"a\":2}"))
+      .toDF("sheet_name", "result_index", "source_record")
+    val staged = ImportProfiles.appendUploadRows(rows0, 1L, batch)
+    assert(staged.count() == 2, "null row numbers must not collapse distinct result_index rows")
+    // re-upload the same keys: replaced in place, not duplicated
+    val again = ImportProfiles.appendUploadRows(
+      staged, 1L,
+      Seq(("Sheet1", 1, "valid")).toDF("sheet_name", "result_index", "validation_status"))
+    assert(again.count() == 2, "null-keyed re-upload must update in place")
+    assert(
+      again.filter(col("result_index") === 1).head().getAs[String]("validation_status") == "valid")
+  }
+
+  test("upsertParameterMappings preserves an existing source's name/description when omitted") {
+    val srcs = Seq((1L, "labx_2024", "LabX 2024 export", "quarterly results", true))
+      .toDF("import_source_id", "source_code", "source_name", "source_description", "active")
+    val batch = Seq(("CLICK", "zinc", "numeric", "1.0", "100"))
+      .toDF("variable", "parameter", "result_type", "conversion", "priority")
+    val (s1, _) = ImportProfiles.upsertParameterMappings(
+      srcs, emptyMappings, "labx_2024", batch, Seq("variable"), lookups)
+    val row = s1.filter(col("source_code") === "labx_2024").head()
+    assert(row.getAs[String]("source_name") == "LabX 2024 export")
+    assert(row.getAs[String]("source_description") == "quarterly results")
+  }
+
   test("candidateKeys: key, sans-ext, basename, basename-sans-ext in order") {
     assert(ImportProfiles.candidateKeys("uploads/labx_2024.csv") ==
       Seq("uploads/labx_2024.csv", "uploads/labx_2024", "labx_2024.csv", "labx_2024"))
