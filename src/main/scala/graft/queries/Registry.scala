@@ -21,7 +21,7 @@ object Registry {
       StatsQueries.defs ++ SyncQueries.defs ++ LifecycleQueries.defs ++
       IngestQueries.defs ++ TextMlQueries.defs ++ PipelineQueries.defs ++
       CorpusQueries.defs ++ RasterQueries.defs ++ MaintenanceQueries.defs ++
-      AdminQueries.defs ++ MediaQueries.defs
+      AdminQueries.defs ++ MediaQueries.defs ++ TokenizerQueries.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 
