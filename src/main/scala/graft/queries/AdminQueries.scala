@@ -16,6 +16,94 @@ import graft.tables.TestTables
   */
 object AdminQueries {
 
+  // ---- timeseries catalog registration gates -----------------------
+
+  /** Every `addACTimeseries.R` gate fired from one nation-derived
+    * batch: missing/unknown location (case-insensitive existence
+    * probe), missing start, missing/unknown parameter, unknown media,
+    * unregistered source_fx (NULL stays allowed), empty/NULL
+    * share_with, and the case-normalized duplicate-series probe. The
+    * Spark side derives every status through
+    * [[graft.operators.CatalogOps.validateNewTimeseries]]'s real
+    * broadcast-join machinery; the oracle states the expected
+    * decision table.
+    */
+  private def catalogGates(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.CatalogOps
+    val n = TestTables.nation(s, d).select(col("n_nationkey").cast("long").as("n"))
+    val incoming = n.select(
+      when(col("n") === 1, lit(null).cast("string"))
+        .when(col("n") === 2, lit("ghost town"))
+        .otherwise(concat(lit("Loc"), col("n").cast("string")))
+        .as("location"),
+      when(col("n") === 4, lit(null).cast("long"))
+        .when(col("n") === 5, lit(999L))
+        .otherwise(lit(100L) + col("n") % 3)
+        .as("parameter_id"),
+      when(col("n") === 6, lit(99L)).otherwise(lit(1L) + col("n") % 2).as("media_id"),
+      lit("mean").as("aggregation_type"),
+      lit("1h").as("record_rate"),
+      when(col("n") === 0, lit(null).cast("timestamp"))
+        .otherwise(timestamp_seconds(lit(1704067200L) + col("n") * 3600))
+        .as("start_datetime"),
+      when(col("n") === 7, lit("pullFromFtp"))
+        .when(col("n") === 8, lit(null).cast("string"))
+        .otherwise(lit("downloadWSC"))
+        .as("source_fx"),
+      when(col("n") === 9, array().cast("array<string>"))
+        .when(col("n") === 10, lit(null).cast("array<string>"))
+        .otherwise(array(lit("public_reader")))
+        .as("share_with")
+    )
+    val locations = n.select(concat(lit("loc"), col("n").cast("string")).as("location"))
+    val parameters = Seq(100L, 101L, 102L).toDF("parameter_id")
+    val media = Seq(1L, 2L).toDF("media_id")
+    // existing rows hit n=11 (case flipped — the probe must normalize)
+    // and n=12 (exact case)
+    val existing = Seq(
+      ("LOC11", 100L + 11 % 3, 1L + 11 % 2, "mean", "1h"),
+      ("Loc12", 100L + 12 % 3, 1L + 12 % 2, "mean", "1h")
+    ).toDF("location", "parameter_id", "media_id", "aggregation_type", "record_rate")
+    val imp = CatalogOps.validateNewTimeseries(
+      incoming, locations, parameters, media,
+      adapterNames = Seq("downloadWSC", "downloadNWIS"), existing = existing
+    )
+    imp.rejects
+      .select(col("location"), col("parameter_id"), col("reject_reason").as("status"))
+      .unionByName(
+        imp.accepted
+          .select(col("location"), col("parameter_id"), lit("accepted").as("status"))
+      )
+      .orderBy(col("status"), col("location").asc_nulls_last, col("parameter_id").asc_nulls_last)
+  }
+
+  private val catalogGatesSql =
+    """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS n FROM nation),
+      |inc AS (
+      |  SELECT n,
+      |         CASE WHEN n = 1 THEN NULL
+      |              WHEN n = 2 THEN 'ghost town'
+      |              ELSE 'Loc' || CAST(n AS VARCHAR) END AS location,
+      |         CASE WHEN n = 4 THEN NULL
+      |              WHEN n = 5 THEN 999
+      |              ELSE 100 + n % 3 END AS parameter_id,
+      |         CASE WHEN n = 0 THEN 'missing_start_datetime'
+      |              WHEN n = 1 THEN 'missing_location'
+      |              WHEN n = 2 THEN 'unknown_location'
+      |              WHEN n = 4 THEN 'missing_parameter'
+      |              WHEN n = 5 THEN 'unknown_parameter'
+      |              WHEN n = 6 THEN 'unknown_media'
+      |              WHEN n = 7 THEN 'unknown_source_fx'
+      |              WHEN n IN (9, 10) THEN 'missing_share_with'
+      |              WHEN n IN (11, 12) THEN 'duplicate_timeseries'
+      |              ELSE 'accepted' END AS status
+      |  FROM n
+      |)
+      |SELECT location, CAST(parameter_id AS BIGINT) AS parameter_id, status
+      |FROM inc
+      |ORDER BY status, location ASC NULLS LAST, parameter_id ASC NULLS LAST""".stripMargin
+
   // ---- borehole / well insert gates --------------------------------
 
   /** Batch borehole import over supplier-derived candidates: every
@@ -541,6 +629,7 @@ object AdminQueries {
       |ORDER BY src_key, coalesce(parameter_id, -1), status""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_catalog_gates", catalogGates, Some(catalogGatesSql)),
     QueryDef("q_borehole", borehole, Some(boreholeSql)),
     QueryDef("q_basin_load", basinLoad, Some(basinLoadSql)),
     QueryDef("q_doc_update", docUpdate, Some(docUpdateSql)),

@@ -69,6 +69,66 @@ object TimeseriesQueries {
       |)
       |ORDER BY user_id, event_type, date""".stripMargin
 
+  /** Changed-range incremental daily recompute, driver-verified: a
+    * late batch (everything past the cutoff) arrives after the daily
+    * table was built from the earlier data; Spark runs the
+    * INCREMENTAL path — [[graft.operators.IncrementalDaily.refresh]]
+    * over the changed ranges only — while the oracle computes the
+    * FULL daily aggregate over the final data state. A hash match IS
+    * the refresh ≡ full-recompute guarantee (previously only
+    * spec-asserted in `IngestSpec`).
+    */
+  private def incrementalDaily(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.IncrementalDaily
+    import graft.sources.IncrementalIngest
+    val aggNames = array(lit("mean"), lit("max"), lit("sum"), lit("min"), lit("median"))
+    val m = TestTables
+      .events(s, d)
+      .select(
+        col("user_id").as("timeseries_id"),
+        col("ts").as("datetime"),
+        col("value"),
+        element_at(aggNames, (col("user_id") % 5 + 1).cast("int")).as("agg_type"),
+        lit(7).as("offset_hours")
+      )
+    val cutoff = lit("2024-01-20 12:00:00").cast("timestamp")
+    val dailyBase = DailyAggregate(m.filter(col("datetime") < cutoff))
+    val changes = IncrementalIngest.changedRanges(m.filter(col("datetime") >= cutoff))
+    IncrementalDaily
+      .refresh(m, dailyBase, changes)
+      .select(
+        col("timeseries_id"),
+        col("date"),
+        col("agg_type"),
+        round(col("value"), 4).as("value"),
+        col("n")
+      )
+      .orderBy(col("timeseries_id"), col("date"))
+  }
+
+  private val incrementalDailySql =
+    """SELECT timeseries_id, date, agg_type,
+      |       round(CASE agg_type
+      |               WHEN 'mean' THEN v_mean
+      |               WHEN 'median' THEN v_median
+      |               WHEN 'min' THEN v_min
+      |               WHEN 'max' THEN v_max
+      |               WHEN 'sum' THEN v_sum
+      |             END, 4) AS value,
+      |       n
+      |FROM (
+      |  SELECT user_id AS timeseries_id,
+      |         CAST(ts + INTERVAL 7 HOUR AS DATE) AS date,
+      |         (['mean', 'max', 'sum', 'min', 'median'])[CAST(user_id % 5 + 1 AS INT)] AS agg_type,
+      |         avg(value) AS v_mean, median(value) AS v_median,
+      |         min(value) AS v_min, max(value) AS v_max,
+      |         sum(value) AS v_sum, count(value) AS n
+      |  FROM events
+      |  WHERE value IS NOT NULL
+      |  GROUP BY 1, 2, 3
+      |)
+      |ORDER BY timeseries_id, date""".stripMargin
+
   /** Deterministic weekly QC-grade segments per user-parity stream:
     * parity p, week w → grade letter (A/B/C cycling). Used by both the
     * Spark side and the VALUES literal in the oracle.
@@ -127,6 +187,7 @@ object TimeseriesQueries {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_daily_agg", dailyAgg, Some(dailyAggSql), headline = true),
+    QueryDef("q_incremental_daily", incrementalDaily, Some(incrementalDailySql)),
     QueryDef("q_grade_range_join", gradeRangeJoin, Some(gradeRangeJoinSql), headline = true)
   )
 }

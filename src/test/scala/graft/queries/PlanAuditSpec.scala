@@ -106,4 +106,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"blocklist join must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("bm25 broadcasts query terms and corpus stats — postings never sort-merge") {
+    val p = plan("q_bm25_search")
+    assert(p.contains("BroadcastHashJoin"), s"query-term probe must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"the postings side must not reshuffle by term:\n$p")
+  }
+
+  test("bpe encode joins the segmentation dict broadcast onto corpus tokens") {
+    val p = plan("q_bpe_encode")
+    assert(p.contains("BroadcastHashJoin"), s"the post-merge dict is vocab-sized, must broadcast:\n$p")
+  }
+
+  test("classifier scoring keeps the hash projection join-free up to the doc aggregation") {
+    val p = plan("q_classifier_score")
+    assert(!p.contains("NestedLoop"), s"the join-back must stay equi:\n$p")
+    assert(p.contains("HashAggregate"), s"the weight sum must map-side combine:\n$p")
+  }
 }
