@@ -4,7 +4,6 @@ import java.awt.RenderingHints
 import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
-import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
 /** Real media codecs on the pure-JDK `javax.imageio` /
   * `javax.sound.sampled` stacks (java.desktop module — no external
@@ -181,38 +180,63 @@ object MediaCodecs {
       peakAbs: Int
   )
 
+  /** Pure RIFF/WAVE chunk walk for 16-bit signed PCM — the executor
+    * hot path deliberately avoids `AudioSystem.getAudioInputStream`:
+    * its provider lookup synchronizes on a global registry, which
+    * serializes per-row decode across executor threads (measured ~20x
+    * per-row inflation at 10+ concurrent tasks in the sf1 rehearsal).
+    * WAV PCM payloads are always little-endian, so no endianness
+    * dispatch is needed. Returns (sampleRate, dataOffset, dataLength)
+    * into the original array — zero copies.
+    */
+  private def parseWavPcm16(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (bytes == null || bytes.length < 44) return None
+    def u16(i: Int): Int = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+    def u32(i: Int): Long =
+      (bytes(i) & 0xffL) | ((bytes(i + 1) & 0xffL) << 8) |
+        ((bytes(i + 2) & 0xffL) << 16) | ((bytes(i + 3) & 0xffL) << 24)
+    def tag(i: Int, s: String): Boolean =
+      bytes(i) == s(0).toByte && bytes(i + 1) == s(1).toByte &&
+        bytes(i + 2) == s(2).toByte && bytes(i + 3) == s(3).toByte
+    if (!tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var pos = 12
+    var rate = -1
+    var pcm16 = false
+    var dataOff = -1
+    var dataLen = -1
+    while (pos + 8 <= bytes.length) {
+      val sz = u32(pos + 4)
+      if (sz < 0 || sz > Int.MaxValue - 8) return None
+      if (tag(pos, "fmt ") && pos + 8 + 16 <= bytes.length) {
+        pcm16 = u16(pos + 8) == 1 && u16(pos + 8 + 14) == 16
+        rate = u32(pos + 8 + 4).toInt
+      } else if (tag(pos, "data")) {
+        dataOff = pos + 8
+        dataLen = math.min(sz.toInt, bytes.length - dataOff)
+      }
+      pos += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+    }
+    if (pcm16 && rate > 0 && dataOff >= 0) Some((rate, dataOff, dataLen)) else None
+  }
+
   /** Decode a RIFF/WAVE payload (16-bit signed PCM, any channel
     * count — frames are summed across channels sample-by-sample).
     * Returns None for non-WAV bytes or unsupported sample widths.
     */
   def decodeWav(bytes: Array[Byte]): Option[WavFeatures] =
-    if (bytes == null) None
-    else try {
-      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
-      try {
-        val fmt = ais.getFormat
-        if (fmt.getSampleSizeInBits != 16 || fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED)
-          None
-        else {
-          val data = ais.readAllBytes()
-          val le = !fmt.isBigEndian
-          var i = 0
-          var n = 0L; var sum = 0L; var peak = 0
-          while (i + 1 < data.length) {
-            val lo = data(i) & 0xff
-            val hi = data(i + 1) & 0xff
-            val s = (if (le) (hi << 8) | lo else (lo << 8) | hi).toShort.toInt
-            n += 1
-            sum += s
-            val a = math.abs(s)
-            if (a > peak) peak = a
-            i += 2
-          }
-          Some(WavFeatures(fmt.getSampleRate.round, n, sum, peak))
-        }
-      } finally ais.close()
-    } catch {
-      case scala.util.control.NonFatal(_) => None
+    parseWavPcm16(bytes).map { case (rate, off, len) =>
+      val end = off + len
+      var i = off
+      var n = 0L; var sum = 0L; var peak = 0
+      while (i + 1 < end) {
+        val s = (((bytes(i + 1) & 0xff) << 8) | (bytes(i) & 0xff)).toShort.toInt
+        n += 1
+        sum += s
+        val a = math.abs(s)
+        if (a > peak) peak = a
+        i += 2
+      }
+      WavFeatures(rate, n, sum, peak)
     }
 
   /** Audio energy fingerprint (the WAV analog of [[dHash56]]): decode,
@@ -225,42 +249,28 @@ object MediaCodecs {
     */
   def audioEnergyHash(bytes: Array[Byte], frameLen: Int = 8): Option[Long] = {
     require(frameLen > 0)
-    if (bytes == null) return None
-    try {
-      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
-      try {
-        val fmt = ais.getFormat
-        if (fmt.getSampleSizeInBits != 16 || fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED)
-          None
-        else {
-          val data = ais.readAllBytes()
-          val le = !fmt.isBigEndian
-          val nSamples = data.length / 2
-          val nFrames = nSamples / frameLen
-          if (nFrames < 2) None
-          else {
-            val energies = new Array[Long](nFrames)
-            var i = 0
-            while (i < nFrames * frameLen) {
-              val lo = data(2 * i) & 0xff
-              val hi = data(2 * i + 1) & 0xff
-              val s = (if (le) (hi << 8) | lo else (lo << 8) | hi).toShort.toLong
-              energies(i / frameLen) += s * s
-              i += 1
-            }
-            var h = 0L
-            var f = 0
-            val nBits = math.min(nFrames - 1, 62)
-            while (f < nBits) {
-              if (energies(f + 1) > energies(f)) h |= 1L << f
-              f += 1
-            }
-            Some(h)
-          }
+    parseWavPcm16(bytes).flatMap { case (_, off, len) =>
+      val nSamples = len / 2
+      val nFrames = nSamples / frameLen
+      if (nFrames < 2) None
+      else {
+        val energies = new Array[Long](nFrames)
+        var i = 0
+        while (i < nFrames * frameLen) {
+          val s =
+            (((bytes(off + 2 * i + 1) & 0xff) << 8) | (bytes(off + 2 * i) & 0xff)).toShort.toLong
+          energies(i / frameLen) += s * s
+          i += 1
         }
-      } finally ais.close()
-    } catch {
-      case scala.util.control.NonFatal(_) => None
+        var h = 0L
+        var f = 0
+        val nBits = math.min(nFrames - 1, 62)
+        while (f < nBits) {
+          if (energies(f + 1) > energies(f)) h |= 1L << f
+          f += 1
+        }
+        Some(h)
+      }
     }
   }
 
@@ -269,18 +279,36 @@ object MediaCodecs {
     * reproduces the exact samples).
     */
   def encodeWav(samples: Array[Short], sampleRate: Float): Array[Byte] = {
-    val pcm = new Array[Byte](samples.length * 2)
+    // hand-rolled canonical 44-byte RIFF header + LE PCM; the
+    // AudioSystem.write path does a synchronized provider lookup per
+    // call, which serializes per-row fixture generation on executors
+    // exactly like the decode side did
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    def tag(i: Int, s: String): Unit = { var j = 0; while (j < 4) { out(i + j) = s(j).toByte; j += 1 } }
+    def u32(i: Int, v: Long): Unit = {
+      out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte
+      out(i + 2) = ((v >> 16) & 0xff).toByte; out(i + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def u16(i: Int, v: Int): Unit = {
+      out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val rate = sampleRate.round
+    tag(0, "RIFF"); u32(4, 36L + dataLen); tag(8, "WAVE")
+    tag(12, "fmt "); u32(16, 16L)
+    u16(20, 1) // PCM
+    u16(22, 1) // mono
+    u32(24, rate.toLong)
+    u32(28, rate.toLong * 2) // byte rate
+    u16(32, 2) // block align
+    u16(34, 16) // bits per sample
+    tag(36, "data"); u32(40, dataLen.toLong)
     var i = 0
     while (i < samples.length) {
-      pcm(2 * i) = (samples(i) & 0xff).toByte
-      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      out(44 + 2 * i) = (samples(i) & 0xff).toByte
+      out(44 + 2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
       i += 1
     }
-    val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
-    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, samples.length.toLong)
-    val bos = new ByteArrayOutputStream()
-    try AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
-    finally ais.close()
-    bos.toByteArray
+    out
   }
 }

@@ -206,12 +206,13 @@ object MediaQueries {
        |SELECT doc_id, dhash FROM h ORDER BY doc_id""".stripMargin
 
   /** Near-duplicate image pairs at Hamming <= 4 over the dHashes,
-    * found via 7x8-bit LSH banding (pigeonhole: <= 6 flipped bits
-    * leave >= 1 band intact, so recall at threshold 4 is complete and
-    * the banded result EQUALS the oracle's exhaustive self-join).
-    * Only the 8-byte hash ever shuffles; candidate pairs are bounded
-    * to band-bucket collisions — the 100 TB path, vs the oracle's
-    * O(n^2) scan which exists only as the small-SF ground truth.
+    * found via 5-band (11/11/11/11/12-bit) LSH banding (pigeonhole:
+    * <= 4 flipped bits leave >= 1 of 5 bands intact, so recall at
+    * threshold 4 is complete and the banded result EQUALS the
+    * oracle's exhaustive self-join). Only the 8-byte hash ever
+    * shuffles; candidate pairs are bounded to band-bucket collisions
+    * — the 100 TB path, vs the oracle's O(n^2) scan which exists only
+    * as the small-SF ground truth.
     */
   private def imageNearDup(s: SparkSession, d: String): DataFrame = {
     val h = Multimodal
@@ -221,9 +222,27 @@ object MediaQueries {
       // a materialization the PNG decode + resize + hash (the dominant
       // cost) runs once per side
       .localCheckpoint(false)
+    // 5 bands of 11/11/11/11/12 bits: pigeonhole still guarantees a
+    // shared band at the query's Hamming <= 4 threshold (4 flipped
+    // bits can't touch all 5 bands), but each band keys into 2^11
+    // buckets instead of 2^8 — candidate pairs drop ~8x. With a FIXED
+    // band space, candidates grow ~n^2/buckets: the 7x8-bit layout
+    // measured ~15x wall at 10x data (n^2/256 dominating); wider bands
+    // push the crossover an order of magnitude out.
+    val bandOffsets = Seq(0, 11, 22, 33, 44)
     val banded = h
-      .select(col("doc_id"), col("dhash"), explode(expr("sequence(0, 6)")).as("band"))
-      .withColumn("band_key", expr("(dhash >> (band * 8)) & 255"))
+      .select(col("doc_id"), col("dhash"), explode(expr("sequence(0, 4)")).as("band"))
+      .withColumn(
+        "band_key",
+        expr(
+          s"CASE band ${bandOffsets.zipWithIndex
+              .map { case (off, i) =>
+                val width = if (i == bandOffsets.size - 1) 12 else 11
+                s"WHEN $i THEN (dhash >> $off) & ${(1L << width) - 1}"
+              }
+              .mkString(" ")} END"
+        )
+      )
     val l = banded.select(col("doc_id").as("d1"), col("dhash").as("h1"), col("band"), col("band_key"))
     val r = banded.select(col("doc_id").as("d2"), col("dhash").as("h2"), col("band"), col("band_key"))
     l.join(r, Seq("band", "band_key"))
