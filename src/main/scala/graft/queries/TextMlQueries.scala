@@ -950,21 +950,29 @@ object TextMlQueries {
     val brute = Similarity
       .cosineTopK(e, "vec_id", "embedding", queryPred = col("vec_id") % 100 === 0, k = 5)
       .select(col("query_id"), col("neighbor_id"))
-    val ivf = Similarity
-      .ivfTopK(e, "vec_id", "embedding", queryPred = col("vec_id") % 100 === 0, k = 5, nCentroids = 16, nProbe = 4)
-      .select(col("query_id"), col("neighbor_id"))
-    val hits = brute
-      .join(ivf, Seq("query_id", "neighbor_id"))
+    // two probe settings of the same 16-list index: the default
+    // nProbe=4 shows where the knob starts, nProbe=12 shows it
+    // reaching deployable recall — the acceptance curve, not a point
+    def hitsAt(nProbe: Int, alias: String) = brute
+      .join(
+        Similarity
+          .ivfTopK(e, "vec_id", "embedding", queryPred = col("vec_id") % 100 === 0, k = 5, nCentroids = 16, nProbe = nProbe)
+          .select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id")
+      )
       .groupBy("query_id")
-      .agg(count(lit(1)).as("n_hits"))
+      .agg(count(lit(1)).as(alias))
     brute
       .select("query_id")
       .distinct()
-      .join(hits, Seq("query_id"), "left")
+      .join(hitsAt(4, "h4"), Seq("query_id"), "left")
+      .join(hitsAt(12, "h12"), Seq("query_id"), "left")
       .select(
         col("query_id"),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        round(coalesce(col("n_hits"), lit(0L)) / 5.0, 4).as("recall_at_5")
+        coalesce(col("h4"), lit(0L)).as("n_hits_p4"),
+        round(coalesce(col("h4"), lit(0L)) / 5.0, 4).as("recall_p4"),
+        coalesce(col("h12"), lit(0L)).as("n_hits_p12"),
+        round(coalesce(col("h12"), lit(0L)) / 5.0, 4).as("recall_p12")
       )
       .orderBy(col("query_id"))
   }
@@ -1006,31 +1014,53 @@ object TextMlQueries {
        |  SELECT vec_id, nv, list_reverse_sort([${structs.mkString(",\n         ")}]) AS rc FROM nv0
        |), corpus AS (
        |  SELECT vec_id AS neighbor_id, nv AS v, CAST((rc[1]).c AS INT) AS cluster FROM rankedc
-       |), iq AS (
+       |), iq4 AS (
        |  SELECT vec_id AS query_id, nv AS qv,
        |         CAST(unnest(list_transform(list_slice(rc, 1, 4), x -> x.c)) AS INT) AS cluster
        |  FROM rankedc WHERE vec_id % 100 = 0
-       |), iscored AS (
+       |), iscored4 AS (
        |  SELECT query_id, neighbor_id, list_dot_product(qv, v) AS cos
-       |  FROM iq JOIN corpus USING (cluster)
+       |  FROM iq4 JOIN corpus USING (cluster)
        |  WHERE neighbor_id <> query_id
-       |), ivf AS (
+       |), ivf4 AS (
        |  SELECT query_id, neighbor_id
        |  FROM (
        |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY round(cos, 4) DESC, neighbor_id) AS rank
-       |    FROM iscored
+       |    FROM iscored4
        |  )
        |  WHERE rank <= 5
-       |), hits AS (
+       |), iq12 AS (
+       |  SELECT vec_id AS query_id, nv AS qv,
+       |         CAST(unnest(list_transform(list_slice(rc, 1, 12), x -> x.c)) AS INT) AS cluster
+       |  FROM rankedc WHERE vec_id % 100 = 0
+       |), iscored12 AS (
+       |  SELECT query_id, neighbor_id, list_dot_product(qv, v) AS cos
+       |  FROM iq12 JOIN corpus USING (cluster)
+       |  WHERE neighbor_id <> query_id
+       |), ivf12 AS (
+       |  SELECT query_id, neighbor_id
+       |  FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY round(cos, 4) DESC, neighbor_id) AS rank
+       |    FROM iscored12
+       |  )
+       |  WHERE rank <= 5
+       |), hits4 AS (
        |  SELECT b.query_id, count(*) AS n_hits
-       |  FROM brute b JOIN ivf i ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+       |  FROM brute b JOIN ivf4 i ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+       |  GROUP BY 1
+       |), hits12 AS (
+       |  SELECT b.query_id, count(*) AS n_hits
+       |  FROM brute b JOIN ivf12 i ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
        |  GROUP BY 1
        |)
        |SELECT q.query_id,
-       |       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
-       |       round(COALESCE(h.n_hits, 0) / 5.0, 4) AS recall_at_5
+       |       CAST(COALESCE(h4.n_hits, 0) AS BIGINT) AS n_hits_p4,
+       |       round(COALESCE(h4.n_hits, 0) / 5.0, 4) AS recall_p4,
+       |       CAST(COALESCE(h12.n_hits, 0) AS BIGINT) AS n_hits_p12,
+       |       round(COALESCE(h12.n_hits, 0) / 5.0, 4) AS recall_p12
        |FROM (SELECT DISTINCT query_id FROM brute) q
-       |LEFT JOIN hits h USING (query_id)
+       |LEFT JOIN hits4 h4 USING (query_id)
+       |LEFT JOIN hits12 h12 USING (query_id)
        |ORDER BY q.query_id""".stripMargin
   }
 
