@@ -137,6 +137,25 @@ class MediaCodecsSpec extends SparkSpec {
     assert(MediaCodecs.audioEnergyHash("junk".getBytes).isEmpty)
   }
 
+  test("RIFF walk skips unknown chunks (LIST/INFO) and odd-size padding before data") {
+    val samples = Array.tabulate(10)(i => (i * 300 - 1500).toShort)
+    val plain = MediaCodecs.encodeWav(samples, 8000f)
+    val expected = MediaCodecs.decodeWav(plain).get
+    // splice a 7-byte LIST chunk (odd size -> 1 pad byte) between
+    // "fmt " and "data": real encoders emit INFO metadata here
+    val head = plain.take(36) // RIFF..WAVE + fmt chunk
+    val tail = plain.drop(36) // data chunk onward
+    val listChunk = "LIST".getBytes ++ Array[Byte](7, 0, 0, 0) ++ "INFOxyz".getBytes ++ Array[Byte](0)
+    val spliced = head ++ listChunk ++ tail
+    // fix the RIFF size field (bytes 4..7, little-endian)
+    val total = spliced.length - 8
+    for (i <- 0 until 4) spliced(4 + i) = ((total >> (8 * i)) & 0xff).toByte
+    assert(MediaCodecs.decodeWav(spliced).contains(expected))
+    assert(
+      MediaCodecs.audioEnergyHash(spliced, 2) == MediaCodecs.audioEnergyHash(plain, 2)
+    )
+  }
+
   test("corrupt payloads yield None, not exceptions") {
     assert(MediaCodecs.decodeImage("not an image".getBytes).isEmpty)
     assert(MediaCodecs.decodeImage(Array.emptyByteArray).isEmpty)
