@@ -102,6 +102,37 @@ object Bench {
         sys.exit(1)
     }
 
+  /** Structured artifact: survives stdout truncation by the harness,
+    * and (since it's rewritten after every query) survives a
+    * mid-session crash with all completed measurements intact.
+    */
+  private def writeDetail(
+      results: Seq[(String, (Double, Double, Double, Seq[Double]))],
+      reps: Int,
+      sfDir: String
+  ): Unit = {
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    val detail = results
+      .map { case (k, (med, mn, mx, ts)) =>
+        s"""    "$k": {"median": ${fmt(med)}, "min": ${fmt(mn)}, "max": ${fmt(mx)}, "runs": [${ts.map(fmt).mkString(", ")}]}"""
+      }
+      .mkString(",\n")
+    val json =
+      s"""{
+         |  "metric": "total_median_sec",
+         |  "value": ${fmt(total)},
+         |  "reps": $reps,
+         |  "sf": "$sfDir",
+         |  "n_queries": ${results.size},
+         |  "queries": {
+         |$detail
+         |  }
+         |}
+         |""".stripMargin
+    val p = java.nio.file.Paths.get("BENCH_LOCAL.json")
+    java.nio.file.Files.write(p, json.getBytes("UTF-8"))
+  }
+
   private def run(): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
@@ -118,6 +149,18 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // ContextCleaner frees shuffle files only when the DRIVER GCs;
+      // with a large heap (SPARK_DRIVER_MEM=64g for the sf10
+      // rehearsal) GC may never run, so a long multi-query session
+      // accumulates every query's shuffle spill on disk until it
+      // fills (sf10 died at 44 GB of lingering blockmgr files). The
+      // 5-minute periodic GC trades an occasional sub-second pause —
+      // outside the timed windows at rehearsal scale — for bounded
+      // disk. Default Spark value is 30min; overridable per-run.
+      .config(
+        "spark.cleaner.periodicGC.interval",
+        sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "5min")
+      )
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm up JVM/codegen/file listing so the first timed query isn't
@@ -137,11 +180,19 @@ object Bench {
     // execution order (and each query's predecessors) is stable as
     // the registry grows — round-5's unexplained in-suite swings
     // tracked to neighbor effects, not the queries themselves
-    val results: Seq[(String, (Double, Double, Double, Seq[Double]))] =
-      queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // persist the per-query map after EVERY query: a rehearsal-scale
+    // run that dies (OOM/disk) three attempts in otherwise loses all
+    // completed measurements each time
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(String, (Double, Double, Double, Seq[Double]))]
+    val results: Seq[(String, (Double, Double, Double, Seq[Double]))] = {
+      queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         resetSession(spark)
-        name -> timeQuery(spark, sfDir, name, fn, reps)
+        acc += (name -> timeQuery(spark, sfDir, name, fn, reps))
+        try writeDetail(acc.toSeq, reps, sfDir)
+        catch { case _: Throwable => () }
       }
+      acc.toSeq
+    }
     require(
       results.forall(_._2._1 >= 0),
       "bench produced a negative timing — a query failed without raising"
@@ -149,28 +200,7 @@ object Bench {
 
     val total = results.map(_._2._1).filter(_ >= 0).sum
 
-    // Structured artifact: survives stdout truncation by the harness.
-    val detail = results
-      .map { case (k, (med, mn, mx, ts)) =>
-        s"""    "$k": {"median": ${fmt(med)}, "min": ${fmt(mn)}, "max": ${fmt(mx)}, "runs": [${ts.map(fmt).mkString(", ")}]}"""
-      }
-      .mkString(",\n")
-    val json =
-      s"""{
-         |  "metric": "total_median_sec",
-         |  "value": ${fmt(total)},
-         |  "reps": $reps,
-         |  "sf": "$sfDir",
-         |  "n_queries": ${results.size},
-         |  "queries": {
-         |$detail
-         |  }
-         |}
-         |""".stripMargin
-    try {
-      val p = java.nio.file.Paths.get("BENCH_LOCAL.json")
-      java.nio.file.Files.write(p, json.getBytes("UTF-8"))
-    } catch { case _: Throwable => }
+    writeDetail(results, reps, sfDir)
     spark.stop()
     // The driver's stdout-capture contract: ONE compact JSON line,
     // printed LAST (after spark.stop(), so no shutdown chatter can
