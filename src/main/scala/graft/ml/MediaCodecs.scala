@@ -204,17 +204,20 @@ object MediaCodecs {
     var pcm16 = false
     var dataOff = -1
     var dataLen = -1
-    while (pos + 8 <= bytes.length) {
+    while (pos + 8 <= bytes.length && pos >= 0) {
       val sz = u32(pos + 4)
-      if (sz < 0 || sz > Int.MaxValue - 8) return None
       if (tag(pos, "fmt ") && pos + 8 + 16 <= bytes.length) {
         pcm16 = u16(pos + 8) == 1 && u16(pos + 8 + 14) == 16
         rate = u32(pos + 8 + 4).toInt
       } else if (tag(pos, "data")) {
         dataOff = pos + 8
-        dataLen = math.min(sz.toInt, bytes.length - dataOff)
+        dataLen = math.min(sz, (bytes.length - dataOff).toLong).toInt
       }
-      pos += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+      // advance in Long: a crafted chunk size near 2^31 must end the
+      // walk (truncated container), not overflow pos into a negative
+      // index
+      val next = pos.toLong + 8L + sz + (sz & 1L)
+      pos = if (next > bytes.length) bytes.length else next.toInt
     }
     if (pcm16 && rate > 0 && dataOff >= 0) Some((rate, dataOff, dataLen)) else None
   }

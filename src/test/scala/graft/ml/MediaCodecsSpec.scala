@@ -156,6 +156,17 @@ class MediaCodecsSpec extends SparkSpec {
     )
   }
 
+  test("crafted RIFF chunk size near 2^31 ends the walk as None, no index overflow") {
+    // RIFF/WAVE header followed by one chunk claiming ~2GB of payload
+    val b = new Array[Byte](64)
+    for ((s, o) <- Seq(("RIFF", 0), ("WAVE", 8), ("junk", 12))) {
+      for (i <- 0 until 4) b(o + i) = s(i).toByte
+    }
+    b(16) = 0xf0.toByte; b(17) = 0xff.toByte; b(18) = 0xff.toByte; b(19) = 0x7f.toByte
+    assert(MediaCodecs.decodeWav(b).isEmpty)
+    assert(MediaCodecs.audioEnergyHash(b).isEmpty)
+  }
+
   test("corrupt payloads yield None, not exceptions") {
     assert(MediaCodecs.decodeImage("not an image".getBytes).isEmpty)
     assert(MediaCodecs.decodeImage(Array.emptyByteArray).isEmpty)
