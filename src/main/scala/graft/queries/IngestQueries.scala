@@ -711,7 +711,65 @@ object IngestQueries {
       |GROUP BY parameter_id
       |ORDER BY parameter_id ASC NULLS LAST""".stripMargin
 
+  // ---- SWOB-ML XML minute-observation ingest -----------------------
+
+  /** The SWOB-ML adapter run end-to-end on procedurally generated
+    * observation XML (one file per nation row, deterministic values):
+    * timePosition parse, element extraction, repeated-element dedup,
+    * distractor-parameter filter and the start-watermark cut all fire;
+    * the oracle recomputes the expected (timestamp, value) stream
+    * arithmetically from the same formulas — the closed-form-fixture
+    * discipline the media decode rows use.
+    */
+  private def swobIngest(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{SeriesConfig, SwobXmlAdapter}
+    val ns = TestTables
+      .nation(s, d)
+      .select(col("n_nationkey").cast("long"))
+      .collect()
+      .map(_.getLong(0))
+      .sorted
+    val base = java.nio.file.Files.createTempDirectory("graft-swob").toString
+    ns.foreach { n =>
+      val temp = (n * 7 % 40) - 10 + 0.5
+      val hum = (n * 11 % 60) + 30 + 0.5
+      val minute = "%02d".format(n)
+      val xml =
+        s"""<om:Observation><om:samplingTime><gml:TimeInstant>
+           |<gml:timePosition>2024-01-01T00:$minute:00.000Z</gml:timePosition>
+           |</gml:TimeInstant></om:samplingTime><elements>
+           |<element name="air_temp" uom="degC" value="$temp"/>
+           |<element name="rel_hum" uom="%" value="$hum"/>
+           |<element name="air_temp" uom="degC" value="$temp"/>
+           |</elements></om:Observation>""".stripMargin
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$base/obs_$n.xml"),
+        xml.getBytes("UTF-8")
+      )
+    }
+    val cfg = SeriesConfig(
+      1L,
+      "downloadSwobMinute",
+      Map("path" -> s"$base/*.xml", "element" -> "air_temp")
+    )
+    val out = SwobXmlAdapter
+      .fetch(s, cfg, java.sql.Timestamp.valueOf("2024-01-01 00:03:00"))
+      .select(unix_micros(col("datetime")).as("obs_us"), col("value"))
+      .orderBy(col("obs_us"))
+      .localCheckpoint(true)
+    TextMlQueries.rmTree(base)
+    out
+  }
+
+  private val swobIngestSql =
+    """SELECT epoch_us(TIMESTAMP '2024-01-01 00:00:00' + to_minutes(n)) AS obs_us,
+      |       CAST((n * 7) % 40 - 10 + 0.5 AS DOUBLE) AS value
+      |FROM (SELECT CAST(n_nationkey AS BIGINT) AS n FROM nation)
+      |WHERE n >= 3
+      |ORDER BY obs_us""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_swob_ingest", swobIngest, Some(swobIngestSql)),
     QueryDef("q_import_profile", importProfile, Some(importProfileSql)),
     QueryDef("q_fetch_groups", fetchGroups, Some(fetchGroupsSql)),
     QueryDef("q_incremental_filter", incrementalFilter, Some(incrementalFilterSql)),
