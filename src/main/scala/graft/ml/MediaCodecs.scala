@@ -202,14 +202,19 @@ object MediaCodecs {
     var pos = 12
     var rate = -1
     var pcm16 = false
+    var fmtSeen = false
     var dataOff = -1
     var dataLen = -1
     while (pos + 8 <= bytes.length && pos >= 0) {
       val sz = u32(pos + 4)
-      if (tag(pos, "fmt ") && pos + 8 + 16 <= bytes.length) {
+      // standard RIFF semantics: the FIRST fmt/data chunk wins (files
+      // with duplicate chunks must parse like mainstream readers), and
+      // a fmt chunk must declare >= 16 bytes before its fields are read
+      if (tag(pos, "fmt ") && !fmtSeen && sz >= 16 && pos + 8 + 16 <= bytes.length) {
+        fmtSeen = true
         pcm16 = u16(pos + 8) == 1 && u16(pos + 8 + 14) == 16
         rate = u32(pos + 8 + 4).toInt
-      } else if (tag(pos, "data")) {
+      } else if (tag(pos, "data") && dataOff < 0) {
         dataOff = pos + 8
         dataLen = math.min(sz, (bytes.length - dataOff).toLong).toInt
       }

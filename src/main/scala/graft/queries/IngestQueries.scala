@@ -721,44 +721,67 @@ object IngestQueries {
     * arithmetically from the same formulas — the closed-form-fixture
     * discipline the media decode rows use.
     */
+  /** Session-stable SWOB XML fixture tree, one per (JVM, sf dir). The
+    * round-8 bench lost an attempt to a transient `DataFrameReader.load`
+    * failure when the per-invocation temp tree was deleted between reps
+    * while a glob was still live — so the fixture is now created once
+    * per JVM session and NEVER deleted between reps (the harness
+    * reclaims the JVM temp dir after the session).
+    */
+  private val swobFixtureCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def swobFixture(s: SparkSession, d: String): String =
+    swobFixtureCache.computeIfAbsent(
+      d,
+      dir => {
+        val ns = TestTables
+          .nation(s, dir)
+          .select(col("n_nationkey").cast("long"))
+          .collect()
+          .map(_.getLong(0))
+          .sorted
+        val base = java.nio.file.Files.createTempDirectory("graft-swob").toString
+        ns.foreach { n =>
+          val temp = (n * 7 % 40) - 10 + 0.5
+          val hum = (n * 11 % 60) + 30 + 0.5
+          val minute = "%02d".format(n)
+          val xml =
+            s"""<om:Observation><om:samplingTime><gml:TimeInstant>
+               |<gml:timePosition>2024-01-01T00:$minute:00.000Z</gml:timePosition>
+               |</gml:TimeInstant></om:samplingTime><elements>
+               |<element name="air_temp" uom="degC" value="$temp"/>
+               |<element name="rel_hum" uom="%" value="$hum"/>
+               |<element name="air_temp" uom="degC" value="$temp"/>
+               |</elements></om:Observation>""".stripMargin
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$base/obs_$n.xml"),
+            xml.getBytes("UTF-8")
+          )
+        }
+        base
+      }
+    )
+
   private def swobIngest(s: SparkSession, d: String): DataFrame = {
     import graft.sources.{SeriesConfig, SwobXmlAdapter}
-    val ns = TestTables
-      .nation(s, d)
-      .select(col("n_nationkey").cast("long"))
-      .collect()
-      .map(_.getLong(0))
-      .sorted
-    val base = java.nio.file.Files.createTempDirectory("graft-swob").toString
-    ns.foreach { n =>
-      val temp = (n * 7 % 40) - 10 + 0.5
-      val hum = (n * 11 % 60) + 30 + 0.5
-      val minute = "%02d".format(n)
-      val xml =
-        s"""<om:Observation><om:samplingTime><gml:TimeInstant>
-           |<gml:timePosition>2024-01-01T00:$minute:00.000Z</gml:timePosition>
-           |</gml:TimeInstant></om:samplingTime><elements>
-           |<element name="air_temp" uom="degC" value="$temp"/>
-           |<element name="rel_hum" uom="%" value="$hum"/>
-           |<element name="air_temp" uom="degC" value="$temp"/>
-           |</elements></om:Observation>""".stripMargin
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(s"$base/obs_$n.xml"),
-        xml.getBytes("UTF-8")
-      )
-    }
+    val base = swobFixture(s, d)
+    // fail loudly, naming the fixture path, rather than letting an empty
+    // glob surface as an opaque DataFrameReader error mid-bench
+    val xmlFiles = Option(new java.io.File(base).list()).getOrElse(Array.empty[String])
+    require(
+      xmlFiles.exists(_.endsWith(".xml")),
+      s"SWOB fixture glob $base/*.xml matched no files — fixture lifecycle bug"
+    )
     val cfg = SeriesConfig(
       1L,
       "downloadSwobMinute",
       Map("path" -> s"$base/*.xml", "element" -> "air_temp")
     )
-    val out = SwobXmlAdapter
+    SwobXmlAdapter
       .fetch(s, cfg, java.sql.Timestamp.valueOf("2024-01-01 00:03:00"))
       .select(unix_micros(col("datetime")).as("obs_us"), col("value"))
       .orderBy(col("obs_us"))
       .localCheckpoint(true)
-    TextMlQueries.rmTree(base)
-    out
   }
 
   private val swobIngestSql =

@@ -390,7 +390,7 @@ object TextMlQueries {
     import scala.jdk.CollectionConverters._
     val root = Paths.get(path)
     if (Files.exists(root)) {
-      val all = Files.walk(root).iterator().asScala.toSeq.reverse
+      val all = scala.util.Using.resource(Files.walk(root))(_.iterator().asScala.toSeq).reverse
       all.foreach(p => try Files.deleteIfExists(p) catch { case _: Throwable => () })
     }
   }
