@@ -90,13 +90,9 @@ object AddDiscrete {
 
     // ---- id assignment above the existing max: range-partitioned
     // rank (SeqIds), not a single-task global window ----------------
-    val maxId =
-      existingSamples.agg(coalesce(max(col("sample_id")), lit(0L)).as("__max_id"))
     val withIds = graft.operators.SeqIds
-      .globalRank(goodSamples, Seq(col("sample_key")), "__seq")
-      .crossJoin(broadcast(maxId))
-      .withColumn("sample_id", col("__max_id") + col("__seq"))
-      .drop("__max_id", "__seq", "__n_results")
+      .assignIdsAbove(existingSamples, "sample_id", goodSamples, Seq(col("sample_key")), "sample_id")
+      .drop("__n_results")
 
     // ---- result gates --------------------------------------------
     val dims = broadcast(

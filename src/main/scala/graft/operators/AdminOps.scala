@@ -46,12 +46,15 @@ object AdminOps {
         .when(col("__taken").isNotNull, "duplicate_org")
         .when(col("__batch_rank") > 1, "duplicate_in_batch")
     )
-    val maxId = existing.agg(coalesce(max(col("organization_id")), lit(0L)).as("__max_id"))
     val accepted = SeqIds
-      .globalRank(flagged.filter(col("reject_reason").isNull), Seq(col("__key")), "__seq")
-      .crossJoin(broadcast(maxId))
-      .withColumn("organization_id", col("__max_id") + col("__seq"))
-      .drop("__key", "__batch_rank", "__taken", "__max_id", "__seq", "reject_reason")
+      .assignIdsAbove(
+        existing,
+        "organization_id",
+        flagged.filter(col("reject_reason").isNull),
+        Seq(col("__key")),
+        "organization_id"
+      )
+      .drop("__key", "__batch_rank", "__taken", "reject_reason")
     OrgImport(
       accepted,
       flagged

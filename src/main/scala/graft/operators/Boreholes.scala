@@ -121,16 +121,13 @@ object Boreholes {
     // deterministic id assignment: max existing id (broadcast 1-row
     // frame, no driver action) + dense order over the natural key —
     // range-partitioned rank (SeqIds), not a single-task window
-    val maxId = existing.agg(coalesce(max(col("borehole_id")), lit(0L)).as("__max_id"))
-    val accepted = SeqIds
-      .globalRank(
-        flagged.filter(col("reject_reason").isNull).drop("reject_reason"),
-        Seq(lower(col("borehole_name")), col("latitude"), col("longitude")),
-        "__seq"
-      )
-      .crossJoin(broadcast(maxId))
-      .withColumn("borehole_id", col("__max_id") + col("__seq"))
-      .drop("__max_id", "__seq")
+    val accepted = SeqIds.assignIdsAbove(
+      existing,
+      "borehole_id",
+      flagged.filter(col("reject_reason").isNull).drop("reject_reason"),
+      Seq(lower(col("borehole_name")), col("latitude"), col("longitude")),
+      "borehole_id"
+    )
     val rejects = flagged.filter(col("reject_reason").isNotNull)
     val permafrost = accepted
       .filter(col("permafrost_present"))

@@ -28,6 +28,40 @@ import org.apache.spark.sql.functions._
   */
 object SeqIds {
 
+  /** `outCol` = max(existing.idCol) + 1-based rank of `batch` under
+    * `sortCols` — THE audited code path for every max-id+1 seeding
+    * gate in the library (CatalogOps, ImportProfiles, AddDiscrete,
+    * Boreholes, AdminOps, RasterIngest, ImageIngest).
+    *
+    * SINGLE-WRITER ASSUMPTION: max-id+1 seeding is only correct when
+    * one writer at a time appends to the target table — exactly the
+    * reference's semantics, where every id is drawn from a Postgres
+    * sequence inside one transaction per R session. Two concurrent
+    * batch writers would both read the same max and mint colliding
+    * ids. At cluster scale, either serialize these CRUD jobs (they are
+    * dimension-sized maintenance ops, not data-path operators) or
+    * replace this seam with an external id allocator; the data-path
+    * operators never call it.
+    *
+    * Lazy by construction — the max aggregate rides the batch's plan
+    * as a broadcast cross join (no driver round trip), so callers that
+    * chain several seeded upserts pay zero extra Spark jobs.
+    */
+  def assignIdsAbove(
+      existing: DataFrame,
+      idCol: String,
+      batch: DataFrame,
+      sortCols: Seq[Column],
+      outCol: String,
+      smallBatch: Boolean = false
+  ): DataFrame = {
+    val maxId = existing.agg(coalesce(max(col(idCol)), lit(0L)).cast("long").as("__max_id"))
+    globalRank(batch, sortCols, "__seq", smallBatch)
+      .crossJoin(broadcast(maxId))
+      .withColumn(outCol, col("__max_id") + col("__seq"))
+      .drop("__max_id", "__seq")
+  }
+
   /** Adds `outCol` = 1-based dense global rank of `df` rows under
     * `sortCols`. Deterministic when the sort key is unique (all CRUD
     * callers rank on a unique natural/batch key).

@@ -167,11 +167,14 @@ object ImageIngest {
     val rejects = batchGated
       .filter(col("reject_reason").isNotNull)
       .select(col("src_key"), col("location_id"), col("reject_reason"))
-    val maxId = existing.agg(coalesce(max(col("img_series_id")), lit(0L)).as("__max_id"))
     val accepted = graft.operators.SeqIds
-      .globalRank(batchGated.filter(col("reject_reason").isNull), Seq(col("src_key")), "__seq")
-      .crossJoin(broadcast(maxId))
-      .withColumn("img_series_id", col("__max_id") + col("__seq"))
+      .assignIdsAbove(
+        existing,
+        "img_series_id",
+        batchGated.filter(col("reject_reason").isNull),
+        Seq(col("src_key")),
+        "img_series_id"
+      )
       .withColumn("source_fx_args", parseFxArgs(col("source_fx_args")))
       .withColumn("first_img", col("start_datetime"))
       .withColumn("last_img", col("start_datetime"))

@@ -65,19 +65,19 @@ object ImportProfiles {
     * new codes get ids above max(existing) in source_code order —
     * `R/import_mappings.R:108-119`. */
   def upsertSources(existing: DataFrame, batch: DataFrame): DataFrame = {
-    val spark = existing.sparkSession
-    val maxId = existing.agg(coalesce(max(col("import_source_id")), lit(0L))).head().getLong(0)
     val incoming = batch
       .select(col("source_code"), col("source_name"), col("source_description"))
       .dropDuplicates("source_code")
     val known = incoming
       .join(existing.select(col("import_source_id"), col("source_code")), Seq("source_code"))
-    val fresh = SeqIds.globalRank(
+    val fresh = SeqIds.assignIdsAbove(
+      existing,
+      "import_source_id",
       incoming.join(existing.select("source_code"), Seq("source_code"), "left_anti"),
       Seq(col("source_code")),
-      "__rk",
+      "import_source_id",
       smallBatch = true // profile/key uploads are dimension-sized by definition
-    ).withColumn("import_source_id", lit(maxId) + col("__rk")).drop("__rk")
+    )
     val staged = known
       .unionByName(fresh)
       .withColumn("active", lit(true))
@@ -115,23 +115,24 @@ object ImportProfiles {
       withId.filter(col("import_source_id").isNull).isEmpty,
       "upsertProfiles: batch references source_code(s) absent from import_sources"
     )
-    val maxId = existing.agg(coalesce(max(col("import_profile_id")), lit(0L))).head().getLong(0)
     val keyed = withId.drop("source_code")
     val known = keyed.join(
       existing.select(
         col("import_source_id"), col("profile_code"), col("import_profile_id")),
       Seq("import_source_id", "profile_code")
     )
-    val fresh = SeqIds.globalRank(
+    val fresh = SeqIds.assignIdsAbove(
+      existing,
+      "import_profile_id",
       keyed.join(
         existing.select("import_source_id", "profile_code"),
         Seq("import_source_id", "profile_code"),
         "left_anti"
       ),
       Seq(col("import_source_id"), col("profile_code")),
-      "__rk",
+      "import_profile_id",
       smallBatch = true // profile/key uploads are dimension-sized by definition
-    ).withColumn("import_profile_id", lit(maxId) + col("__rk")).drop("__rk")
+    )
     val staged = known.unionByName(fresh).select(ProfileCols.map(col): _*)
     Upsert(existing, staged, Seq("import_source_id", "profile_code"), Upsert.DoUpdate)
   }
@@ -294,6 +295,25 @@ object ImportProfiles {
       lookups: ImportLookups,
       targetColumns: Map[String, Seq[String]] = DefaultTargetColumns
   ): DataFrame = {
+    val out = resolveTargetsKeepErrs(mappings, lookups, targetColumns)
+    val bad = out.filter(size(col("__errs")) > 0).select(col("__errs")).limit(1).collect()
+    if (bad.nonEmpty) {
+      throw new IllegalArgumentException(
+        "import mapping batch failed target resolution: " + bad.head.getSeq[String](0).mkString("; ")
+      )
+    }
+    out.drop("__errs")
+  }
+
+  /** [[resolveTargets]] minus the validation action: returns the frame
+    * WITH its `__errs` array so a caller can fuse the error probe into
+    * another driver job (upsertParameterMappings folds it into its
+    * single id/validation probe). */
+  private def resolveTargetsKeepErrs(
+      mappings: DataFrame,
+      lookups: ImportLookups,
+      targetColumns: Map[String, Seq[String]]
+  ): DataFrame = {
     val tc = DefaultTargetColumns ++ targetColumns
     var out = mappings.withColumn("__errs", array().cast("array<string>"))
     val lk = lookups.resolved // ONE collect for all six dimensions
@@ -311,13 +331,7 @@ object ImportProfiles {
     out = ensure("priority", lit(100), c => coalesce(c.cast("int"), lit(100)))(out)
     out = ensure("active", lit(true), c => coalesce(asLogical(c), lit(true)))(out)
     out = ensure("note", lit(null).cast("string"), c => c.cast("string"))(out)
-    val bad = out.filter(size(col("__errs")) > 0).select(col("__errs")).limit(1).collect()
-    if (bad.nonEmpty) {
-      throw new IllegalArgumentException(
-        "import mapping batch failed target resolution: " + bad.head.getSeq[String](0).mkString("; ")
-      )
-    }
-    out.drop("__errs")
+    out
   }
 
   // ---------------------------------------------------------------
@@ -361,9 +375,19 @@ object ImportProfiles {
     val spark = sources.sparkSession
     import spark.implicits._
 
-    // max id and this code's existing id in ONE aggregate — the
-    // general upsertSources path would cost two driver actions for a
-    // single-row source upsert
+    var staged = blankToNa(batch, exclude = matchColumns.toSet)
+    if (staged.columns.contains("ignore")) {
+      staged = staged
+        .filter(asLogical(col("ignore")).isNull || !asLogical(col("ignore")))
+        .drop("ignore")
+    }
+    val resolved = resolveTargetsKeepErrs(staged, lookups, targetColumns)
+
+    // ONE driver probe for the whole gate set: source max-id + this
+    // code's existing row, the mapping max-id, AND the target-
+    // resolution error scan — the reference runs these as separate
+    // per-call DB queries; here each would be a separate Spark job
+    // whose launch latency dominates on dimension-sized tables
     val idRow = sources
       .agg(
         coalesce(max(col("import_source_id")), lit(0L)).as("max_id"),
@@ -371,7 +395,20 @@ object ImportProfiles {
         max(when(col("source_code") === sourceCode, col("source_name"))).as("existing_name"),
         max(when(col("source_code") === sourceCode, col("source_description"))).as("existing_desc")
       )
+      .crossJoin(
+        mappings.agg(coalesce(max(col("import_mapping_id")), lit(0L)).as("max_mapping_id"))
+      )
+      .join(
+        resolved.filter(size(col("__errs")) > 0).select(col("__errs")).limit(1),
+        lit(true),
+        "left"
+      )
       .head()
+    if (!idRow.isNullAt(5)) {
+      throw new IllegalArgumentException(
+        "import mapping batch failed target resolution: " + idRow.getSeq[String](5).mkString("; ")
+      )
+    }
     val sourceId = if (idRow.isNullAt(1)) idRow.getLong(0) + 1L else idRow.getLong(1)
     // an omitted name/description PRESERVES the stored value on an
     // existing source (update only what the caller provided) instead
@@ -384,16 +421,11 @@ object ImportProfiles {
     ).toDF("import_source_id", "source_code", "source_name", "source_description", "active")
     val newSources = Upsert(sources, srcRow, Seq("source_code"), Upsert.DoUpdate)
 
-    var staged = blankToNa(batch, exclude = matchColumns.toSet)
-    if (staged.columns.contains("ignore")) {
-      staged = staged
-        .filter(asLogical(col("ignore")).isNull || !asLogical(col("ignore")))
-        .drop("ignore")
-    }
-    staged = resolveTargets(staged, lookups, targetColumns)
+    staged = resolved
+      .drop("__errs")
       .withColumn("import_source_id", lit(sourceId))
       .withColumn("source_match", sourceMatchJson(matchColumns))
-    val maxId = mappings.agg(coalesce(max(col("import_mapping_id")), lit(0L))).head().getLong(0)
+    val maxId = idRow.getLong(4)
     val known = staged.join(
       mappings.select(col("import_source_id"), col("source_match"), col("import_mapping_id")),
       Seq("import_source_id", "source_match")
@@ -472,16 +504,25 @@ object ImportProfiles {
           .when(isInt, trim(v).cast("long"))
           .otherwise(col("__cid"))
       )
-    val unknown = staged
-      .filter(!isMissingStr(v) && col("__resolved").isNull)
-      .select(v)
-      .limit(1)
-      .collect()
-    if (unknown.nonEmpty) {
+    // unknown-value scan + max-id seed in ONE driver job (the fused-
+    // probe discipline of upsertParameterMappings)
+    val probeRow = existing
+      .agg(coalesce(max(col("import_qualifier_mapping_id")), lit(0L)).as("max_id"))
+      .join(
+        staged
+          .filter(!isMissingStr(v) && col("__resolved").isNull)
+          .select(v.as("__bad"))
+          .limit(1),
+        lit(true),
+        "left"
+      )
+      .head()
+    if (!probeRow.isNullAt(1)) {
       throw new IllegalArgumentException(
-        s"Unknown result_condition qualifier mapping value: ${unknown.head.getString(0)}"
+        s"Unknown result_condition qualifier mapping value: ${probeRow.getString(1)}"
       )
     }
+    val maxId = probeRow.getLong(0)
     staged = staged
       .withColumn("result_condition", col("__resolved"))
       .drop("__lookup_key", "__label", "__cid", "__resolved")
@@ -499,10 +540,6 @@ object ImportProfiles {
       .withColumn("__kp", coalesce(col("import_profile_id"), lit(-1L)))
       .withColumn("__kc", coalesce(col("qualifier_column"), lit("\u0000")))
       .withColumn("__kv", coalesce(col("qualifier_value"), lit("\u0000")))
-    val maxId = existing
-      .agg(coalesce(max(col("import_qualifier_mapping_id")), lit(0L)))
-      .head()
-      .getLong(0)
     val keyCols = Seq("import_source_id", "__kp", "__kc", "__kv")
     val known = keyed.join(
       target.select((keyCols :+ "import_qualifier_mapping_id").map(col): _*),
@@ -527,7 +564,10 @@ object ImportProfiles {
   // ---------------------------------------------------------------
 
   /** `createImportUploadSession` (`R/import_mappings.R:650`): append a
-    * session row with the next id; JSON summaries stored as text. */
+    * session row with the next id; JSON summaries stored as text. The
+    * returned Long forces one driver action here; the max-id+1 seed
+    * carries the single-writer assumption documented on
+    * [[graft.operators.SeqIds.assignIdsAbove]]. */
   def createUploadSession(
       sessions: DataFrame,
       profileId: Long,
@@ -629,27 +669,29 @@ object ImportProfiles {
       key: String
   ): Option[(String, DataFrame)] = {
     val cands = candidateKeys(key)
-    // ONE probe job for all candidates (the reference loops a DB query
-    // per candidate; ≤4 candidates makes one IN-probe strictly better),
-    // then one active-mapping count pass over the hit sources.
+    // ONE probe job for all candidates AND their active-mapping counts
+    // (the reference loops a DB query per candidate; ≤4 candidates and
+    // a dimension-sized mapping table make one joined probe strictly
+    // better than two sequential jobs)
     val hitSources = sources
       .filter(col("active") && col("source_code").isin(cands: _*))
       .select(col("import_source_id"), col("source_code"))
+      .join(
+        mappings
+          .filter(col("active"))
+          .groupBy(col("import_source_id"))
+          .agg(count(lit(1)).as("__n")),
+        Seq("import_source_id"),
+        "left"
+      )
       .collect()
-      .map(r => r.getString(1) -> r.getLong(0))
+      .map(r => r.getString(1) -> (r.getLong(0), if (r.isNullAt(2)) 0L else r.getLong(2)))
       .toMap
     if (hitSources.isEmpty) return None
-    val counts = mappings
-      .filter(col("active") && col("import_source_id").isin(hitSources.values.toSeq: _*))
-      .groupBy(col("import_source_id"))
-      .agg(count(lit(1)).as("n"))
-      .collect()
-      .map(r => r.getLong(0) -> r.getLong(1))
-      .toMap
     cands
       .collectFirst {
-        case cand if hitSources.get(cand).exists(sid => counts.getOrElse(sid, 0L) > 0) =>
-          val sid = hitSources(cand)
+        case cand if hitSources.get(cand).exists(_._2 > 0) =>
+          val sid = hitSources(cand)._1
           cand -> mappings
             .filter(col("import_source_id") === sid && col("active"))
             .withColumn(

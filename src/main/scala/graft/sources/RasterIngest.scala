@@ -251,16 +251,14 @@ object RasterIngest {
     val rejects = batchGated
       .filter(col("reject_reason").isNotNull)
       .select(col("src_key"), col("reject_reason"))
-    val maxId =
-      existing.agg(coalesce(max(col("raster_series_id")), lit(0L)).as("__max_id"))
     val accepted = graft.operators.SeqIds
-      .globalRank(
+      .assignIdsAbove(
+        existing,
+        "raster_series_id",
         batchGated.filter(col("reject_reason").isNull),
         Seq(col("src_key")),
-        "__seq"
+        "raster_series_id"
       )
-      .crossJoin(broadcast(maxId))
-      .withColumn("raster_series_id", col("__max_id") + col("__seq"))
       .withColumn("matrix_state_id", col("__resolved_matrix"))
       // the fetch driver's watermark: fetching starts at start_datetime
       .withColumn("end_datetime", col("start_datetime"))
@@ -357,11 +355,14 @@ object RasterIngest {
     val rejects = coerced
       .filter(col("reject_reason").isNotNull)
       .select(col("src_key"), col("reject_reason"))
-    val maxId = existing.agg(coalesce(max(col("reference_id")), lit(0L)).as("__max_id"))
     val accepted = graft.operators.SeqIds
-      .globalRank(coerced.filter(col("reject_reason").isNull), Seq(col("src_key")), "__seq")
-      .crossJoin(broadcast(maxId))
-      .withColumn("reference_id", col("__max_id") + col("__seq"))
+      .assignIdsAbove(
+        existing,
+        "reference_id",
+        coerced.filter(col("reject_reason").isNull),
+        Seq(col("src_key")),
+        "reference_id"
+      )
       .withColumn(
         "band_names_str",
         concat(lit("{{"), array_join(col("band_names"), "},{"), lit("}}"))
