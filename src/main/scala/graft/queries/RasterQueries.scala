@@ -515,6 +515,170 @@ object RasterQueries {
       |FROM ids
       |ORDER BY src_key""".stripMargin
 
+  // ---- manual raster insert (R/insertACRaster.R:28-120) ------------
+
+  /** Every manual-path gate fires somewhere in this fixture: missing
+    * bands, units-vs-band mismatch, the `32BF/32BUI/32BSI` bit-depth
+    * vocabulary (case-insensitive) with an unsupported value, the
+    * parse-the-data default across all three 32-bit flavors
+    * (fractional -> 32BF, negative ints -> 32BSI, else 32BUI, computed
+    * as ONE distributed aggregate over the cell frame), and the
+    * zero-cell write failure. The `'other'` raster-type resolution and
+    * ids above max(existing) follow the q_model_raster_insert fixture
+    * discipline — `R/insertACRaster.R:54-88`, `R/writeRaster.R:313-321`.
+    */
+  private def rasterInsert(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = col("p_partkey")
+    val j = expr("p_partkey div 7")
+    val base = TestTables.part(s, d).filter(k % 7 === 0)
+    val incoming = base.select(
+      k.cast("long").as("src_key"),
+      when(j % 11 === 0, lit(null).cast("array<string>"))
+        .otherwise(
+          transform(sequence(lit(1), (j % 3 + 1).cast("int")), i => concat(lit("b"), i.cast("string")))
+        )
+        .as("band_names"),
+      when(j % 5 === 0, lit(null).cast("array<string>"))
+        .when(j % 5 === 1, array(lit("mm")))
+        .when(j % 5 === 2, transform(sequence(lit(1), (j % 3 + 1).cast("int")), i => concat(lit("u"), i.cast("string"))))
+        .when(j % 5 === 3, array(lit("C"), lit("kPa")))
+        .otherwise(array(lit("C")))
+        .as("units"),
+      when(j % 6 === 1, lit("32bf"))
+        .when(j % 6 === 2, lit("32BUI"))
+        .when(j % 6 === 3, lit("32bsi"))
+        .when(j % 6 === 4, lit("64BF"))
+        .as("bit_depth"),
+      lit("manual upload").as("description"),
+      lit(null).cast("string").as("flag"),
+      when(j % 2 === 0, lit("scan")).as("source")
+    )
+    val cells = base
+      .filter(j % 13 =!= 0) // zero-cell rasters: the write-failure gate
+      .select(
+        k.cast("long").as("src_key"),
+        (j % 4).cast("int").as("__vclass"),
+        explode(sequence(lit(0), lit(3))).as("x")
+      )
+      .select(
+        col("src_key"),
+        lit(1).as("band"),
+        col("x"),
+        lit(0).as("y"),
+        when(col("__vclass") === 0, col("x") + 0.5)
+          .when(col("__vclass") === 1, -(col("x") + 1).cast("double"))
+          .when(col("__vclass") === 2, col("x").cast("double"))
+          .otherwise(col("x") * 0.25)
+          .as("value")
+      )
+    val rasterTypes = Seq((1L, "model"), (2L, "other"), (3L, "mosaic"))
+      .toDF("raster_type_id", "raster_type_name")
+    val existing = Seq(900L).toDF("reference_id")
+    val out = graft.sources.RasterIngest.insertRasters(incoming, cells, rasterTypes, existing)
+    out.accepted
+      .select(
+        col("src_key"),
+        lit("accepted").as("status"),
+        col("reference_id"),
+        col("raster_type_id"),
+        col("band_names_str"),
+        col("units_str"),
+        col("bit_depth"),
+        col("terra_datatype"),
+        col("source")
+      )
+      .unionByName(
+        out.rejects.select(
+          col("src_key"),
+          col("reject_reason").as("status"),
+          lit(null).cast("long").as("reference_id"),
+          lit(null).cast("long").as("raster_type_id"),
+          lit(null).cast("string").as("band_names_str"),
+          lit(null).cast("string").as("units_str"),
+          lit(null).cast("string").as("bit_depth"),
+          lit(null).cast("string").as("terra_datatype"),
+          lit(null).cast("string").as("source")
+        )
+      )
+      .orderBy(col("src_key"))
+  }
+
+  private val rasterInsertSql =
+    """WITH inc AS (
+      |  SELECT CAST(p_partkey AS BIGINT) AS src_key, (p_partkey // 7) AS j
+      |  FROM part WHERE p_partkey % 7 = 0
+      |), meta AS (
+      |  SELECT src_key, j,
+      |         CASE WHEN j % 11 = 0 THEN NULL
+      |              ELSE list_transform(range(1, CAST(j % 3 AS INT) + 2), i -> 'b' || i) END AS band_names,
+      |         CASE WHEN j % 5 = 0 THEN NULL
+      |              WHEN j % 5 = 1 THEN ['mm']
+      |              WHEN j % 5 = 2 THEN list_transform(range(1, CAST(j % 3 AS INT) + 2), i -> 'u' || i)
+      |              WHEN j % 5 = 3 THEN ['C', 'kPa']
+      |              ELSE ['C'] END AS units,
+      |         CASE WHEN j % 6 = 1 THEN '32bf'
+      |              WHEN j % 6 = 2 THEN '32BUI'
+      |              WHEN j % 6 = 3 THEN '32bsi'
+      |              WHEN j % 6 = 4 THEN '64BF' END AS bit_depth,
+      |         CASE WHEN j % 2 = 0 THEN 'scan' END AS source
+      |  FROM inc
+      |), cells AS (
+      |  SELECT src_key, CAST(t.range AS INT) AS x,
+      |         CASE CAST(j % 4 AS INT)
+      |              WHEN 0 THEN t.range + 0.5
+      |              WHEN 1 THEN CAST(-(t.range + 1) AS DOUBLE)
+      |              WHEN 2 THEN CAST(t.range AS DOUBLE)
+      |              ELSE t.range * 0.25 END AS value
+      |  FROM inc CROSS JOIN range(0, 4) t
+      |  WHERE j % 13 <> 0
+      |), stats AS (
+      |  SELECT src_key, count(*) AS n_cells, min(value) AS min_v,
+      |         max(CASE WHEN value <> floor(value) THEN 1 ELSE 0 END) AS has_frac
+      |  FROM cells GROUP BY src_key
+      |), gated AS (
+      |  SELECT m.*, s.n_cells, s.min_v, s.has_frac,
+      |         upper(trim(m.bit_depth)) AS bd_up,
+      |         CASE WHEN m.band_names IS NULL OR len(m.band_names) < 1 THEN 'missing_bands'
+      |              WHEN m.units IS NOT NULL AND len(m.units) > 1
+      |                   AND len(m.units) <> len(m.band_names) THEN 'units_band_mismatch'
+      |              WHEN m.bit_depth IS NOT NULL
+      |                   AND upper(trim(m.bit_depth)) NOT IN ('32BF','32BUI','32BSI')
+      |                   THEN 'unsupported_bit_depth'
+      |              WHEN s.n_cells IS NULL OR s.n_cells = 0 THEN 'empty_raster'
+      |         END AS reject_reason
+      |  FROM meta m LEFT JOIN stats s USING (src_key)
+      |), ids AS (
+      |  SELECT *,
+      |         CASE WHEN reject_reason IS NULL
+      |              THEN 900 + row_number() OVER (
+      |                     PARTITION BY (reject_reason IS NULL) ORDER BY src_key)
+      |         END AS reference_id,
+      |         CASE WHEN reject_reason IS NULL
+      |              THEN coalesce(bd_up,
+      |                     CASE WHEN has_frac = 1 THEN '32BF'
+      |                          WHEN min_v < 0 THEN '32BSI'
+      |                          ELSE '32BUI' END)
+      |         END AS bd_res
+      |  FROM gated
+      |)
+      |SELECT src_key,
+      |       coalesce(reject_reason, 'accepted') AS status,
+      |       CAST(reference_id AS BIGINT) AS reference_id,
+      |       CASE WHEN reject_reason IS NULL THEN CAST(2 AS BIGINT) END AS raster_type_id,
+      |       CASE WHEN reject_reason IS NULL
+      |            THEN '{{' || array_to_string(band_names, '},{') || '}}' END AS band_names_str,
+      |       CASE WHEN reject_reason IS NOT NULL THEN NULL
+      |            WHEN units IS NULL THEN array_to_string(list_transform(band_names, x -> ''), ', ')
+      |            ELSE array_to_string(units, ', ') END AS units_str,
+      |       bd_res AS bit_depth,
+      |       CASE bd_res WHEN '32BF' THEN 'FLT4S'
+      |                   WHEN '32BUI' THEN 'INT4U'
+      |                   WHEN '32BSI' THEN 'INT4S' END AS terra_datatype,
+      |       CASE WHEN reject_reason IS NULL THEN source END AS source
+      |FROM ids
+      |ORDER BY src_key""".stripMargin
+
   // ---- image SERIES registration (R/addACImageSeries.R:19-138) -----
 
   /** Every registration gate fires somewhere in this fixture: missing
@@ -636,6 +800,7 @@ object RasterQueries {
     QueryDef("q_raster_supersede", rasterSupersede, Some(rasterSupersedeSql)),
     QueryDef("q_image_latest", imageLatest, Some(imageLatestSql)),
     QueryDef("q_raster_series", rasterSeries, Some(rasterSeriesSql)),
-    QueryDef("q_model_raster_insert", modelRasterInsert, Some(modelRasterInsertSql))
+    QueryDef("q_model_raster_insert", modelRasterInsert, Some(modelRasterInsertSql)),
+    QueryDef("q_raster_insert", rasterInsert, Some(rasterInsertSql))
   )
 }

@@ -389,4 +389,187 @@ object RasterIngest {
       )
     ModelRasterResult(accepted, rejects)
   }
+
+  final case class RasterInsertResult(accepted: DataFrame, rejects: DataFrame)
+
+  /** The MANUAL (non-model) raster intake — `R/insertACRaster.R:28-120`
+    * plus the bit-depth vocabulary of `R/writeRaster.R:311-321` in
+    * YukonWRB/AquaCache:
+    *
+    *   - units gate (`insertACRaster.R:54-69`): provided units must
+    *     have exactly one element or one per band, else the call stops
+    *     — here the row rejects (`units_band_mismatch`), sharing the
+    *     model path's semantics; absent units fall back to per-band
+    *     metadata (empty strings), joined ", ";
+    *   - bit depth (`insertACRaster.R:16`, `writeRaster.R:313-321`):
+    *     `32BF`/`32BUI`/`32BSI` (case-insensitive) map to terra
+    *     datatypes `FLT4S`/`INT4U`/`INT4S`; anything else aborts in
+    *     the reference (`cli_abort`) — rejects here
+    *     (`unsupported_bit_depth`);
+    *   - bit depth NULL -> "parse the data to determine which 32-bit
+    *     flavor": any fractional value -> 32BF, integral with
+    *     negatives -> 32BSI, else 32BUI. The reference parses the
+    *     in-memory terra object; here the raster may be billions of
+    *     cells, so the parse is ONE distributed aggregate over the
+    *     cell frame, never a driver scan;
+    *   - a raster that serialises to nothing fails the write in the
+    *     reference (`writeRaster.R:333-336`) — a src_key with zero
+    *     cells rejects (`empty_raster`);
+    *   - the `'other'` raster type must resolve
+    *     (`insertACRaster.R:80-88`) or the reference stops — rows
+    *     reject (`missing_other_type`) when the dimension lacks it;
+    *   - band_names stored in the `{{b1},{b2}}` literal shape, units
+    *     joined ", ", reference ids above max(existing) via
+    *     [[graft.operators.SeqIds.assignIdsAbove]] — all exactly as
+    *     the model path.
+    *
+    * @param incoming    src_key, band_names ARRAY<STRING> (nullable),
+    *                    units ARRAY<STRING> (nullable), description,
+    *                    flag, source, bit_depth (all nullable strings)
+    * @param cells       the decoded raster: src_key, band, x, y,
+    *                    value DOUBLE (the [[graft.operators.Raster]]
+    *                    cell shape keyed by src_key)
+    * @param rasterTypes raster_type_id, raster_type_name
+    * @param existing    reference_id (stored reference rows)
+    */
+  def insertRasters(
+      incoming: DataFrame,
+      cells: DataFrame,
+      rasterTypes: DataFrame,
+      existing: DataFrame
+  ): RasterInsertResult = {
+    val stats = cells
+      .groupBy(col("src_key"))
+      .agg(
+        count(lit(1)).as("__n_cells"),
+        min(col("value")).as("__min_v"),
+        max(
+          when(col("value").isNotNull && col("value") =!= floor(col("value")), 1).otherwise(0)
+        ).as("__has_frac")
+      )
+    // one-row dimension: NULL id when the types table lacks 'other'
+    val otherType = broadcast(
+      rasterTypes
+        .filter(lower(trim(col("raster_type_name"))) === "other")
+        .agg(max(col("raster_type_id")).as("__other_type_id"))
+    )
+    val gated = incoming
+      .join(broadcast(stats), Seq("src_key"), "left")
+      .crossJoin(otherType)
+      .withColumn("__n_bands", size(col("band_names")))
+      .withColumn("__bd_up", upper(trim(col("bit_depth"))))
+      .withColumn(
+        "reject_reason",
+        when(col("band_names").isNull || col("__n_bands") < 1, "missing_bands")
+          .when(
+            col("units").isNotNull && size(col("units")) > 1 &&
+              size(col("units")) =!= col("__n_bands"),
+            "units_band_mismatch"
+          )
+          .when(
+            col("bit_depth").isNotNull && !col("__bd_up").isin("32BF", "32BUI", "32BSI"),
+            "unsupported_bit_depth"
+          )
+          .when(col("__n_cells").isNull || col("__n_cells") === 0, "empty_raster")
+          .when(col("__other_type_id").isNull, "missing_other_type")
+      )
+    val rejects = gated
+      .filter(col("reject_reason").isNotNull)
+      .select(col("src_key"), col("reject_reason"))
+    val accepted = graft.operators.SeqIds
+      .assignIdsAbove(
+        existing,
+        "reference_id",
+        gated.filter(col("reject_reason").isNull),
+        Seq(col("src_key")),
+        "reference_id"
+      )
+      .withColumn(
+        "bit_depth",
+        coalesce(
+          col("__bd_up"),
+          when(col("__has_frac") === 1, "32BF")
+            .when(col("__min_v") < 0, "32BSI")
+            .otherwise("32BUI")
+        )
+      )
+      .withColumn(
+        "terra_datatype",
+        when(col("bit_depth") === "32BF", "FLT4S")
+          .when(col("bit_depth") === "32BUI", "INT4U")
+          .otherwise("INT4S")
+      )
+      .withColumn(
+        "band_names_str",
+        concat(lit("{{"), array_join(col("band_names"), "},{"), lit("}}"))
+      )
+      .withColumn(
+        "units_str",
+        when(col("units").isNull, array_join(transform(col("band_names"), _ => lit("")), ", "))
+          .otherwise(array_join(col("units"), ", "))
+      )
+      .select(
+        col("src_key"),
+        col("reference_id"),
+        col("__other_type_id").as("raster_type_id"),
+        col("band_names_str"),
+        col("units_str"),
+        col("bit_depth"),
+        col("terra_datatype"),
+        col("description"),
+        col("flag"),
+        col("source")
+      )
+    RasterInsertResult(accepted, rejects)
+  }
+
+  /** File/URL intake wrapper — `insertACRaster(raster = <path|URL>)`
+    * (`R/insertACRaster.R:50-52` routes a character argument through
+    * `terra::rast` before the gates). The engine's raster exchange
+    * format is a parquet cell frame (src_key, band, x, y, value); live
+    * HTTP URL fetch stays behind the Transport seam like every other
+    * remote source. When the caller supplies no band_names they derive
+    * from the cells (the reference takes `names(raster)` directly from
+    * the loaded object). Accepted rasters' cells are tiled
+    * ([[graft.operators.Raster.tileGrid]]) keyed by the minted
+    * reference_id and written through
+    * [[graft.operators.Raster.writeTiles]] when `tilesOut` is given —
+    * the reference's raster2pgsql append, re-expressed as the tile
+    * writer sink.
+    */
+  def insertRasterFromFile(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      meta: DataFrame,
+      rasterTypes: DataFrame,
+      existing: DataFrame,
+      tilesOut: Option[String] = None,
+      tileW: Int = 64,
+      tileH: Int = 64
+  ): RasterInsertResult = {
+    val cellsRaw = spark.read.parquet(path)
+    val derived = cellsRaw
+      .groupBy(col("src_key"))
+      .agg(array_sort(collect_set(col("band").cast("string"))).as("__derived_bands"))
+    val incoming = meta
+      .join(broadcast(derived), Seq("src_key"), "left")
+      .withColumn("band_names", coalesce(col("band_names"), col("__derived_bands")))
+      .drop("__derived_bands")
+    val res = insertRasters(incoming, cellsRaw, rasterTypes, existing)
+    tilesOut.foreach { out =>
+      val keyed = cellsRaw
+        .join(broadcast(res.accepted.select(col("src_key"), col("reference_id"))), Seq("src_key"))
+        .select(
+          col("reference_id").as("series_id"),
+          col("band"),
+          lit(null).cast("timestamp").as("issue_ts"),
+          lit(null).cast("timestamp").as("valid_ts"),
+          col("x"),
+          col("y"),
+          col("value")
+        )
+      graft.operators.Raster.writeTiles(graft.operators.Raster.tileGrid(keyed, tileW, tileH), out)
+    }
+    res
+  }
 }

@@ -132,4 +132,127 @@ class RasterIngestSpec extends SparkSpec {
     assert(acc(14L)._2.contains(99L), "explicit matrix differing from existing is not a duplicate")
     assert(acc(1L)._3 == t0 && acc(1L)._4, "watermark seeded at start, series active")
   }
+
+  test("insertRasters: manual-path gates, bit-depth parse, missing 'other' type") {
+    import spark.implicits._
+    val incoming = Seq(
+      // (src_key, band_names, units, bit_depth)
+      (1L, Some(Seq("b1", "b2")), Some(Seq("mm", "C")), None: Option[String]), // parse -> 32BF (frac)
+      (2L, Some(Seq("b1")), None, Some("32bui")), // explicit, case-insensitive
+      (3L, Some(Seq("b1")), None, Some("64BF")), // unsupported_bit_depth
+      (4L, None, None, None), // missing_bands
+      (5L, Some(Seq("b1")), Some(Seq("mm", "C", "K")), None), // units_band_mismatch
+      (6L, Some(Seq("b1")), None, None), // empty_raster (no cells)
+      (7L, Some(Seq("b1")), None, None), // parse -> 32BSI (negative ints)
+      (8L, Some(Seq("b1")), None, None) // parse -> 32BUI (non-negative ints)
+    ).toDF("src_key", "band_names", "units", "bit_depth")
+      .withColumn("description", lit("d"))
+      .withColumn("flag", lit(null).cast("string"))
+      .withColumn("source", lit(null).cast("string"))
+    val cells = Seq(
+      (1L, 1, 0, 0, 0.5), (1L, 2, 1, 0, 2.0),
+      (2L, 1, 0, 0, 3.0),
+      (3L, 1, 0, 0, 1.0),
+      (5L, 1, 0, 0, 1.0),
+      (7L, 1, 0, 0, -4.0), (7L, 1, 1, 0, 2.0),
+      (8L, 1, 0, 0, 0.0), (8L, 1, 1, 0, 7.0)
+    ).toDF("src_key", "band", "x", "y", "value")
+    val types = Seq((1L, "model"), (2L, "other")).toDF("raster_type_id", "raster_type_name")
+    val existing = Seq(40L).toDF("reference_id")
+    val out = graft.sources.RasterIngest.insertRasters(incoming, cells, types, existing)
+    val rej = out.rejects.as[(Long, String)].collect().toMap
+    assert(
+      rej == Map(
+        3L -> "unsupported_bit_depth",
+        4L -> "missing_bands",
+        5L -> "units_band_mismatch",
+        6L -> "empty_raster"
+      )
+    )
+    val acc = out.accepted
+      .select("src_key", "reference_id", "raster_type_id", "bit_depth", "terra_datatype",
+        "band_names_str", "units_str")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getString(4), r.getString(5), r.getString(6))))
+      .toMap
+    assert(acc.keySet == Set(1L, 2L, 7L, 8L))
+    assert(acc(1L)._1 == 41L && acc(8L)._1 == 44L, "ids above max(existing)=40 in src_key order")
+    assert(acc.values.forall(_._2 == 2L), "raster_type resolves to 'other'")
+    assert(acc(1L)._3 == "32BF" && acc(1L)._4 == "FLT4S", "fractional data parses to 32BF")
+    assert(acc(2L)._3 == "32BUI" && acc(2L)._4 == "INT4U", "explicit bit depth, case-insensitive")
+    assert(acc(7L)._3 == "32BSI" && acc(7L)._4 == "INT4S", "negative integral data parses to 32BSI")
+    assert(acc(8L)._3 == "32BUI", "non-negative integral data parses to 32BUI")
+    assert(acc(1L)._5 == "{{b1},{b2}}" && acc(1L)._6 == "mm, C")
+    assert(acc(2L)._6 == "", "absent units -> per-band empty defaults joined")
+
+    // a types dimension without 'other' rejects everything (the
+    // reference stops the whole call)
+    val noOther = graft.sources.RasterIngest.insertRasters(
+      incoming, cells, Seq((1L, "model")).toDF("raster_type_id", "raster_type_name"), existing)
+    assert(noOther.accepted.isEmpty)
+    assert(
+      noOther.rejects.filter(col("reject_reason") === "missing_other_type").count() == 4,
+      "every otherwise-acceptable row rejects on the missing type"
+    )
+  }
+
+  test("insertRasterFromFile: parquet intake, derived band names, tile write round trip") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-rast-intake").toString
+    val cellsPath = s"$dir/cells"
+    val tilesPath = s"$dir/tiles"
+    // 2 bands x 5x3 grid per raster; values integral non-negative -> 32BUI
+    val cells = spark
+      .range(2)
+      .select((col("id") + 1).as("src_key"))
+      .crossJoin(spark.range(2).select((col("id") + 1).cast("int").as("band")))
+      .crossJoin(spark.range(15).select(
+        (col("id") % 5).cast("int").as("x"), (col("id") / 5).cast("int").as("y")))
+      .withColumn("value", (col("src_key") * 100 + col("band") * 10 + col("x") + col("y")).cast("double"))
+    cells.write.parquet(cellsPath)
+    val meta = Seq(
+      (1L, None: Option[Seq[String]]), // band names derived from the cells
+      (2L, Some(Seq("alpha", "beta")))
+    ).toDF("src_key", "band_names")
+      .withColumn("units", lit(null).cast("array<string>"))
+      .withColumn("bit_depth", lit(null).cast("string"))
+      .withColumn("description", lit("file intake"))
+      .withColumn("flag", lit(null).cast("string"))
+      .withColumn("source", lit("file"))
+    val types = Seq((2L, "other")).toDF("raster_type_id", "raster_type_name")
+    val existing = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL("reference_id LONG"))
+    val res = graft.sources.RasterIngest.insertRasterFromFile(
+      spark, cellsPath, meta, types, existing, tilesOut = Some(tilesPath), tileW = 4, tileH = 2)
+    val acc = res.accepted
+      .select("src_key", "reference_id", "band_names_str", "bit_depth")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getString(3))))
+      .toMap
+    assert(res.rejects.isEmpty)
+    assert(acc(1L)._2 == "{{1},{2}}", "band names derived from the cell frame")
+    assert(acc(2L)._2 == "{{alpha},{beta}}", "caller-provided band names win")
+    assert(acc.values.forall(_._3 == "32BUI"))
+    // tiles round-trip to the exact cell set, keyed by minted reference_id
+    val back = graft.operators.Raster
+      .cells(spark.read.parquet(tilesPath))
+      .select(col("series_id"), col("band"), col("x"), col("y"), col("value"))
+      .as[(Long, Int, Int, Int, Double)]
+      .collect()
+      .toSet
+    val expected = cells
+      .join(res.accepted.select(col("src_key"), col("reference_id")), Seq("src_key"))
+      .select(col("reference_id"), col("band"), col("x"), col("y"), col("value"))
+      .as[(Long, Int, Int, Int, Double)]
+      .collect()
+      .toSet
+    assert(back == expected, "tileGrid/writeTiles round trip preserves every cell")
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala.toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } finally walk.close()
+  }
 }
