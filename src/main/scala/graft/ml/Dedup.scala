@@ -372,16 +372,79 @@ object Dedup {
     * (band, value) — each new batch shuffles only itself; nothing
     * rescans the corpus.
     */
-  /** 7×8-bit band expansion of a (idCol, simhash) frame:
-    * (idCol, simhash, band, bv).
+  /** Band layout for a 56-bit hash split into `nBands` contiguous
+    * near-equal bands: Seq of (bit offset, width). The first
+    * `56 % nBands` bands take the extra bit. Pigeonhole: two hashes
+    * within Hamming distance `nBands - 1` must agree on at least one
+    * band, so banding is a recall-GUARANTEED candidate filter up to
+    * that budget. Geometry tradeoff at scale: fewer/wider bands mean
+    * exponentially more buckets (candidates ~ n²/2^width per band)
+    * but a smaller guaranteed Hamming budget — the default 7×8-bit
+    * layout guarantees ≤6 at 256 buckets; 5 bands of 12/11 bits
+    * guarantee ≤4 at 2–4k buckets (the pigeonhole-max width for that
+    * budget), the right trade two orders of magnitude up.
     */
-  private def bandRows(sims: DataFrame, idCol: String): DataFrame = {
-    val bandCols = (0 until 7).map { b =>
-      struct(lit(b).as("band"), shiftright(col("simhash"), b * 8).bitwiseAND(255).as("bv"))
+  def bandSpec(nBands: Int): Seq[(Int, Int)] = {
+    require(nBands >= 1 && nBands <= 56, s"nBands must be in [1, 56], got $nBands")
+    val base = 56 / nBands
+    val extra = 56 % nBands
+    val widths = Seq.tabulate(nBands)(i => base + (if (i < extra) 1 else 0))
+    widths.scanLeft(0)(_ + _).zip(widths)
+  }
+
+  /** Banded expansion of a (idCol, `hashCol`) frame under
+    * [[bandSpec]]: (idCol, hashCol, band, bv). The default 7 bands
+    * reproduce the original 7×8-bit layout bit-for-bit.
+    */
+  private[graft] def bandRowsOf(
+      sims: DataFrame,
+      idCol: String,
+      hashCol: String,
+      nBands: Int
+  ): DataFrame = {
+    val bandCols = bandSpec(nBands).zipWithIndex.map { case ((off, width), b) =>
+      struct(
+        lit(b).as("band"),
+        shiftright(col(hashCol), off).bitwiseAND((1L << width) - 1L).as("bv")
+      )
     }
     sims
-      .select(col(idCol), col("simhash"), explode(array(bandCols: _*)).as("bk"))
-      .select(col(idCol), col("simhash"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+      .select(col(idCol), col(hashCol), explode(array(bandCols: _*)).as("bk"))
+      .select(col(idCol), col(hashCol), col("bk.band").as("band"), col("bk.bv").as("bv"))
+  }
+
+  private def bandRows(sims: DataFrame, idCol: String, nBands: Int = 7): DataFrame =
+    bandRowsOf(sims, idCol, "simhash", nBands)
+
+  /** Banded near-duplicate PAIRS over any 56-bit hash column
+    * (SimHash, image dHash, audio energy hash): self-join on
+    * [[bandSpec]] band keys, exact Hamming verify, `id1 < id2`
+    * distinct pairs. Recall is complete for `maxHamming < nBands`
+    * (pigeonhole), so the banded result EQUALS an exhaustive
+    * self-join at the same threshold — only the candidate count
+    * changes with geometry. Output: (id1, id2, hamming).
+    */
+  def bandedNearDupPairs(
+      hashes: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int,
+      nBands: Int
+  ): DataFrame = {
+    require(
+      maxHamming < nBands,
+      s"$nBands-band banding guarantees recall only to Hamming ${nBands - 1}"
+    )
+    val banded = bandRowsOf(hashes, idCol, hashCol, nBands)
+    val l = banded.select(col(idCol).as("id1"), col(hashCol).as("h1"), col("band"), col("bv"))
+    val r = banded.select(col(idCol).as("id2"), col(hashCol).as("h2"), col("band"), col("bv"))
+    l.join(r, Seq("band", "bv"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("h1"), col("h2"))
+      .distinct()
+      .withColumn("hamming", hamming(col("h1"), col("h2")).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id1"), col("id2"), col("hamming"))
   }
 
   /** Corpus-side SimHash band index — the persistable half of
@@ -391,8 +454,13 @@ object Dedup {
     * stored index via [[simHashScreen]] without re-reading or
     * re-hashing a byte of corpus text. Columns: band, bv, ex_id, ex_h.
     */
-  def buildBandIndex(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
-    bandRows(simHash(corpus, idCol, textCol), idCol)
+  def buildBandIndex(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      nBands: Int = 7
+  ): DataFrame =
+    bandRows(simHash(corpus, idCol, textCol), idCol, nBands)
       .select(col("band"), col("bv"), col(idCol).as("ex_id"), col("simhash").as("ex_h"))
 
   /** Persist a band index as a catalog BUCKETED table on the probe
@@ -422,12 +490,16 @@ object Dedup {
       idCol: String,
       textCol: String,
       bandIndex: DataFrame,
-      maxHamming: Int = 6
+      maxHamming: Int = 6,
+      nBands: Int = 7
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(maxHamming <= 6, "7x8-bit banding guarantees recall only to Hamming 6")
+    require(
+      maxHamming < nBands,
+      s"$nBands-band banding guarantees recall only to Hamming ${nBands - 1}"
+    )
     val sims = simHash(incoming, idCol, textCol).localCheckpoint(false)
-    val inc = bandRows(sims, idCol)
+    val inc = bandRows(sims, idCol, nBands)
       .select(col(idCol).as("in_id"), col("simhash").as("in_h"), col("band"), col("bv"))
     val cand = inc
       .join(bandIndex, Seq("band", "bv"))
@@ -458,13 +530,17 @@ object Dedup {
       idCol: String,
       textCol: String,
       incomingPred: Column,
-      maxHamming: Int = 6
+      maxHamming: Int = 6,
+      nBands: Int = 7
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(maxHamming <= 6, "7x8-bit banding guarantees recall only to Hamming 6")
+    require(
+      maxHamming < nBands,
+      s"$nBands-band banding guarantees recall only to Hamming ${nBands - 1}"
+    )
     // one row per doc — small enough to materialize once for both legs
     val sims = simHash(docs, idCol, textCol).localCheckpoint(false)
-    val banded = bandRows(sims, idCol)
+    val banded = bandRows(sims, idCol, nBands)
     val inc = banded
       .filter(incomingPred)
       .select(col(idCol).as("in_id"), col("simhash").as("in_h"), col("band"), col("bv"))

@@ -222,36 +222,18 @@ object MediaQueries {
       // a materialization the PNG decode + resize + hash (the dominant
       // cost) runs once per side
       .localCheckpoint(false)
-    // 5 bands of 11/11/11/11/12 bits: pigeonhole still guarantees a
-    // shared band at the query's Hamming <= 4 threshold (4 flipped
-    // bits can't touch all 5 bands), but each band keys into 2^11
-    // buckets instead of 2^8 — candidate pairs drop ~8x. With a FIXED
-    // band space, candidates grow ~n^2/buckets: the 7x8-bit layout
-    // measured ~15x wall at 10x data (n^2/256 dominating); wider bands
-    // push the crossover an order of magnitude out.
-    val bandOffsets = Seq(0, 11, 22, 33, 44)
-    val banded = h
-      .select(col("doc_id"), col("dhash"), explode(expr("sequence(0, 4)")).as("band"))
-      .withColumn(
-        "band_key",
-        expr(
-          s"CASE band ${bandOffsets.zipWithIndex
-              .map { case (off, i) =>
-                val width = if (i == bandOffsets.size - 1) 12 else 11
-                s"WHEN $i THEN (dhash >> $off) & ${(1L << width) - 1}"
-              }
-              .mkString(" ")} END"
-        )
-      )
-    val l = banded.select(col("doc_id").as("d1"), col("dhash").as("h1"), col("band"), col("band_key"))
-    val r = banded.select(col("doc_id").as("d2"), col("dhash").as("h2"), col("band"), col("band_key"))
-    l.join(r, Seq("band", "band_key"))
-      .filter(col("d1") < col("d2"))
-      .select(col("d1"), col("d2"), col("h1"), col("h2"))
-      .distinct()
-      .withColumn("hamming", expr("bit_count(h1 ^ h2)"))
-      .filter(col("hamming") <= 4)
-      .select(col("d1"), col("d2"), col("hamming"))
+    // 5 bands of 12/11/11/11/11 bits (Dedup.bandSpec): pigeonhole
+    // still guarantees a shared band at the query's Hamming <= 4
+    // threshold (4 flipped bits can't touch all 5 bands), but each
+    // band keys into 2^11+ buckets instead of 2^8 — candidate pairs
+    // drop ~8x. With a FIXED band space, candidates grow ~n^2/buckets:
+    // the 7x8-bit layout measured ~15x wall at 10x data (n^2/256
+    // dominating); wider bands push the crossover an order of
+    // magnitude out. Banding is geometry-only: the pair SET equals the
+    // exhaustive self-join (the oracle) at any valid layout.
+    graft.ml.Dedup
+      .bandedNearDupPairs(h, "doc_id", "dhash", maxHamming = 4, nBands = 5)
+      .select(col("id1").as("d1"), col("id2").as("d2"), col("hamming"))
       .orderBy(col("d1"), col("d2"))
   }
 

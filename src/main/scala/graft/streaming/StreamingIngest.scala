@@ -208,13 +208,21 @@ object StreamingIngest {
   def screenAgainstBandIndex(
       stream: DataFrame,
       bandIndex: DataFrame,
-      maxHamming: Int = 6
+      maxHamming: Int = 6,
+      nBands: Int = 7
   ): org.apache.spark.sql.Dataset[ScreenResult] = {
     import stream.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    require(maxHamming <= 6, "7x8-bit banding guarantees recall only to Hamming 6")
-    val bandCols = (0 until 7).map { b =>
-      struct(lit(b).as("band"), shiftright(col("simhash"), b * 8).bitwiseAND(255).as("bv"))
+    require(
+      maxHamming < nBands,
+      s"$nBands-band banding guarantees recall only to Hamming ${nBands - 1}"
+    )
+    // must match the layout the index was built with (Dedup.bandSpec)
+    val bandCols = graft.ml.Dedup.bandSpec(nBands).zipWithIndex.map { case ((off, width), b) =>
+      struct(
+        lit(b).as("band"),
+        shiftright(col("simhash"), off).bitwiseAND((1L << width) - 1L).as("bv")
+      )
     }
     val banded = stream
       .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bk"))

@@ -145,4 +145,66 @@ class IncrementalIndexSpec extends SparkSpec {
         Seq("cluster", "ex_id", "ex_nv")
     )
   }
+
+  test("bandSpec: widths cover 56 bits exactly, contiguous, default 7x8 layout preserved") {
+    assert(Dedup.bandSpec(7) == Seq((0, 8), (8, 8), (16, 8), (24, 8), (32, 8), (40, 8), (48, 8)))
+    assert(Dedup.bandSpec(5) == Seq((0, 12), (12, 11), (23, 11), (34, 11), (45, 11)))
+    for (n <- 1 to 14) {
+      val spec = Dedup.bandSpec(n)
+      assert(spec.map(_._2).sum == 56, s"nBands=$n must cover 56 bits")
+      assert(
+        spec.sliding(2).forall { case Seq((o1, w1), (o2, _)) => o1 + w1 == o2; case _ => true },
+        s"nBands=$n bands must be contiguous"
+      )
+    }
+  }
+
+  test("re-sized band geometry is output-identical to the default within its Hamming budget") {
+    val docs = TestTables.documents(spark, sf001)
+    // hamming budget 4 is valid under BOTH layouts (7 bands guarantee
+    // <=6, 5 bands <=4) — the scaled geometry must find exactly the
+    // same near-dups, only through fewer candidates
+    val incoming = col("doc_id") % 3 === 0
+    val narrow = Dedup
+      .simHashIncremental(docs, "doc_id", "text", incoming, maxHamming = 4, nBands = 7)
+    val wide = Dedup
+      .simHashIncremental(docs, "doc_id", "text", incoming, maxHamming = 4, nBands = 5)
+    assert(sorted(narrow) == sorted(wide))
+    val idx7 = Dedup.buildBandIndex(docs.filter(!incoming), "doc_id", "text", nBands = 7)
+    val idx5 = Dedup.buildBandIndex(docs.filter(!incoming), "doc_id", "text", nBands = 5)
+    assert(
+      sorted(Dedup.simHashScreen(docs.filter(incoming), "doc_id", "text", idx7, 4, nBands = 7)) ==
+        sorted(Dedup.simHashScreen(docs.filter(incoming), "doc_id", "text", idx5, 4, nBands = 5))
+    )
+    // over-budget hamming for the layout is a hard error, not silent recall loss
+    intercept[IllegalArgumentException] {
+      Dedup.simHashIncremental(docs, "doc_id", "text", incoming, maxHamming = 5, nBands = 5)
+    }
+  }
+
+  test("bandedNearDupPairs equals the exhaustive self-join at any valid geometry") {
+    import spark.implicits._
+    val hashes = TestTables
+      .documents(spark, sf001)
+      .limit(300)
+      .select(col("doc_id"))
+      .as[Long]
+      .collect()
+      .map(id => (id, (id * 2654435761L ^ (id % 13)) & ((1L << 56) - 1)))
+      .toSeq
+      .toDF("doc_id", "h")
+    val exhaustive = hashes
+      .as("a")
+      .join(hashes.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("id1"),
+        col("b.doc_id").as("id2"),
+        expr("CAST(bit_count(a.h ^ b.h) AS INT)").as("hamming")
+      )
+      .filter(col("hamming") <= 3)
+    for (nBands <- Seq(4, 5, 7)) {
+      val banded = Dedup.bandedNearDupPairs(hashes, "doc_id", "h", maxHamming = 3, nBands = nBands)
+      assert(sorted(banded) == sorted(exhaustive), s"nBands=$nBands")
+    }
+  }
 }
