@@ -1,0 +1,450 @@
+package graft
+
+import graft.ml.{Dedup, Multimodal, ProductQuantize, Similarity}
+import graft.tables.TestTables
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaled-geometry rehearsal for the screening/ANN family — the rows
+  * the per-round bench EXCLUDES at 100x the gate SF because their
+  * oracle SQL freezes index geometry as literals (2^12 LSH buckets,
+  * 16 IVF lists, 7x8-bit bands). The library parameterizes all of it;
+  * this main MEASURES the parameterized path with geometry derived
+  * from the corpus size, at the gate SF and at a rehearsal SF, so the
+  * 100x claim is measured instead of argued (VERDICT r8 item 1).
+  *
+  * Geometry rules (applied identically at every SF, from corpus
+  * counts — never frozen):
+  *   - LSH hyperplanes:  nPlanes    = max(8, ceil(log2 nVecs))
+  *     (bucket space 2^nPlanes >= corpus, so expected bucket
+  *     occupancy — and with it candidate pairs per bucket — stays
+  *     O(1) as n grows)
+  *   - IVF coarse lists: nCentroids = max(16, ceil(sqrt nVecs))
+  *     (list length ~ sqrt n, probe cost per query ~ nProbe*sqrt n —
+  *     sublinear per query at any scale)
+  *   - IVF probe count:  measured as a recall curve at 5%/10%/20% of
+  *     the lists; the reported scaled timing uses the smallest probe
+  *     level reaching recall@5 >= 0.8 against sampled brute truth
+  *   - SimHash/dHash bands: 7x8-bit (Hamming budget 6) while a band
+  *     bucket space of 2^8 covers the corpus; past ~50k docs, 5 bands
+  *     of 12/11 bits (budget 4) — the pigeonhole-max band width at
+  *     that budget. Banding stays recall-COMPLETE within its budget,
+  *     verified here against exhaustive Hamming on a sample.
+  *
+  * Run:  SPARK_GRAFT_SF_DIR=/tmp/sf10 SPARK_GRAFT_BASE_SF_DIR=/root/testdata/sf0.1 \
+  *         sbt "runMain graft.BenchScaled"
+  * Output: one JSON line + BENCH_SF10_SCALED.json (rewritten after
+  * every measurement, crash-safe like Bench).
+  */
+object BenchScaled {
+
+  final case class Geometry(
+      nDocs: Long,
+      nVecs: Long,
+      nPlanes: Int,
+      nCentroids: Int,
+      probeLevels: Seq[Int],
+      nBands: Int,
+      maxHamming: Int
+  )
+
+  private def log2ceil(n: Long): Int = math.ceil(math.log(n.toDouble.max(2)) / math.log(2)).toInt
+
+  def geometry(nDocs: Long, nVecs: Long): Geometry = {
+    val nCentroids = math.max(16, math.ceil(math.sqrt(nVecs.toDouble)).toInt)
+    val probes = Seq(0.05, 0.10, 0.20)
+      .map(f => math.max(4, math.ceil(f * nCentroids).toInt))
+      .distinct
+    val nBands = if (nDocs <= 50000) 7 else 5
+    Geometry(
+      nDocs = nDocs,
+      nVecs = nVecs,
+      nPlanes = math.max(8, log2ceil(nVecs)),
+      nCentroids = nCentroids,
+      probeLevels = probes,
+      nBands = nBands,
+      // the rehearsal compares SFs at the SAME screen threshold — the
+      // 5-band pigeonhole limit — so base and scaled rows answer the
+      // same question at both geometries
+      maxHamming = 4
+    )
+  }
+
+  // ---- rehearsal image fixture ------------------------------------
+  // q_image_neardup's registered fixture repeats content mod 97, so at
+  // 100x the TRUE pair count is quadratic (a data artifact, not an
+  // engine shape). The rehearsal fixture scales the group count with
+  // the corpus (~50 images per content group at any SF) so output
+  // stays linear and the measurement isolates the banded-join shape.
+  private def rehearsalImages(s: SparkSession, d: String, nDocs: Long): DataFrame = {
+    val groups = math.max(97L, nDocs / 50L)
+    val ids = TestTables.documents(s, d).select(col("doc_id").cast("long"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("doc_id LONG, media BINARY")
+    implicit val enc = org.apache.spark.sql.Encoders.row(schema)
+    ids.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val png = graft.ml.MediaCodecs.encodeImage(
+          9,
+          7,
+          (x, y) => {
+            val g = id % groups
+            val pert = if (x == 4 && y == 3 && id % 2 == 1) 60 else 0
+            val v = ((g * 37 + x * 13 + y * 31 + (x * y * (g + 3)) % 97 + pert) % 256).toInt
+            (v << 16) | (v << 8) | v
+          }
+        )
+        Row(id, png)
+      }
+    }
+  }
+
+  // ---- the scaled query family ------------------------------------
+
+  private def scaledQueries(
+      s: SparkSession,
+      d: String,
+      g: Geometry,
+      ivfProbe: Int,
+      codebook: Array[Array[Double]]
+  ): Seq[(String, () => Long)] = {
+    def docs = TestTables.documents(s, d)
+    def emb = TestTables.embeddings(s, d)
+    val cb = Some(codebook)
+    Seq(
+      "q_embed_neardup_blocked" -> (() =>
+        Similarity
+          .nearDupPairsBlocked(emb, "vec_id", "embedding", threshold = 0.35, nPlanes = g.nPlanes)
+          .count()),
+      "q_semdedup" -> (() =>
+        Dedup
+          .semDedup(emb, "vec_id", "embedding", threshold = 0.42, nCentroids = g.nCentroids, codebook = cb)
+          .count()),
+      "q_semdedup_incr" -> (() =>
+        Dedup
+          .semDedupIncremental(
+            emb, "vec_id", "embedding",
+            incomingPred = col("vec_id") % 10 < 2,
+            threshold = 0.42,
+            nCentroids = g.nCentroids,
+            codebook = cb
+          )
+          .count()),
+      "q_semdedup_screen" -> (() => {
+        val idx = Dedup.buildClusterIndex(
+          emb.filter(col("vec_id") % 10 < 8), "vec_id", "embedding",
+          nCentroids = g.nCentroids, codebook = cb)
+        Dedup
+          .semDedupScreen(
+            emb.filter(col("vec_id") % 10 >= 8), "vec_id", "embedding", idx,
+            threshold = 0.42, nCentroids = g.nCentroids, codebook = cb)
+          .count()
+      }),
+      "q_ivf_ann" -> (() =>
+        Similarity
+          .ivfTopK(
+            emb, "vec_id", "embedding",
+            queryPred = col("vec_id") % 100 === 0,
+            k = 5, nCentroids = g.nCentroids, nProbe = ivfProbe, codebook = cb,
+            corpusReplicas = 3)
+          .count()),
+      "q_ivf_pq_ann" -> (() =>
+        ProductQuantize
+          .ivfPqTopK(
+            emb, "vec_id", "embedding",
+            queryPred = col("vec_id") % 100 === 0,
+            kNN = 5, m = 8, k = 16, pqSeed = 11L,
+            nCentroids = g.nCentroids, nProbe = ivfProbe, coarseCodebook = cb,
+            corpusReplicas = 3)
+          .count()),
+      "q_simhash_screen" -> (() => {
+        val idx = Dedup.buildBandIndex(
+          docs.filter(col("doc_id") % 3 =!= 1), "doc_id", "text", nBands = g.nBands)
+        Dedup
+          .simHashScreen(
+            docs.filter(col("doc_id") % 3 === 1), "doc_id", "text", idx,
+            maxHamming = g.maxHamming, nBands = g.nBands)
+          .count()
+      }),
+      "q_incremental_dedup" -> (() =>
+        Dedup
+          .simHashIncremental(
+            docs, "doc_id", "text",
+            incomingPred = col("doc_id") % 3 === 0,
+            maxHamming = g.maxHamming, nBands = g.nBands)
+          .count()),
+      "q_stream_screen" -> (() => streamScreenScaled(s, d, g)),
+      "q_image_neardup" -> (() => {
+        val h = Multimodal
+          .imageDHashes(rehearsalImages(s, d, g.nDocs), "doc_id", "media")
+          .filter(col("dhash").isNotNull)
+          .localCheckpoint(false)
+        Dedup.bandedNearDupPairs(h, "doc_id", "dhash", maxHamming = 4, nBands = 5).count()
+      })
+    )
+  }
+
+  /** The streaming band-screen twin at scaled geometry: persisted
+    * parquet band index, two AvailableNow drains with a re-crawl in
+    * drain 2 — q_stream_screen's exact shape with (nBands, maxHamming)
+    * from the rule.
+    */
+  private def streamScreenScaled(s: SparkSession, d: String, g: Geometry): Long = {
+    val docs = TestTables.documents(s, d)
+    val base = java.nio.file.Files.createTempDirectory("graft-scaled-stream").toString
+    val idxDir = s"$base/idx"; val src = s"$base/src"
+    val cp = s"$base/cp"; val sink = s"$base/sink"
+    Dedup
+      .buildBandIndex(docs.filter(col("doc_id") % 3 =!= 1), "doc_id", "text", nBands = g.nBands)
+      .write
+      .parquet(idxDir)
+    val persisted = s.read.parquet(idxDir)
+    val incoming = Dedup
+      .simHash(docs.filter(col("doc_id") % 3 === 1), "doc_id", "text")
+      .localCheckpoint(false)
+    val midVal = incoming.agg(max(col("doc_id"))).head().getLong(0) / 2
+    new java.io.File(src).mkdirs()
+    def drain(): Unit = {
+      val q = graft.streaming.StreamingIngest
+        .screenAgainstBandIndex(
+          s.readStream.schema("doc_id LONG, simhash LONG").parquet(src),
+          persisted,
+          maxHamming = g.maxHamming,
+          nBands = g.nBands
+        )
+        .writeStream
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(1200000), "scaled stream drain did not terminate")
+    }
+    incoming.filter(col("doc_id") <= midVal).write.mode("append").parquet(src)
+    drain()
+    incoming.filter(col("doc_id") > midVal).write.mode("append").parquet(src)
+    incoming.filter(col("doc_id") <= midVal).write.mode("append").parquet(src)
+    drain()
+    val n = s.read.parquet(sink).count()
+    rmTree(base)
+    n
+  }
+
+  private def rmTree(path: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(root)) {
+      val all = scala.util.Using
+        .resource(java.nio.file.Files.walk(root))(_.iterator().asScala.toSeq)
+        .reverse
+      all.foreach(p =>
+        try java.nio.file.Files.deleteIfExists(p)
+        catch { case _: Throwable => () }
+      )
+    }
+  }
+
+  // ---- recall measurements ----------------------------------------
+
+  /** recall@5 of ivfTopK against sampled brute truth, one row per
+    * probe level: (nProbe, recall, wall seconds). The sample modulus
+    * keeps ~20 queries at any SF — recall is estimated on a sample,
+    * the production acceptance shape (q_ann_recall).
+    */
+  private def ivfRecallCurve(
+      s: SparkSession,
+      d: String,
+      g: Geometry,
+      codebook: Array[Array[Double]]
+  ): Seq[(Int, Double, Double)] = {
+    val e = TestTables.embeddings(s, d)
+    val sampleMod = math.max(100L, g.nVecs / 20L)
+    val pred = col("vec_id") % sampleMod === 0
+    val brute = Similarity
+      .cosineTopK(e, "vec_id", "embedding", queryPred = pred, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(true)
+    val nTruth = brute.count().toDouble
+    g.probeLevels.map { p =>
+      val t0 = System.nanoTime()
+      val ann = Similarity
+        .ivfTopK(e, "vec_id", "embedding", queryPred = pred, k = 5,
+          nCentroids = g.nCentroids, nProbe = p, codebook = Some(codebook),
+          corpusReplicas = 3)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(true)
+      val secs = (System.nanoTime() - t0) / 1e9
+      val hits = brute.join(ann, Seq("query_id", "neighbor_id")).count().toDouble
+      (p, if (nTruth == 0) 1.0 else hits / nTruth, secs)
+    }
+  }
+
+  /** Pair recall of the LSH-blocked near-dup path in the PLANTED-dup
+    * regime (the MlSpec acceptance shape): every sampled vector gets a
+    * deterministic ±2 % elementwise-perturbed twin (cosine ~0.9996 —
+    * genuine near-duplicate territory, where hyperplane LSH is
+    * designed to operate; at loose thresholds like the fixture's 0.35
+    * single-table LSH is the wrong tool by construction and the
+    * brute/blocked split exists for exactly that reason). Recall =
+    * planted pairs the blocked path finds at threshold 0.95.
+    */
+  private def blockedPairRecall(s: SparkSession, d: String, g: Geometry): (Double, Long) = {
+    val e = TestTables.embeddings(s, d)
+    val sampleMod = math.max(1L, g.nVecs / 2000L)
+    val sample = e
+      .filter(col("vec_id") % sampleMod === 0)
+      .select(col("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    val offset = g.nVecs * 10L
+    val twins = sample.select(
+      (col("vec_id") + offset).as("vec_id"),
+      transform(
+        col("embedding"),
+        (x, i) => x * (lit(1.0) + lit(0.02) * ((i % 5) - lit(2)) / lit(2.0))
+      ).cast("array<float>").as("embedding")
+    )
+    val planted = sample.select(col("vec_id").as("a_id"), (col("vec_id") + offset).as("b_id"))
+    val nTruth = sample.count()
+    val blocked = Similarity
+      .nearDupPairsBlocked(
+        sample.unionByName(twins), "vec_id", "embedding",
+        threshold = 0.95, nPlanes = g.nPlanes)
+      .select(col("a_id"), col("b_id"))
+    val hits = planted.join(blocked, Seq("a_id", "b_id")).count()
+    (if (nTruth == 0) 1.0 else hits.toDouble / nTruth, nTruth)
+  }
+
+  /** Sampled proof that the re-sized banding stays recall-complete:
+    * exhaustive Hamming<=budget screen of a sampled incoming slice vs
+    * the banded screen's answer for the same docs — must match 1:1
+    * (pigeonhole guarantee, measured not argued).
+    */
+  private def bandScreenRecall(s: SparkSession, d: String, g: Geometry): Double = {
+    val docs = TestTables.documents(s, d)
+    val sims = Dedup.simHash(docs, "doc_id", "text").localCheckpoint(true)
+    val sampleMod = math.max(300L, g.nDocs / 100L)
+    val inc = sims.filter(col("doc_id") % 3 === 1 && col("doc_id") % sampleMod === 1)
+    val ex = sims.filter(col("doc_id") % 3 =!= 1)
+    val truth = inc
+      .select(col("doc_id").as("in_id"), col("simhash").as("in_h"))
+      .crossJoin(ex.select(col("simhash").as("ex_h")))
+      .filter(bit_count(col("in_h").bitwiseXOR(col("ex_h"))) <= g.maxHamming)
+      .select("in_id")
+      .distinct()
+    val nTruth = truth.count()
+    val idx = Dedup.buildBandIndex(docs.filter(col("doc_id") % 3 =!= 1), "doc_id", "text", g.nBands)
+    val screened = Dedup
+      .simHashScreen(
+        docs.filter(col("doc_id") % 3 === 1 && col("doc_id") % sampleMod === 1),
+        "doc_id", "text", idx, maxHamming = g.maxHamming, nBands = g.nBands)
+      .filter(col("is_dup"))
+      .select(col("doc_id").as("in_id"))
+    val hits = truth.join(screened, Seq("in_id")).count()
+    if (nTruth == 0) 1.0 else hits.toDouble / nTruth
+  }
+
+  // ---- harness ----------------------------------------------------
+
+  private def fmt(d: Double): String = f"$d%.3f"
+
+  def main(args: Array[String]): Unit = {
+    val scaledDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf10")
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_BASE_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.cleaner.periodicGC.interval", "5min")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val out = new scala.collection.mutable.LinkedHashMap[String, String]()
+    def flush(): Unit = {
+      val json =
+        "{" + out.map { case (k, v) => s""""$k": $v""" }.mkString(", ") + "}"
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_SF10_SCALED.json"),
+        json.getBytes("UTF-8")
+      )
+    }
+    def jstr(s: String) = "\"" + s + "\""
+
+    out("metric") = jstr("scaled_geometry_rehearsal")
+    out("rule") = jstr(
+      "nPlanes=max(8,ceil(log2 nVecs)); nCentroids=max(16,ceil(sqrt nVecs)); " +
+        "nProbe=smallest of {5%,10%,20% of lists} with recall@5>=0.8, fitted codebook, corpus multi-assignment R=3; " +
+        "bands=7x8bit(<=50k docs) else 5x12/11bit; screen Hamming budget 4 at both SFs"
+    )
+
+    val legs = Seq("base" -> baseDir, "scaled" -> scaledDir).map { case (leg, dir) =>
+      val nDocs = TestTables.documents(spark, dir).count()
+      val nVecs = TestTables.embeddings(spark, dir).count()
+      val g = geometry(nDocs, nVecs)
+      out(s"${leg}_geometry") = s"""{"dir": ${jstr(dir)}, "n_docs": $nDocs, "n_vecs": $nVecs, """ +
+        s""""n_planes": ${g.nPlanes}, "n_centroids": ${g.nCentroids}, """ +
+        s""""probe_levels": [${g.probeLevels.mkString(", ")}], "n_bands": ${g.nBands}, """ +
+        s""""max_hamming": ${g.maxHamming}}"""
+      flush()
+
+      // fit the coarse codebook ONCE per corpus (the production
+      // "fit offline, broadcast" step) — timed and recorded
+      val tFit0 = System.nanoTime()
+      val codebook = Similarity.fitCentroids(
+        TestTables.embeddings(spark, dir), "vec_id", "embedding", g.nCentroids)
+      out(s"${leg}_codebook_fit_sec") = fmt((System.nanoTime() - tFit0) / 1e9)
+
+      // recall curve first: it selects the probe level the timed IVF
+      // rows use, and doubles as the acceptance measurement
+      val curve = ivfRecallCurve(spark, dir, g, codebook)
+      out(s"${leg}_ivf_recall_curve") = curve
+        .map { case (p, r, s0) => s"""{"n_probe": $p, "recall_at_5": ${fmt(r)}, "sec": ${fmt(s0)}}""" }
+        .mkString("[", ", ", "]")
+      val chosenProbe = curve.find(_._2 >= 0.8).map(_._1).getOrElse(curve.last._1)
+      out(s"${leg}_ivf_probe_used") = chosenProbe.toString
+      val (pr, nTruthPairs) = blockedPairRecall(spark, dir, g)
+      out(s"${leg}_blocked_pair_recall") = s"""{"recall": ${fmt(pr)}, "n_truth_pairs": $nTruthPairs}"""
+      val br = bandScreenRecall(spark, dir, g)
+      out(s"${leg}_band_screen_recall") = fmt(br)
+      flush()
+
+      val times = scala.collection.mutable.LinkedHashMap[String, (Double, Long)]()
+      scaledQueries(spark, dir, g, chosenProbe, codebook).foreach { case (name, run) =>
+        Bench.resetSession(spark)
+        val t0 = System.nanoTime()
+        val n = run()
+        val secs = (System.nanoTime() - t0) / 1e9
+        times(name) = (secs, n)
+        System.err.println(s"[bench-scaled:$leg] $name ${fmt(secs)}s rows=$n")
+        out(s"${leg}_queries") = times
+          .map { case (q, (s0, r)) => s""""$q": {"sec": ${fmt(s0)}, "rows": $r}""" }
+          .mkString("{", ", ", "}")
+        flush()
+      }
+      leg -> times
+    }
+
+    val baseTimes = legs.head._2
+    val scaledTimes = legs.last._2
+    val ratios = baseTimes.keys.map { q =>
+      val r = scaledTimes(q)._1 / math.max(baseTimes(q)._1, 1e-9)
+      q -> r
+    }.toSeq
+    out("ratios") = ratios
+      .map { case (q, r) => s""""$q": ${fmt(r)}""" }
+      .mkString("{", ", ", "}")
+    out("max_ratio") = fmt(ratios.map(_._2).max)
+    flush()
+    // the one machine-readable line the driver tail keeps
+    println(
+      s"""{"metric":"scaled_geometry_rehearsal","max_ratio":${fmt(ratios.map(_._2).max)},""" +
+        s""""n_queries":${ratios.size},"artifact":"BENCH_SF10_SCALED.json"}"""
+    )
+    spark.stop()
+  }
+}

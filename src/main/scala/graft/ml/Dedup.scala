@@ -754,13 +754,14 @@ object Dedup {
       threshold: Double,
       nCentroids: Int = 16,
       seed: Long = 7L,
-      dim: Int = 64
+      dim: Int = 64,
+      codebook: Option[Array[Array[Double]]] = None
   ): DataFrame = {
     import graft.functions.VectorOps
     VectorOps.register(emb.sparkSession)
     // one materialization feeds the a-side, b-side and the flag-back
     // join — without it the normalize+assign scan runs three times
-    val e = assignedVecs(emb, idCol, vecCol, nCentroids, seed, dim).localCheckpoint(false)
+    val e = assignedVecs(emb, idCol, vecCol, nCentroids, seed, dim, codebook = codebook).localCheckpoint(false)
     val a = e.select(col("cluster"), col("id").as("a_id"), col("nv").as("va"))
     val b = e.select(col("cluster"), col("id").as("b_id"), col("nv").as("vb"))
     val dupIds = a
@@ -799,13 +800,15 @@ object Dedup {
       threshold: Double,
       nCentroids: Int = 16,
       seed: Long = 7L,
-      dim: Int = 64
+      dim: Int = 64,
+      codebook: Option[Array[Array[Double]]] = None
   ): DataFrame = {
     import graft.functions.VectorOps
     VectorOps.register(emb.sparkSession)
     val assigned = assignedVecs(
       emb, idCol, vecCol, nCentroids, seed, dim,
-      keep = Seq("__incoming" -> incomingPred)
+      keep = Seq("__incoming" -> incomingPred),
+      codebook = codebook
     ).localCheckpoint(false)
     val incoming = assigned.filter(col("__incoming"))
     val corpus = assigned
@@ -839,11 +842,15 @@ object Dedup {
       nCentroids: Int,
       seed: Long,
       dim: Int,
-      keep: Seq[(String, Column)] = Nil
+      keep: Seq[(String, Column)] = Nil,
+      codebook: Option[Array[Array[Double]]] = None
   ): DataFrame = {
     import graft.functions.VectorOps
     VectorOps.register(emb.sparkSession)
-    val centroids = Similarity.normalizedCentroids(nCentroids, dim, seed)
+    // None -> the deterministic family (oracle-reproducible); Some ->
+    // a fitted codebook (Similarity.fitCentroids), the production path
+    val centroids = codebook.getOrElse(Similarity.normalizedCentroids(nCentroids, dim, seed))
+    require(codebook.forall(_.length == nCentroids), "codebook size must equal nCentroids")
     val ranked = sort_array(
       array(centroids.zipWithIndex.map { case (c, i) =>
         struct(VectorOps.dot(col("nv"), array(c.map(lit): _*)).as("s"), lit(i).as("c"))
@@ -876,9 +883,10 @@ object Dedup {
       vecCol: String,
       nCentroids: Int = 16,
       seed: Long = 7L,
-      dim: Int = 64
+      dim: Int = 64,
+      codebook: Option[Array[Array[Double]]] = None
   ): DataFrame =
-    assignedVecs(corpus, idCol, vecCol, nCentroids, seed, dim)
+    assignedVecs(corpus, idCol, vecCol, nCentroids, seed, dim, codebook = codebook)
       .select(col("cluster"), col("id").as("ex_id"), col("nv").as("ex_nv"))
 
   /** Bucketed-table persistence for the cluster index — one bucket
@@ -910,10 +918,11 @@ object Dedup {
       threshold: Double,
       nCentroids: Int = 16,
       seed: Long = 7L,
-      dim: Int = 64
+      dim: Int = 64,
+      codebook: Option[Array[Array[Double]]] = None
   ): DataFrame = {
     import graft.functions.VectorOps
-    val inc = assignedVecs(incoming, idCol, vecCol, nCentroids, seed, dim)
+    val inc = assignedVecs(incoming, idCol, vecCol, nCentroids, seed, dim, codebook = codebook)
       .localCheckpoint(false)
     val dupIds = inc
       .join(clusterIndex, Seq("cluster"))

@@ -141,17 +141,36 @@ object ProductQuantize {
       nCentroids: Int = 16,
       nProbe: Int = 4,
       coarseSeed: Long = 7L,
-      dim: Int = 64
+      dim: Int = 64,
+      coarseCodebook: Option[Array[Array[Double]]] = None,
+      corpusReplicas: Int = 1
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     VectorOps.register(emb.sparkSession)
     val subDim = dim / m
     val cb = codebooks(m, k, subDim, pqSeed)
-    val coarse = Similarity.normalizedCentroids(nCentroids, dim, coarseSeed)
+    // None -> the deterministic family (oracle-reproducible); Some ->
+    // a fitted codebook (Similarity.fitCentroids), the production path
+    val coarse = coarseCodebook.getOrElse(Similarity.normalizedCentroids(nCentroids, dim, coarseSeed))
+    require(coarseCodebook.forall(_.length == nCentroids), "codebook size must equal nCentroids")
+    require(corpusReplicas >= 1 && corpusReplicas <= nCentroids, "corpusReplicas in [1, nCentroids]")
     val e = Similarity.normalizedVecs(emb, idCol, vecCol)
-    // corpus rows shrink to (cluster, id, code word) before any join
+    // corpus rows shrink to (cluster, id, code word) before any join;
+    // corpusReplicas > 1 indexes each vector under its R nearest lists
+    // (the multi-assignment recall lever — see Similarity.ivfTopK)
     val corpus = e
-      .withColumn("cluster", Similarity.rankedCentroids(col("nv"), coarse).getItem(0).getField("c"))
+      .withColumn(
+        "cluster",
+        if (corpusReplicas == 1)
+          Similarity.rankedCentroids(col("nv"), coarse).getItem(0).getField("c")
+        else
+          explode(
+            transform(
+              slice(Similarity.rankedCentroids(col("nv"), coarse), 1, corpusReplicas),
+              x => x.getField("c")
+            )
+          )
+      )
       .withColumn(
         "pq_code",
         (0 until m)
@@ -201,9 +220,13 @@ object ProductQuantize {
     // re-evaluated per sort COMPARISON (n log n times), and this one
     // is 128 dot products — measured 3x the whole query's cost at
     // sf0.1 before the projection
-    val scored = corpus
+    val scored0 = corpus
       .join(broadcast(queries), Seq("cluster"))
       .filter(col("query_id") =!= col("neighbor_id"))
+    // multi-assignment can surface one (query, neighbor) in several
+    // probed lists — dedupe before the rank window sees it
+    val scored = (if (corpusReplicas == 1) scored0
+                  else scored0.select("query_id", "q", "lut", "neighbor_id", "pq_code").distinct())
       .withColumn("adc", adc)
       .withColumn("adc_r", round(col("adc"), 4))
       .select("query_id", "neighbor_id", "adc", "adc_r")

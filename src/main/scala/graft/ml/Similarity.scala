@@ -139,6 +139,88 @@ object Similarity {
       c.map(_ / n)
     }
 
+  /** Spherical k-means codebook FIT on a driver-collected sample — the
+    * "fit the centroids offline and broadcast them" path the IVF
+    * scaladocs promise, made concrete. The deterministic unit-vector
+    * family seeds the iteration; each Lloyd round assigns every sampled
+    * unit vector to its max-dot centroid and re-centers (empty
+    * clusters keep their previous centroid). Fitted centroids track
+    * the data's actual cluster structure, which is what lets a probe
+    * count far below the list count keep recall — random codebooks
+    * need to probe a large constant fraction of lists for the same
+    * recall (measured: 0.4–0.5 recall@5 at 20 % probes unfitted).
+    *
+    * The sample is id-strided (every ceil(n/sampleN)-th id), so the
+    * fit is deterministic for a given corpus regardless of file
+    * layout; at 100 TB this is exactly a one-job sample + a driver
+    * fit over ≤`sampleN` rows.
+    */
+  def fitCentroids(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int = 8,
+      sampleN: Int = 20000,
+      seed: Long = 7L
+  ): Array[Array[Double]] = {
+    val n = emb.count()
+    val stride = math.max(1L, n / math.max(1, sampleN))
+    val rows = emb
+      .filter(col(idCol) % stride === 0)
+      .select(toDouble(col(vecCol)).as("v"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(rows.nonEmpty, "fitCentroids: empty sample")
+    val dim = rows.head.length
+    val sample = rows.map { v =>
+      val nn = math.sqrt(v.map(x => x * x).sum)
+      if (nn == 0) v else v.map(_ / nn)
+    }
+    var centroids = normalizedCentroids(k, dim, seed)
+    val assign = new Array[Int](sample.length)
+    var it = 0
+    while (it < iters) {
+      // assignment: parallel over the sample (pure, index-disjoint)
+      java.util.stream.IntStream
+        .range(0, sample.length)
+        .parallel()
+        .forEach { i =>
+          val v = sample(i)
+          var best = 0; var bestDot = Double.NegativeInfinity
+          var c = 0
+          while (c < k) {
+            val cc = centroids(c)
+            var d = 0.0; var j = 0
+            while (j < dim) { d += v(j) * cc(j); j += 1 }
+            if (d > bestDot) { bestDot = d; best = c }
+            c += 1
+          }
+          assign(i) = best
+        }
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      var i = 0
+      while (i < sample.length) {
+        val c = assign(i); val v = sample(i); val s = sums(c)
+        var j = 0
+        while (j < dim) { s(j) += v(j); j += 1 }
+        counts(c) += 1
+        i += 1
+      }
+      centroids = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centroids(c)
+        else {
+          val s = sums(c)
+          val nn = math.sqrt(s.map(x => x * x).sum)
+          if (nn == 0) centroids(c) else s.map(_ / nn)
+        }
+      }
+      it += 1
+    }
+    centroids
+  }
+
   /** Per-embedding nearest-centroid assignment — the list-building
     * step of IVF, exposed so it can be oracle-checked on its own.
     * Ties break toward the higher centroid id (sort_array desc on the
@@ -191,16 +273,34 @@ object Similarity {
       nCentroids: Int = 16,
       nProbe: Int = 4,
       seed: Long = 7L,
-      dim: Int = 64
+      dim: Int = 64,
+      codebook: Option[Array[Array[Double]]] = None,
+      corpusReplicas: Int = 1
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     VectorOps.register(emb.sparkSession)
-    val centroids = normalizedCentroids(nCentroids, dim, seed)
+    // None -> the deterministic family (oracle-reproducible); Some ->
+    // a fitted codebook ([[fitCentroids]]), the production deployment
+    val centroids = codebook.getOrElse(normalizedCentroids(nCentroids, dim, seed))
+    require(codebook.forall(_.length == nCentroids), "codebook size must equal nCentroids")
+    require(corpusReplicas >= 1 && corpusReplicas <= nCentroids, "corpusReplicas in [1, nCentroids]")
     def ranked(vec: Column): Column = rankedCentroids(vec, centroids)
     val e = normalizedVecs(emb, idCol, vecCol)
-    val corpus = e
-      .withColumn("cluster", ranked(col("nv")).getItem(0).getField("c"))
-      .select(col("id").as("neighbor_id"), col("nv").as("v"), col("cluster"))
+    // corpusReplicas > 1: multi-assignment — each corpus vector is
+    // indexed under its R nearest lists (R×storage, R×candidates), the
+    // standard recall lever when the data's cluster structure is soft
+    // and a near neighbor often sits just across a Voronoi boundary
+    // from every probed list. 1 keeps the exact single-list plan (the
+    // oracle-frozen shape).
+    val corpus =
+      if (corpusReplicas == 1)
+        e.withColumn("cluster", ranked(col("nv")).getItem(0).getField("c"))
+          .select(col("id").as("neighbor_id"), col("nv").as("v"), col("cluster"))
+      else
+        e.withColumn(
+          "cluster",
+          explode(transform(slice(ranked(col("nv")), 1, corpusReplicas), x => x.getField("c")))
+        ).select(col("id").as("neighbor_id"), col("nv").as("v"), col("cluster"))
     val queries = emb
       .filter(queryPred)
       .select(col(idCol).as("qid"))
@@ -210,9 +310,14 @@ object Similarity {
         explode(transform(slice(ranked(col("nv")), 1, nProbe), x => x.getField("c")))
       )
       .select(col("qid").as("query_id"), col("nv").as("q"), col("cluster"))
-    val scored = corpus
+    val scored0 = corpus
       .join(broadcast(queries), Seq("cluster"))
       .filter(col("query_id") =!= col("neighbor_id"))
+    // under multi-assignment a (query, neighbor) pair can meet in
+    // several lists — dedupe BEFORE scoring so the rank window never
+    // sees (and never double-counts) the same neighbor twice
+    val scored = (if (corpusReplicas == 1) scored0
+                  else scored0.select("query_id", "q", "neighbor_id", "v").distinct())
       .withColumn("cos", VectorOps.dot(col("q"), col("v")))
     // deterministic-margin ranking: quantize the score to 4 decimals
     // BEFORE ranking and break ties by id — sub-ulp cross-engine float

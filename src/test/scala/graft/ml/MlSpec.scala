@@ -210,6 +210,72 @@ class MlSpec extends SparkSpec {
     assert(pairs(Similarity.ivfTopK(emb, "vec_id", "embedding", pred, k = 5)) == ivf)
   }
 
+  test("fitCentroids: deterministic unit-norm codebook; fitted + multi-assignment lift IVF recall") {
+    import spark.implicits._
+    val vecs = Similarity.hyperplanes(300, 64, seed = 3L)
+    val emb = vecs.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.map(_.toFloat).toSeq) }
+      .toSeq
+      .toDF("vec_id", "embedding")
+    val cb = Similarity.fitCentroids(emb, "vec_id", "embedding", k = 20, iters = 5, sampleN = 300)
+    val cb2 = Similarity.fitCentroids(emb, "vec_id", "embedding", k = 20, iters = 5, sampleN = 300)
+    assert(cb.length == 20 && cb.forall(_.length == 64))
+    assert(cb.forall(c => math.abs(math.sqrt(c.map(x => x * x).sum) - 1.0) < 1e-9), "unit norm")
+    assert(
+      cb.zip(cb2).forall { case (a, b) => a.sameElements(b) },
+      "fit is deterministic for a fixed corpus"
+    )
+    val pred = col("vec_id") % 40 === 0
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("query_id")), r.getLong(r.fieldIndex("neighbor_id"))))
+      .toSet
+    val exact = pairs(Similarity.cosineTopK(emb, "vec_id", "embedding", pred, k = 5))
+    def recallOf(r: Int) = {
+      val got = pairs(
+        Similarity.ivfTopK(emb, "vec_id", "embedding", pred, k = 5,
+          nCentroids = 20, nProbe = 4, codebook = Some(cb), corpusReplicas = r))
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val r1 = recallOf(1)
+    val r3 = recallOf(3)
+    assert(r3 >= r1, s"multi-assignment never lowers recall: R=1 $r1 vs R=3 $r3")
+    // R=3 must not emit a (query, neighbor) twice even when the pair
+    // meets in several probed lists
+    val multi = Similarity
+      .ivfTopK(emb, "vec_id", "embedding", pred, k = 5,
+        nCentroids = 20, nProbe = 4, codebook = Some(cb), corpusReplicas = 3)
+      .select("query_id", "neighbor_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(multi.length == multi.distinct.length, "no duplicate pairs under multi-assignment")
+    // PQ path accepts the same fitted codebook + replicas and stays dup-free
+    val pq = graft.ml.ProductQuantize
+      .ivfPqTopK(emb, "vec_id", "embedding", pred, kNN = 5,
+        nCentroids = 20, nProbe = 4, coarseCodebook = Some(cb), corpusReplicas = 3)
+      .select("query_id", "neighbor_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pq.length == pq.distinct.length, "no duplicate PQ pairs under multi-assignment")
+  }
+
+  test("semDedup family: explicit codebook equal to the deterministic family is a no-op") {
+    import spark.implicits._
+    val emb = Similarity
+      .hyperplanes(120, 64, seed = 9L)
+      .zipWithIndex
+      .map { case (v, i) => (i.toLong, v.map(_.toFloat).toSeq) }
+      .toSeq
+      .toDF("vec_id", "embedding")
+    val family = Similarity.normalizedCentroids(16, 64, 7L)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).sorted.toSeq
+    assert(
+      rows(Dedup.semDedup(emb, "vec_id", "embedding", 0.42, codebook = Some(family))) ==
+        rows(Dedup.semDedup(emb, "vec_id", "embedding", 0.42)),
+      "Some(deterministic family) == None default — the codebook seam changes nothing else"
+    )
+  }
+
   test("SQ8 quantization preserves exact-ANN recall (dequantized top-k vs float top-k)") {
     // the storage-format composition story: search over int8-dequantized
     // vectors must agree with search over the original floats — SQ8's
