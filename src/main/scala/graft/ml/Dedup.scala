@@ -851,19 +851,15 @@ object Dedup {
     // a fitted codebook (Similarity.fitCentroids), the production path
     val centroids = codebook.getOrElse(Similarity.normalizedCentroids(nCentroids, dim, seed))
     require(codebook.forall(_.length == nCentroids), "codebook size must equal nCentroids")
-    val ranked = sort_array(
-      array(centroids.zipWithIndex.map { case (c, i) =>
-        struct(VectorOps.dot(col("nv"), array(c.map(lit): _*)).as("s"), lit(i).as("c"))
-      }: _*),
-      asc = false
-    )
     val cols = (col(idCol).as("id") +: keep.map { case (n, c) => c.as(n) }) :+
       transform(col(vecCol), x => x.cast("double")).as("v")
     emb
       .select(cols: _*)
       .withColumn("norm", sqrt(VectorOps.dot(col("v"), col("v"))))
       .withColumn("nv", transform(col("v"), x => x / col("norm")))
-      .withColumn("cluster", ranked.getItem(0).getField("c"))
+      // nearest-centroid via array_max (no full codebook sort per row)
+      // — identical (s, c) tie-break to the previous desc-sort item 0
+      .withColumn("cluster", Similarity.nearestCentroid(col("nv"), centroids).getField("c"))
       .drop("v", "norm")
   }
 

@@ -162,7 +162,7 @@ object ProductQuantize {
       .withColumn(
         "cluster",
         if (corpusReplicas == 1)
-          Similarity.rankedCentroids(col("nv"), coarse).getItem(0).getField("c")
+          Similarity.nearestCentroid(col("nv"), coarse).getField("c")
         else
           explode(
             transform(

@@ -251,18 +251,49 @@ object Similarity {
     * [[ProductQuantize.ivfPqTopK]]; item 0 is the nearest centroid,
     * a slice of the first nProbe items is the probe set.
     */
-  private[ml] def rankedCentroids(vec: Column, centroids: Array[Array[Double]]): Column =
-    // unrolled per-centroid dots, deliberately: a zip_with-lambda form
-    // (one dot per literal codebook row) was measured 6x SLOWER at
-    // sf0.1 — interpreted HOF evaluation of the 64-dim dot per element
-    // costs far more at runtime than the one-off Janino compile of the
-    // unrolled projection costs per stage
-    sort_array(
+  /** Array of (centroid dot score, centroid id) structs — unsorted.
+    *
+    * Two physically different plans, same floats in the same order:
+    *   - small codebooks (≤ 32, the oracle-frozen sizes): unrolled
+    *     per-centroid dots — a zip_with-lambda form was measured 6x
+    *     SLOWER at sf0.1 because interpreted HOF evaluation per
+    *     element costs more than the one-off Janino compile;
+    *   - large codebooks (the √n-scaled regime): one HOF over the
+    *     literal codebook matrix. Unrolling hundreds of dot
+    *     expressions breaks Janino's 64 KB method limit, which
+    *     knocks the WHOLE stage out of codegen — measured 448
+    *     unrolled centroids at sf10: every consumer stage fell back
+    *     to interpreted eval and assignment dominated the query. The
+    *     lambda's per-element overhead wraps a compiled native-dot
+    *     eval, so it scales where unrolling cannot.
+    */
+  private[ml] def centroidStructs(vec: Column, centroids: Array[Array[Double]]): Column =
+    if (centroids.length <= 32)
       array(centroids.zipWithIndex.map { case (c, i) =>
         struct(VectorOps.dot(vec, typedlit(c.toSeq)).as("s"), lit(i).as("c"))
-      }: _*),
-      asc = false
-    )
+      }: _*)
+    else {
+      val cbLit = typedlit(centroids.map(_.toSeq).toSeq)
+      val idxLit = typedlit(centroids.indices.toSeq)
+      zip_with(cbLit, idxLit, (cvec, i) => struct(VectorOps.dot(vec, cvec).as("s"), i.as("c")))
+    }
+
+  /** Struct array of (centroid dot score, centroid id) sorted desc —
+    * item 0 is the nearest centroid, a slice of the first nProbe items
+    * is the probe set.
+    */
+  private[ml] def rankedCentroids(vec: Column, centroids: Array[Array[Double]]): Column =
+    sort_array(centroidStructs(vec, centroids), asc = false)
+
+  /** The nearest centroid's (s, c) struct WITHOUT sorting the whole
+    * codebook: array_max over the struct array picks the max (s, then
+    * c) element — exactly `rankedCentroids(...).getItem(0)` (desc
+    * struct sort puts max-s, then max-c-among-ties first) at O(C)
+    * instead of O(C log C) per row. The n-sized corpus side of every
+    * IVF-family op assigns through this.
+    */
+  private[ml] def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
+    array_max(centroidStructs(vec, centroids))
 
   def ivfTopK(
       emb: DataFrame,
@@ -294,7 +325,7 @@ object Similarity {
     // oracle-frozen shape).
     val corpus =
       if (corpusReplicas == 1)
-        e.withColumn("cluster", ranked(col("nv")).getItem(0).getField("c"))
+        e.withColumn("cluster", nearestCentroid(col("nv"), centroids).getField("c"))
           .select(col("id").as("neighbor_id"), col("nv").as("v"), col("cluster"))
       else
         e.withColumn(

@@ -1297,11 +1297,11 @@ object CorpusQueries {
         val midVal = maxRow.getLong(0) / 2
         try {
           s.conf.set("spark.sql.shuffle.partitions", "4")
-          incoming.filter(col("doc_id") <= midVal).write.mode("append").parquet(src)
+          incoming.filter(col("doc_id") <= midVal).coalesce(1).write.mode("append").parquet(src)
           drain()
-          incoming.filter(col("doc_id") > midVal).write.mode("append").parquet(src)
+          incoming.filter(col("doc_id") > midVal).coalesce(1).write.mode("append").parquet(src)
           // the re-crawl: drain 1's docs land again — state suppresses them
-          incoming.filter(col("doc_id") <= midVal).write.mode("append").parquet(src)
+          incoming.filter(col("doc_id") <= midVal).coalesce(1).write.mode("append").parquet(src)
           drain()
         } finally s.conf.set("spark.sql.shuffle.partitions", sessionParts)
         s.read.parquet(sink)

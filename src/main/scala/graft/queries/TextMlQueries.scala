@@ -367,9 +367,9 @@ object TextMlQueries {
     }
     try {
       s.conf.set("spark.sql.shuffle.partitions", "4")
-      fp.filter(col("doc_id") <= midVal).write.mode("append").parquet(src)
+      fp.filter(col("doc_id") <= midVal).coalesce(1).write.mode("append").parquet(src)
       drain()
-      fp.filter(col("doc_id") > midVal).write.mode("append").parquet(src)
+      fp.filter(col("doc_id") > midVal).coalesce(1).write.mode("append").parquet(src)
       drain()
     } finally s.conf.set("spark.sql.shuffle.partitions", sessionParts)
     // materialize the (small) streamed result eagerly, then remove the
