@@ -220,16 +220,33 @@ object ProductQuantize {
     // re-evaluated per sort COMPARISON (n log n times), and this one
     // is 128 dot products — measured 3x the whole query's cost at
     // sf0.1 before the projection
-    val scored0 = corpus
-      .join(broadcast(queries), Seq("cluster"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-    // multi-assignment can surface one (query, neighbor) in several
-    // probed lists — dedupe before the rank window sees it
-    val scored = (if (corpusReplicas == 1) scored0
-                  else scored0.select("query_id", "q", "lut", "neighbor_id", "pq_code").distinct())
-      .withColumn("adc", adc)
-      .withColumn("adc_r", round(col("adc"), 4))
-      .select("query_id", "neighbor_id", "adc", "adc_r")
+    val scored =
+      (if (corpusReplicas == 1)
+         corpus
+           .join(broadcast(queries), Seq("cluster"))
+           .filter(col("query_id") =!= col("neighbor_id"))
+       else {
+         // multi-assignment can surface one (query, neighbor) in
+         // several probed lists — dedupe before the rank window sees
+         // it, on the SLIM (ids + 8-byte code) projection: the per-row
+         // LUT is m*k doubles and dragging it through the distinct
+         // shuffle multiplies candidate bytes ~100x. pq_code is
+         // functionally dependent on neighbor_id, so the distinct
+         // cardinality is unchanged; the query's LUT re-attaches via a
+         // broadcast of the un-exploded query side.
+         corpus
+           .join(broadcast(queries.select(col("query_id"), col("cluster"))), Seq("cluster"))
+           .filter(col("query_id") =!= col("neighbor_id"))
+           .select("query_id", "neighbor_id", "pq_code")
+           .distinct()
+           .join(
+             broadcast(queries.select(col("query_id"), col("lut")).dropDuplicates("query_id")),
+             Seq("query_id")
+           )
+       })
+        .withColumn("adc", adc)
+        .withColumn("adc_r", round(col("adc"), 4))
+        .select("query_id", "neighbor_id", "adc", "adc_r")
     val w = Window
       .partitionBy(col("query_id"))
       .orderBy(col("adc_r").desc, col("neighbor_id"))

@@ -274,7 +274,7 @@ object Similarity {
       }: _*)
     else {
       val cbLit = typedlit(centroids.map(_.toSeq).toSeq)
-      val idxLit = typedlit(centroids.indices.toSeq)
+      val idxLit = typedlit(centroids.indices.toList)
       zip_with(cbLit, idxLit, (cvec, i) => struct(VectorOps.dot(vec, cvec).as("s"), i.as("c")))
     }
 
@@ -332,24 +332,42 @@ object Similarity {
           "cluster",
           explode(transform(slice(ranked(col("nv")), 1, corpusReplicas), x => x.getField("c")))
         ).select(col("id").as("neighbor_id"), col("nv").as("v"), col("cluster"))
-    val queries = emb
+    val qBase = emb
       .filter(queryPred)
       .select(col(idCol).as("qid"))
       .join(e.withColumnRenamed("id", "qid"), Seq("qid"))
+      .select(col("qid").as("query_id"), col("nv").as("q"))
+      .localCheckpoint(false)
+    val queries = qBase
       .withColumn(
         "cluster",
-        explode(transform(slice(ranked(col("nv")), 1, nProbe), x => x.getField("c")))
+        explode(transform(slice(ranked(col("q")), 1, nProbe), x => x.getField("c")))
       )
-      .select(col("qid").as("query_id"), col("nv").as("q"), col("cluster"))
-    val scored0 = corpus
-      .join(broadcast(queries), Seq("cluster"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-    // under multi-assignment a (query, neighbor) pair can meet in
-    // several lists — dedupe BEFORE scoring so the rank window never
-    // sees (and never double-counts) the same neighbor twice
-    val scored = (if (corpusReplicas == 1) scored0
-                  else scored0.select("query_id", "q", "neighbor_id", "v").distinct())
-      .withColumn("cos", VectorOps.dot(col("q"), col("v")))
+      .select(col("query_id"), col("q"), col("cluster"))
+    val scored =
+      if (corpusReplicas == 1)
+        corpus
+          .join(broadcast(queries), Seq("cluster"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .withColumn("cos", VectorOps.dot(col("q"), col("v")))
+      else {
+        // under multi-assignment a (query, neighbor) pair can meet in
+        // several lists — dedupe BEFORE scoring, and dedupe on bare ID
+        // PAIRS: a distinct that drags both 64-dim vectors through the
+        // shuffle moves ~1 KB per candidate row (measured unrunnable at
+        // the 100x rehearsal); 16-byte id pairs first, vectors attached
+        // after (the annTopK candidate discipline)
+        val cand = corpus
+          .select(col("cluster"), col("neighbor_id"))
+          .join(broadcast(queries.select(col("query_id"), col("cluster"))), Seq("cluster"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .select("query_id", "neighbor_id")
+          .distinct()
+        cand
+          .join(e.select(col("id").as("neighbor_id"), col("nv").as("v")), Seq("neighbor_id"))
+          .join(broadcast(qBase), Seq("query_id"))
+          .withColumn("cos", VectorOps.dot(col("q"), col("v")))
+      }
     // deterministic-margin ranking: quantize the score to 4 decimals
     // BEFORE ranking and break ties by id — sub-ulp cross-engine float
     // summation differences can no longer reorder near-ties, so the

@@ -217,9 +217,10 @@ class MlSpec extends SparkSpec {
       .map { case (v, i) => (i.toLong, v.map(_.toFloat).toSeq) }
       .toSeq
       .toDF("vec_id", "embedding")
-    val cb = Similarity.fitCentroids(emb, "vec_id", "embedding", k = 20, iters = 5, sampleN = 300)
-    val cb2 = Similarity.fitCentroids(emb, "vec_id", "embedding", k = 20, iters = 5, sampleN = 300)
-    assert(cb.length == 20 && cb.forall(_.length == 64))
+    // k = 40 > 32 exercises the HOF-over-literal-matrix assignment plan
+    val cb = Similarity.fitCentroids(emb, "vec_id", "embedding", k = 40, iters = 5, sampleN = 300)
+    val cb2 = Similarity.fitCentroids(emb, "vec_id", "embedding", k = 40, iters = 5, sampleN = 300)
+    assert(cb.length == 40 && cb.forall(_.length == 64))
     assert(cb.forall(c => math.abs(math.sqrt(c.map(x => x * x).sum) - 1.0) < 1e-9), "unit norm")
     assert(
       cb.zip(cb2).forall { case (a, b) => a.sameElements(b) },
@@ -234,7 +235,7 @@ class MlSpec extends SparkSpec {
     def recallOf(r: Int) = {
       val got = pairs(
         Similarity.ivfTopK(emb, "vec_id", "embedding", pred, k = 5,
-          nCentroids = 20, nProbe = 4, codebook = Some(cb), corpusReplicas = r))
+          nCentroids = 40, nProbe = 4, codebook = Some(cb), corpusReplicas = r))
       (exact intersect got).size.toDouble / exact.size
     }
     val r1 = recallOf(1)
@@ -244,7 +245,7 @@ class MlSpec extends SparkSpec {
     // meets in several probed lists
     val multi = Similarity
       .ivfTopK(emb, "vec_id", "embedding", pred, k = 5,
-        nCentroids = 20, nProbe = 4, codebook = Some(cb), corpusReplicas = 3)
+        nCentroids = 40, nProbe = 4, codebook = Some(cb), corpusReplicas = 3)
       .select("query_id", "neighbor_id")
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)))
@@ -252,7 +253,7 @@ class MlSpec extends SparkSpec {
     // PQ path accepts the same fitted codebook + replicas and stays dup-free
     val pq = graft.ml.ProductQuantize
       .ivfPqTopK(emb, "vec_id", "embedding", pred, kNN = 5,
-        nCentroids = 20, nProbe = 4, coarseCodebook = Some(cb), corpusReplicas = 3)
+        nCentroids = 40, nProbe = 4, coarseCodebook = Some(cb), corpusReplicas = 3)
       .select("query_id", "neighbor_id")
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)))
