@@ -853,14 +853,23 @@ object Dedup {
     require(codebook.forall(_.length == nCentroids), "codebook size must equal nCentroids")
     val cols = (col(idCol).as("id") +: keep.map { case (n, c) => c.as(n) }) :+
       transform(col(vecCol), x => x.cast("double")).as("v")
-    emb
+    val normalized = emb
       .select(cols: _*)
       .withColumn("norm", sqrt(VectorOps.dot(col("v"), col("v"))))
       .withColumn("nv", transform(col("v"), x => x / col("norm")))
+      .drop("v", "norm")
+    if (centroids.length > Similarity.ExprCodebookMax) {
+      // large codebook: slim join-kernel assignment (codegen'd dots,
+      // vectors never shuffle) — see Similarity.assignPairs
+      val nM = normalized.localCheckpoint(false)
+      nM.join(Similarity.assignPairs(nM, "id", "nv", centroids, topR = 1), Seq("id"))
+    } else
       // nearest-centroid via array_max (no full codebook sort per row)
       // — identical (s, c) tie-break to the previous desc-sort item 0
-      .withColumn("cluster", Similarity.nearestCentroid(col("nv"), centroids).getField("c"))
-      .drop("v", "norm")
+      normalized.withColumn(
+        "cluster",
+        Similarity.nearestCentroid(col("nv"), centroids).getField("c")
+      )
   }
 
   /** Corpus-side SemDeDup cluster index — the persistable half of

@@ -158,19 +158,26 @@ object ProductQuantize {
     // corpus rows shrink to (cluster, id, code word) before any join;
     // corpusReplicas > 1 indexes each vector under its R nearest lists
     // (the multi-assignment recall lever — see Similarity.ivfTopK)
-    val corpus = e
-      .withColumn(
-        "cluster",
-        if (corpusReplicas == 1)
-          Similarity.nearestCentroid(col("nv"), coarse).getField("c")
-        else
-          explode(
-            transform(
-              slice(Similarity.rankedCentroids(col("nv"), coarse), 1, corpusReplicas),
-              x => x.getField("c")
+    val assigned =
+      if (coarse.length > Similarity.ExprCodebookMax) {
+        // large codebook: slim join-kernel assignment — see
+        // Similarity.assignPairs
+        val eM = e.localCheckpoint(false)
+        eM.join(Similarity.assignPairs(eM, "id", "nv", coarse, corpusReplicas), Seq("id"))
+      } else
+        e.withColumn(
+          "cluster",
+          if (corpusReplicas == 1)
+            Similarity.nearestCentroid(col("nv"), coarse).getField("c")
+          else
+            explode(
+              transform(
+                slice(Similarity.rankedCentroids(col("nv"), coarse), 1, corpusReplicas),
+                x => x.getField("c")
+              )
             )
-          )
-      )
+        )
+    val corpus = assigned
       .withColumn(
         "pq_code",
         (0 until m)

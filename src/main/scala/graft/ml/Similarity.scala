@@ -290,10 +290,68 @@ object Similarity {
     * c) element — exactly `rankedCentroids(...).getItem(0)` (desc
     * struct sort puts max-s, then max-c-among-ties first) at O(C)
     * instead of O(C log C) per row. The n-sized corpus side of every
-    * IVF-family op assigns through this.
+    * IVF-family op assigns through this at oracle-frozen codebook
+    * sizes; [[assignPairs]] takes over for large codebooks.
     */
   private[ml] def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
     array_max(centroidStructs(vec, centroids))
+
+  /** (key -> cluster) assignment pairs for LARGE codebooks: the
+    * centroid table broadcasts as ROWS and the scoring cross join runs
+    * the codegen'd native dot — Spark evaluates higher-order-function
+    * lambdas interpreted, so the zip_with form pays ~1 µs of lambda
+    * plumbing per centroid per row, which at √n-scaled codebooks
+    * dominates entire queries (measured ~20 s for 200k x 448 at the
+    * 100x rehearsal vs ~2 s through this kernel). Only slim
+    * (key, score, cluster) rows ever shuffle — vectors never move:
+    * top-1 is a map-side-combined max(struct) groupBy, top-R a window
+    * over the slim frame; the caller joins the (key, cluster) pairs
+    * back (AQE broadcasts them when small).
+    *
+    * Tie-break identical to [[nearestCentroid]]/[[rankedCentroids]]:
+    * max/sort on the (s, c) struct.
+    */
+  private[ml] def assignPairs(
+      e: DataFrame,
+      keyCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      topR: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = e.sparkSession
+    import spark.implicits._
+    VectorOps.register(spark)
+    val cents = broadcast(
+      centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("__cc", "__cvec")
+    )
+    val scored = e
+      .select(col(keyCol), col(vecCol).as("__v"))
+      .crossJoin(cents)
+      .select(
+        col(keyCol),
+        struct(VectorOps.dot(col("__v"), col("__cvec")).as("s"), col("__cc").as("c")).as("__sc")
+      )
+    if (topR == 1)
+      scored
+        .groupBy(col(keyCol))
+        .agg(max(col("__sc")).getField("c").as("cluster"))
+    else
+      scored
+        .withColumn(
+          "__rn",
+          row_number().over(Window.partitionBy(col(keyCol)).orderBy(col("__sc").desc))
+        )
+        .filter(col("__rn") <= topR)
+        .select(col(keyCol), col("__sc").getField("c").as("cluster"))
+  }
+
+  /** Cut-over between the expression assignment (unrolled dots — the
+    * oracle-frozen small-codebook plan) and the [[assignPairs]] join
+    * kernel. 32 is the unroll limit that keeps Janino under its 64 KB
+    * method cap with headroom.
+    */
+  private[ml] val ExprCodebookMax = 32
 
   def ivfTopK(
       emb: DataFrame,
@@ -324,7 +382,13 @@ object Similarity {
     // from every probed list. 1 keeps the exact single-list plan (the
     // oracle-frozen shape).
     val corpus =
-      if (corpusReplicas == 1)
+      if (centroids.length > ExprCodebookMax) {
+        // large codebook: slim join-kernel assignment, vectors attach
+        // by id afterwards (AQE broadcasts the pair frame when small)
+        val eM = e.localCheckpoint(false)
+        eM.join(assignPairs(eM, "id", "nv", centroids, corpusReplicas), Seq("id"))
+          .select(col("id").as("neighbor_id"), col("nv").as("v"), col("cluster"))
+      } else if (corpusReplicas == 1)
         e.withColumn("cluster", nearestCentroid(col("nv"), centroids).getField("c"))
           .select(col("id").as("neighbor_id"), col("nv").as("v"), col("cluster"))
       else
