@@ -22,6 +22,15 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private def fmt(d: Double): String = f"$d%.3f"
 
+  /** Measurement caveats shipped INSIDE the artifact, so a reader of
+    * BENCH_LOCAL.json sees them next to the numbers they qualify.
+    */
+  private val benchNotes: Map[String, String] = Map(
+    "q_import_profile" -> ("warm reps replay a once-per-JVM cached 8-row CRUD result " +
+      "(IngestQueries.importLoadedCache) — this row measures the resolve/join path, not the " +
+      "upsert/load chain; fresh-JVM Verify exercises the full CRUD path every round")
+  )
+
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     val n = s.length
@@ -87,6 +96,12 @@ object Bench {
           .takeWhile(_ != null)
           .map(t => s"${t.getClass.getName}: ${t.getMessage}")
           .toSeq
+        // the chain goes out BEFORE the stack trace as well as after:
+        // harness captures have truncated from either end (round 6 lost
+        // the head, round 9 lost the tail mid-stack) — bracketing the
+        // trace keeps the message recoverable from any one-sided capture
+        System.err.println("BENCH FAILED — root cause chain (innermost last):")
+        chain.foreach(m => System.err.println(s"  $m"))
         e.printStackTrace()
         System.err.println("BENCH FAILED — root cause chain (innermost last):")
         chain.foreach(m => System.err.println(s"  $m"))
@@ -117,6 +132,9 @@ object Bench {
         s"""    "$k": {"median": ${fmt(med)}, "min": ${fmt(mn)}, "max": ${fmt(mx)}, "runs": [${ts.map(fmt).mkString(", ")}]}"""
       }
       .mkString(",\n")
+    val notes = benchNotes.toSeq.sorted
+      .map { case (k, v) => s"""    "$k": "$v"""" }
+      .mkString(",\n")
     val json =
       s"""{
          |  "metric": "total_median_sec",
@@ -124,6 +142,9 @@ object Bench {
          |  "reps": $reps,
          |  "sf": "$sfDir",
          |  "n_queries": ${results.size},
+         |  "notes": {
+         |$notes
+         |  },
          |  "queries": {
          |$detail
          |  }

@@ -76,6 +76,24 @@ object BenchScaled {
   // engine shape). The rehearsal fixture scales the group count with
   // the corpus (~50 images per content group at any SF) so output
   // stays linear and the measurement isolates the banded-join shape.
+  //
+  // Pixels are a splitmix64 mix of the FULL (group, x, y) key: dHash
+  // compares neighboring pixels, so any structure shared between
+  // groups (the round-9 fixture's `(x*y*(g+3)) % 97` term collapsed
+  // for groups equal mod 97, and its `g*37` term is a constant
+  // brightness shift dHash is invariant to) makes cross-group images
+  // hash-identical and inflates output ~13x past the designed
+  // C(50,2)*groups. Per-(g,x,y) mixing gives each group an
+  // independent ~uniform 56-bit dHash: expected cross-group
+  // collisions within Hamming 4 are C(groups,2) * 4e5/2^56 ~ 1e-4 at
+  // 10k groups — structurally zero.
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
   private def rehearsalImages(s: SparkSession, d: String, nDocs: Long): DataFrame = {
     val groups = math.max(97L, nDocs / 50L)
     val ids = TestTables.documents(s, d).select(col("doc_id").cast("long"))
@@ -89,8 +107,10 @@ object BenchScaled {
           7,
           (x, y) => {
             val g = id % groups
+            // one-pixel perturbation flips at most 2 of the 56 dHash
+            // bits, keeping every intra-group pair within budget 4
             val pert = if (x == 4 && y == 3 && id % 2 == 1) 60 else 0
-            val v = ((g * 37 + x * 13 + y * 31 + (x * y * (g + 3)) % 97 + pert) % 256).toInt
+            val v = (((mix64(g * 63L + y * 9L + x) & 0xffL) + pert) % 256).toInt
             (v << 16) | (v << 8) | v
           }
         )
@@ -106,7 +126,8 @@ object BenchScaled {
       d: String,
       g: Geometry,
       ivfProbe: Int,
-      codebook: Array[Array[Double]]
+      codebook: Array[Array[Double]],
+      annQueryMod: Long
   ): Seq[(String, () => Long)] = {
     def docs = TestTables.documents(s, d)
     def emb = TestTables.embeddings(s, d)
@@ -140,11 +161,18 @@ object BenchScaled {
             threshold = 0.42, nCentroids = g.nCentroids, codebook = cb)
           .count()
       }),
+      // ANN rows hold the QUERY WORKLOAD CONSTANT across SFs (~200
+      // queries at any corpus size): a deployment doesn't issue more
+      // queries because the corpus grew, and scaling both at once
+      // conflates corpus growth with workload growth (round 9's x39.8
+      // measured 20 base queries vs 2000 scaled ones). The scaled/base
+      // ratio below therefore isolates corpus growth; per-query
+      // throughput is reported separately as queries/sec.
       "q_ivf_ann" -> (() =>
         Similarity
           .ivfTopK(
             emb, "vec_id", "embedding",
-            queryPred = col("vec_id") % 100 === 0,
+            queryPred = col("vec_id") % annQueryMod === 0,
             k = 5, nCentroids = g.nCentroids, nProbe = ivfProbe, codebook = cb,
             corpusReplicas = 3)
           .count()),
@@ -152,7 +180,7 @@ object BenchScaled {
         ProductQuantize
           .ivfPqTopK(
             emb, "vec_id", "embedding",
-            queryPred = col("vec_id") % 100 === 0,
+            queryPred = col("vec_id") % annQueryMod === 0,
             kNN = 5, m = 8, k = 16, pqSeed = 11L,
             nCentroids = g.nCentroids, nProbe = ivfProbe, coarseCodebook = cb,
             corpusReplicas = 3)
@@ -191,7 +219,7 @@ object BenchScaled {
     */
   private def streamScreenScaled(s: SparkSession, d: String, g: Geometry): Long = {
     val docs = TestTables.documents(s, d)
-    val base = java.nio.file.Files.createTempDirectory("graft-scaled-stream").toString
+    val base = graft.TempRoots.newDir("graft-scaled-stream").toString
     val idxDir = s"$base/idx"; val src = s"$base/src"
     val cp = s"$base/cp"; val sink = s"$base/sink"
     Dedup
@@ -202,7 +230,9 @@ object BenchScaled {
     val incoming = Dedup
       .simHash(docs.filter(col("doc_id") % 3 === 1), "doc_id", "text")
       .localCheckpoint(false)
-    val midVal = incoming.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val maxRow = incoming.agg(max(col("doc_id"))).head()
+    require(!maxRow.isNullAt(0), s"scaled stream screen: no incoming docs under $d")
+    val midVal = maxRow.getLong(0) / 2
     new java.io.File(src).mkdirs()
     def drain(): Unit = {
       val q = graft.streaming.StreamingIngest
@@ -267,13 +297,19 @@ object BenchScaled {
       .localCheckpoint(true)
     val nTruth = brute.count().toDouble
     g.probeLevels.map { p =>
-      val t0 = System.nanoTime()
-      val ann = Similarity
+      def run() = Similarity
         .ivfTopK(e, "vec_id", "embedding", queryPred = pred, k = 5,
           nCentroids = g.nCentroids, nProbe = p, codebook = Some(codebook),
           corpusReplicas = 3)
         .select(col("query_id"), col("neighbor_id"))
         .localCheckpoint(true)
+      // untimed warm-up per level (mirrors Bench.timeQuery): without it
+      // the FIRST level absorbs JIT/scan warm-up (round 9's base curve
+      // read 13.1 s at nProbe 4 vs 0.9 s at 9) and levels aren't
+      // comparable
+      run().unpersist(blocking = false)
+      val t0 = System.nanoTime()
+      val ann = run()
       val secs = (System.nanoTime() - t0) / 1e9
       val hits = brute.join(ann, Seq("query_id", "neighbor_id")).count().toDouble
       (p, if (nTruth == 0) 1.0 else hits / nTruth, secs)
@@ -348,10 +384,33 @@ object BenchScaled {
 
   private def fmt(d: Double): String = f"$d%.3f"
 
-  def main(args: Array[String]): Unit = {
-    val scaledDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf10")
+  def main(args: Array[String]): Unit =
+    try run()
+    catch {
+      case e: Throwable =>
+        val chain = Iterator
+          .iterate(e)(_.getCause)
+          .takeWhile(_ != null)
+          .map(t => s"${t.getClass.getName}: ${t.getMessage}")
+          .toSeq
+        // bracket the trace with the chain (Bench.main's discipline):
+        // harness captures truncate from either end
+        System.err.println("BENCH-SCALED FAILED — root cause chain (innermost last):")
+        chain.foreach(m => System.err.println(s"  $m"))
+        e.printStackTrace()
+        System.err.println("BENCH-SCALED FAILED — root cause chain (innermost last):")
+        chain.foreach(m => System.err.println(s"  $m"))
+        sys.exit(1)
+    }
+
+  private def run(): Unit = {
+    val scaledDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "target/bench-tmp/sf10")
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_BASE_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // a filled disk killed two round-8 rehearsal attempts undiagnosed:
+    // refuse to start without headroom for shuffle spill + checkpoints
+    val freeGb = TempRoots.freeBytes / (1L << 30)
+    require(freeGb >= 15, s"scaled rehearsal needs >=15 GB free, have $freeGb GB")
     val spark = SparkSession
       .builder()
       .master(s"local[$cpus]")
@@ -386,10 +445,17 @@ object BenchScaled {
       val nDocs = TestTables.documents(spark, dir).count()
       val nVecs = TestTables.embeddings(spark, dir).count()
       val g = geometry(nDocs, nVecs)
+      // ~200 ANN queries at ANY corpus size (constant workload across
+      // SFs; see scaledQueries)
+      val annQueryMod = math.max(1L, nVecs / 200L)
+      val nAnnQueries = TestTables
+        .embeddings(spark, dir)
+        .filter(col("vec_id") % annQueryMod === 0)
+        .count()
       out(s"${leg}_geometry") = s"""{"dir": ${jstr(dir)}, "n_docs": $nDocs, "n_vecs": $nVecs, """ +
         s""""n_planes": ${g.nPlanes}, "n_centroids": ${g.nCentroids}, """ +
         s""""probe_levels": [${g.probeLevels.mkString(", ")}], "n_bands": ${g.nBands}, """ +
-        s""""max_hamming": ${g.maxHamming}}"""
+        s""""max_hamming": ${g.maxHamming}, "n_ann_queries": $nAnnQueries}"""
       flush()
 
       // fit the coarse codebook ONCE per corpus (the production
@@ -414,18 +480,27 @@ object BenchScaled {
       flush()
 
       val times = scala.collection.mutable.LinkedHashMap[String, (Double, Long)]()
-      scaledQueries(spark, dir, g, chosenProbe, codebook).foreach { case (name, run) =>
-        Bench.resetSession(spark)
-        val t0 = System.nanoTime()
-        val n = run()
-        val secs = (System.nanoTime() - t0) / 1e9
-        times(name) = (secs, n)
-        System.err.println(s"[bench-scaled:$leg] $name ${fmt(secs)}s rows=$n")
-        out(s"${leg}_queries") = times
-          .map { case (q, (s0, r)) => s""""$q": {"sec": ${fmt(s0)}, "rows": $r}""" }
-          .mkString("{", ", ", "}")
-        flush()
+      scaledQueries(spark, dir, g, chosenProbe, codebook, annQueryMod).foreach {
+        case (name, run) =>
+          Bench.resetSession(spark)
+          val t0 = System.nanoTime()
+          val n = run()
+          val secs = (System.nanoTime() - t0) / 1e9
+          times(name) = (secs, n)
+          System.err.println(s"[bench-scaled:$leg] $name ${fmt(secs)}s rows=$n")
+          out(s"${leg}_queries") = times
+            .map { case (q, (s0, r)) => s""""$q": {"sec": ${fmt(s0)}, "rows": $r}""" }
+            .mkString("{", ", ", "}")
+          flush()
       }
+      // per-query ANN throughput at this SF: the deployment-facing
+      // number the corpus-growth ratio alone doesn't show
+      Seq("q_ivf_ann", "q_ivf_pq_ann").foreach { q =>
+        times.get(q).foreach { case (secs, _) =>
+          out(s"${leg}_${q}_queries_per_sec") = fmt(nAnnQueries / math.max(secs, 1e-9))
+        }
+      }
+      flush()
       leg -> times
     }
 

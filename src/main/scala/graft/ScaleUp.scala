@@ -37,7 +37,7 @@ object ScaleUp {
 
   /** max(key)+1 — the shift span that keeps replica key ranges disjoint. */
   private def span(df: DataFrame, c: String): Long =
-    df.agg(max(col(c))).head().getLong(0) + 1L
+    df.agg(coalesce(max(col(c)), lit(0L))).head().getLong(0) + 1L
 
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: ScaleUp <srcSfDir> <outDir> <factor>")

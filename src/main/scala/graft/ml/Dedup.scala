@@ -461,7 +461,67 @@ object Dedup {
       nBands: Int = 7
   ): DataFrame =
     bandRows(simHash(corpus, idCol, textCol), idCol, nBands)
-      .select(col("band"), col("bv"), col(idCol).as("ex_id"), col("simhash").as("ex_h"))
+      .select(
+        col("band").as("band", geomMetadata(nBands.toLong)),
+        col("bv"),
+        col(idCol).as("ex_id"),
+        // the stamp rides a DATA column too: partitionBy("band") writes
+        // rebuild the partition column from dir names and drop its metadata
+        col("simhash").as("ex_h", geomMetadata(nBands.toLong))
+      )
+
+  /** Geometry stamp carried in the index's key-column metadata —
+    * survives parquet footers and catalog tables, so a persisted
+    * index remembers the banding/codebook it was built under and a
+    * screen with mismatched geometry fails loudly instead of joining
+    * on incompatible keys (which silently returns near-zero recall).
+    */
+  private val GeomKey = "graft_geometry"
+
+  private def geomMetadata(fingerprint: Long) =
+    new org.apache.spark.sql.types.MetadataBuilder().putLong(GeomKey, fingerprint).build()
+
+  private def indexGeometry(index: DataFrame, cols: Seq[String]): Option[Long] =
+    cols.iterator
+      .flatMap(c =>
+        index.schema.fields
+          .find(_.name == c)
+          .filter(_.metadata.contains(GeomKey))
+          .map(_.metadata.getLong(GeomKey))
+      )
+      .nextOption()
+
+  private def requireGeometry(
+      index: DataFrame,
+      cols: Seq[String],
+      expected: Long,
+      what: String
+  ): Unit =
+    indexGeometry(index, cols).foreach { got =>
+      require(
+        got == expected,
+        s"$what index geometry mismatch: index built with fingerprint $got, " +
+          s"screen called with $expected — (${cols.head}) keys would be incompatible " +
+          "and the join would silently return near-zero recall"
+      )
+    }
+
+  /** Deterministic fingerprint of a cluster-assignment geometry: the
+    * codebook values when fitted, else the (nCentroids, seed, dim)
+    * triple that seeds the procedural unit-vector family.
+    */
+  private[graft] def clusterGeomFingerprint(
+      nCentroids: Int,
+      seed: Long,
+      dim: Int,
+      codebook: Option[Array[Array[Double]]]
+  ): Long = codebook match {
+    case Some(cb) =>
+      cb.foldLeft(java.lang.Long.rotateLeft(cb.length.toLong, 17)) { (acc, row) =>
+        31L * acc + java.util.Arrays.hashCode(row)
+      }
+    case None => (nCentroids.toLong * 1000003L) ^ (seed * 31L) ^ dim.toLong
+  }
 
   /** Persist a band index as a catalog BUCKETED table on the probe
     * key (band, bv): the screen's index-side scan then arrives
@@ -498,6 +558,7 @@ object Dedup {
       maxHamming < nBands,
       s"$nBands-band banding guarantees recall only to Hamming ${nBands - 1}"
     )
+    requireGeometry(bandIndex, Seq("band", "ex_h"), nBands.toLong, "band")
     val sims = simHash(incoming, idCol, textCol).localCheckpoint(false)
     val inc = bandRows(sims, idCol, nBands)
       .select(col(idCol).as("in_id"), col("simhash").as("in_h"), col("band"), col("bv"))
@@ -892,7 +953,13 @@ object Dedup {
       codebook: Option[Array[Array[Double]]] = None
   ): DataFrame =
     assignedVecs(corpus, idCol, vecCol, nCentroids, seed, dim, codebook = codebook)
-      .select(col("cluster"), col("id").as("ex_id"), col("nv").as("ex_nv"))
+      .select(
+        col("cluster")
+          .as("cluster", geomMetadata(clusterGeomFingerprint(nCentroids, seed, dim, codebook))),
+        col("id").as("ex_id"),
+        col("nv")
+          .as("ex_nv", geomMetadata(clusterGeomFingerprint(nCentroids, seed, dim, codebook)))
+      )
 
   /** Bucketed-table persistence for the cluster index — one bucket
     * set per inverted list ([[saveBandIndexTable]]'s embedding-path
@@ -927,6 +994,12 @@ object Dedup {
       codebook: Option[Array[Array[Double]]] = None
   ): DataFrame = {
     import graft.functions.VectorOps
+    requireGeometry(
+      clusterIndex,
+      Seq("cluster", "ex_nv"),
+      clusterGeomFingerprint(nCentroids, seed, dim, codebook),
+      "cluster"
+    )
     val inc = assignedVecs(incoming, idCol, vecCol, nCentroids, seed, dim, codebook = codebook)
       .localCheckpoint(false)
     val dupIds = inc

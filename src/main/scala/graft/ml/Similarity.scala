@@ -166,11 +166,15 @@ object Similarity {
   ): Array[Array[Double]] = {
     val n = emb.count()
     val stride = math.max(1L, n / math.max(1, sampleN))
+    // Sort the collected sample by id on the driver: collect() order
+    // follows partition/file layout, and float accumulation order in the
+    // re-center step would otherwise leak layout into the fitted codebook.
     val rows = emb
       .filter(col(idCol) % stride === 0)
-      .select(toDouble(col(vecCol)).as("v"))
+      .select(col(idCol).cast("long").as("i"), toDouble(col(vecCol)).as("v"))
       .collect()
-      .map(_.getSeq[Double](0).toArray)
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
     require(rows.nonEmpty, "fitCentroids: empty sample")
     val dim = rows.head.length
     val sample = rows.map { v =>

@@ -1241,13 +1241,13 @@ object CorpusQueries {
 
   private def streamScreen(s: SparkSession, d: String): DataFrame = {
     val docs = TestTables.documents(s, d)
-    val base = java.nio.file.Files.createTempDirectory("graft-streamscreen").toString
+    val base = graft.TempRoots.newDir("graft-streamscreen").toString
     val src = s"$base/src"
     val cp = s"$base/cp"; val sink = s"$base/sink"
     val idxDir = bandIdxCache.computeIfAbsent(
       d,
       dir => {
-        val p = java.nio.file.Files.createTempDirectory("graft-bandidx").toString
+        val p = graft.TempRoots.newDir("graft-bandidx").toString
         Dedup
           .buildBandIndex(
             TestTables.documents(s, dir).filter(col("doc_id") % 3 =!= 1),

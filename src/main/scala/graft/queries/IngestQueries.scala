@@ -779,7 +779,7 @@ object IngestQueries {
           .collect()
           .map(_.getLong(0))
           .sorted
-        val base = java.nio.file.Files.createTempDirectory("graft-swob").toString
+        val base = graft.TempRoots.newDir("graft-swob").toString
         ns.foreach { n =>
           val temp = (n * 7 % 40) - 10 + 0.5
           val hum = (n * 11 % 60) + 30 + 0.5
@@ -830,7 +830,280 @@ object IngestQueries {
       |WHERE n >= 3
       |ORDER BY obs_us""".stripMargin
 
+  // ---- staged JDBC MERGE sink, oracle-checked -----------------------
+  // The JdbcSink spec (Derby round trip) proves the mechanism; this row
+  // hashes the POST-MERGE table state against a set-based SQL oracle —
+  // the q_upsert discipline applied to the server-side MERGE path
+  // (`R/dbAppendTableRLS.R:200-240`): batch rows win on conflicting
+  // keys (DoUpdate), untouched existing rows survive, new keys insert.
+  private def jdbcMerge(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Upsert
+    val ord = TestTables
+      .orders(s, d)
+      .filter(col("o_orderkey") % 97 === 0)
+      .select(
+        col("o_orderkey").cast("long").as("OKEY"),
+        col("o_custkey").cast("long").as("CK")
+      )
+      .localCheckpoint(false)
+    val existing = ord.filter(col("OKEY") % 5 < 3).select(col("OKEY"), col("CK").as("MVAL"))
+    val batch =
+      ord.filter(col("OKEY") % 5 >= 2).select(col("OKEY"), (col("CK") * 2).as("MVAL"))
+    val db = s"graftmerge${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val url = s"jdbc:derby:memory:$db;create=true"
+    val props = new java.util.Properties()
+    existing.write.mode("overwrite").jdbc(url, "MEAS", props)
+    graft.sources.JdbcSink
+      .upsertViaStaging(batch, url, "MEAS", keys = Seq("OKEY"), mode = Upsert.DoUpdate, props)
+    // eager checkpoint BEFORE dropping the in-memory db: the returned
+    // frame must stay readable after the source is gone
+    val back = s.read
+      .jdbc(url, "MEAS", props)
+      .select(col("OKEY").cast("long").as("okey"), col("MVAL").cast("long").as("mval"))
+      .orderBy(col("okey"))
+      .localCheckpoint(true)
+    try java.sql.DriverManager.getConnection(s"jdbc:derby:memory:$db;drop=true")
+    catch { case _: java.sql.SQLException => () } // 08006 = successful drop
+    back
+  }
+
+  private val jdbcMergeSql =
+    """WITH ord AS (
+      |  SELECT CAST(o_orderkey AS BIGINT) AS okey, CAST(o_custkey AS BIGINT) AS ck
+      |  FROM orders WHERE o_orderkey % 97 = 0
+      |), existing AS (SELECT okey, ck AS mval FROM ord WHERE okey % 5 < 3),
+      |   batch    AS (SELECT okey, ck * 2 AS mval FROM ord WHERE okey % 5 >= 2)
+      |SELECT okey, mval FROM batch
+      |UNION ALL
+      |SELECT e.okey, e.mval FROM existing e
+      |WHERE e.okey NOT IN (SELECT okey FROM batch)
+      |ORDER BY okey""".stripMargin
+
+  // ---- readSnowWorkbook QA/QC, oracle-checked ------------------------
+  // Drives the REAL SnowWorkbook.process over a deterministic workbook
+  // fixture derived from supplier/nation and hashes all three outputs
+  // (surveys, measurements, rejects) in one frame — every validation
+  // rule from `R/readSnowWorkbook.R` lands in at least one row class:
+  // depth-0-forces-SWE-0, method resolution (bulk sample/average
+  // override), unknown location, end<start, unknown method, missing
+  // averages, missing sample values, empty-sheet skip, standard
+  // linspace datetimes, half-even cm→mm rounding. All fractional
+  // constants are binary-exact (0.25/0.125/0.375/0.1875) and no
+  // rounding input lands on a .5 tie, so Spark bround == DuckDB round.
+  private def snowWorkbook(s: SparkSession, d: String): DataFrame = {
+    val supp = TestTables
+      .supplier(s, d)
+      .select(col("s_suppkey").cast("long").as("k"), col("s_nationkey").cast("long").as("nk"))
+    val nations = TestTables
+      .nation(s, d)
+      .select(col("n_nationkey").cast("long").as("location_id"), col("n_name").as("name"))
+    val isEmpty = col("k") % 23 === 0
+    val baseDate = lit(java.sql.Date.valueOf("2024-03-01"))
+    val startDays = lit(0.25) + (col("k") % 2).cast("double") * lit(0.125)
+    val sheets = supp
+      .join(broadcast(nations.select(col("location_id").as("nk"), col("name"))), Seq("nk"), "left")
+      .select(
+        col("k").as("sheet_id"),
+        when(col("k") % 13 === 0, lit("NOWHERE")).otherwise(col("name")).as("location_name"),
+        baseDate.as("target_date"),
+        when(isEmpty, lit(null).cast("date"))
+          .otherwise(date_add(baseDate, (col("k") % 5).cast("int")))
+          .as("survey_date"),
+        concat(lit("sampler_"), (col("k") % 4).cast("string")).as("sampler_name"),
+        when(col("k") % 17 === 0, lit("snowpit"))
+          .when(col("k") % 4 === 1, lit("Bulk Sample"))
+          .when(col("k") % 4 === 2, lit("average"))
+          .otherwise(lit("Standard"))
+          .as("method"),
+        startDays.as("start_days"),
+        (startDays + when(col("k") % 19 === 0, lit(-0.1875)).otherwise(lit(0.375)))
+          .as("end_days"),
+        (col("k") % 6 === 0).as("est_avg_present"),
+        when(isEmpty || col("k") % 11 === 0, lit(null).cast("double"))
+          .otherwise((lit(40) + col("k") % 7).cast("double") + lit(0.25))
+          .as("calc_depth_cm"),
+        when(isEmpty || col("k") % 11 === 0, lit(null).cast("double"))
+          .otherwise((lit(10) + col("k") % 9).cast("double") + lit(0.375))
+          .as("calc_swe_cm")
+      )
+    val samples = supp
+      .filter(col("k") % 23 =!= 0)
+      .select(col("k").as("sheet_id"), explode(sequence(lit(1), (col("k") % 3 + 2).cast("int"))).as("sample_no"))
+      .select(
+        col("sheet_id"),
+        col("sample_no"),
+        when((col("sheet_id") + col("sample_no")) % 41 === 0, lit(null).cast("double"))
+          .when(col("sample_no") === 2 && col("sheet_id") % 10 === 0, lit(0.0))
+          .otherwise((lit(20) + col("sample_no")).cast("double") + lit(0.25))
+          .as("depth_cm"),
+        when((col("sheet_id") + col("sample_no")) % 29 === 0, lit(null).cast("double"))
+          .otherwise((lit(5) + (col("sheet_id") + col("sample_no")) % 6).cast("double") + lit(0.375))
+          .as("swe_cm"),
+        when((col("sheet_id") + col("sample_no")) % 15 === 0, lit(true))
+          .otherwise(lit(null).cast("boolean"))
+          .as("exclude_flag"),
+        when(col("sample_no") === 1, concat(lit("s"), col("sheet_id").cast("string")))
+          .otherwise(lit(null).cast("string"))
+          .as("note")
+      )
+    val res = graft.sources.SnowWorkbook.process(sheets, samples, nations)
+    val meas = res.measurements.select(
+      lit("meas").as("kind"),
+      col("survey_id"),
+      unix_micros(col("sample_datetime")).as("ts_us"),
+      col("estimate_flag"),
+      col("exclude_flag"),
+      col("swe_mm").cast("double").as("swe_mm"),
+      col("depth_cm").cast("double").as("depth_rounded"),
+      col("note"),
+      lit(null).cast("string").as("reject_reason"),
+      lit(null).cast("string").as("location_name"),
+      lit(null).cast("long").as("location_id")
+    )
+    val rej = res.rejects.select(
+      lit("reject").as("kind"),
+      col("sheet_id").as("survey_id"),
+      lit(null).cast("long").as("ts_us"),
+      lit(null).cast("boolean").as("estimate_flag"),
+      lit(null).cast("boolean").as("exclude_flag"),
+      lit(null).cast("double").as("swe_mm"),
+      lit(null).cast("double").as("depth_rounded"),
+      lit(null).cast("string").as("note"),
+      col("reject_reason"),
+      col("location_name"),
+      lit(null).cast("long").as("location_id")
+    )
+    val sur = res.surveys.select(
+      lit("survey").as("kind"),
+      col("survey_id"),
+      lit(null).cast("long").as("ts_us"),
+      lit(null).cast("boolean").as("estimate_flag"),
+      lit(null).cast("boolean").as("exclude_flag"),
+      lit(null).cast("double").as("swe_mm"),
+      lit(null).cast("double").as("depth_rounded"),
+      col("method").as("note"),
+      lit(null).cast("string").as("reject_reason"),
+      lit(null).cast("string").as("location_name"),
+      col("location_id").cast("long").as("location_id")
+    )
+    meas
+      .unionByName(rej)
+      .unionByName(sur)
+      .orderBy(col("kind"), col("survey_id"), col("ts_us"))
+  }
+
+  private val snowWorkbookSql =
+    """WITH loc AS (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS location_id, n_name AS name FROM nation
+      |), sheets AS (
+      |  SELECT CAST(s_suppkey AS BIGINT) AS sheet_id,
+      |         CASE WHEN s_suppkey % 13 = 0 THEN 'NOWHERE' ELSE l.name END AS location_name,
+      |         CASE WHEN s_suppkey % 23 = 0 THEN NULL
+      |              ELSE DATE '2024-03-01' + CAST(s_suppkey % 5 AS INT) END AS survey_date,
+      |         CASE WHEN s_suppkey % 17 = 0 THEN 'snowpit'
+      |              WHEN s_suppkey % 4 = 1 THEN 'Bulk Sample'
+      |              WHEN s_suppkey % 4 = 2 THEN 'average'
+      |              ELSE 'Standard' END AS method,
+      |         CAST(0.25 AS DOUBLE) + (s_suppkey % 2) * CAST(0.125 AS DOUBLE) AS start_days,
+      |         CAST(0.25 AS DOUBLE) + (s_suppkey % 2) * CAST(0.125 AS DOUBLE)
+      |           + CASE WHEN s_suppkey % 19 = 0 THEN CAST(-0.1875 AS DOUBLE)
+      |                  ELSE CAST(0.375 AS DOUBLE) END AS end_days,
+      |         (s_suppkey % 6 = 0) AS est_avg_present,
+      |         CASE WHEN s_suppkey % 23 = 0 OR s_suppkey % 11 = 0 THEN NULL
+      |              ELSE CAST(40 + (s_suppkey % 7) AS DOUBLE) + CAST(0.25 AS DOUBLE) END AS calc_depth_cm,
+      |         CASE WHEN s_suppkey % 23 = 0 OR s_suppkey % 11 = 0 THEN NULL
+      |              ELSE CAST(10 + (s_suppkey % 9) AS DOUBLE) + CAST(0.375 AS DOUBLE) END AS calc_swe_cm
+      |  FROM supplier s LEFT JOIN loc l ON l.location_id = CAST(s.s_nationkey AS BIGINT)
+      |), samples0 AS (
+      |  SELECT CAST(s_suppkey AS BIGINT) AS sheet_id,
+      |         CAST(i AS INT) AS sample_no
+      |  FROM supplier, UNNEST(generate_series(1, CAST(s_suppkey % 3 + 2 AS INT))) AS t(i)
+      |  WHERE s_suppkey % 23 <> 0
+      |), samples AS (
+      |  SELECT sheet_id, sample_no,
+      |         CASE WHEN (sheet_id + sample_no) % 41 = 0 THEN NULL
+      |              WHEN sample_no = 2 AND sheet_id % 10 = 0 THEN CAST(0 AS DOUBLE)
+      |              ELSE CAST(20 + sample_no AS DOUBLE) + CAST(0.25 AS DOUBLE) END AS depth_cm,
+      |         CASE WHEN (sheet_id + sample_no) % 29 = 0 THEN NULL
+      |              ELSE CAST(5 + (sheet_id + sample_no) % 6 AS DOUBLE) + CAST(0.375 AS DOUBLE) END AS swe_cm,
+      |         CASE WHEN (sheet_id + sample_no) % 15 = 0 THEN TRUE ELSE NULL END AS exclude_flag,
+      |         CASE WHEN sample_no = 1 THEN 's' || CAST(sheet_id AS VARCHAR) ELSE NULL END AS note
+      |  FROM samples0
+      |), cleaned AS (
+      |  SELECT sheet_id, sample_no, depth_cm,
+      |         CASE WHEN depth_cm = 0 THEN CAST(0 AS DOUBLE) ELSE swe_cm END AS swe_cm,
+      |         exclude_flag, note
+      |  FROM samples
+      |), persheet AS (
+      |  SELECT sheet_id, COUNT(*) AS n_samples,
+      |         SUM(CASE WHEN swe_cm IS NULL THEN 1 ELSE 0 END) AS n_missing_swe,
+      |         SUM(CASE WHEN depth_cm IS NULL THEN 1 ELSE 0 END) AS n_missing_depth
+      |  FROM cleaned GROUP BY sheet_id
+      |), annotated AS (
+      |  SELECT sh.*, COALESCE(p.n_samples, 0) AS n_samples,
+      |         COALESCE(p.n_missing_swe, 0) AS n_missing_swe,
+      |         COALESCE(p.n_missing_depth, 0) AS n_missing_depth,
+      |         CASE WHEN sh.est_avg_present AND lower(sh.method) <> 'bulk sample' THEN 'average'
+      |              WHEN lower(sh.method) = 'bulk sample' THEN 'bulk'
+      |              ELSE lower(sh.method) END AS method_resolved,
+      |         l2.location_id
+      |  FROM sheets sh
+      |  LEFT JOIN persheet p USING (sheet_id)
+      |  LEFT JOIN loc l2 ON l2.name = sh.location_name
+      |), flagged AS (
+      |  SELECT a.*,
+      |         CASE WHEN n_samples = 0 AND survey_date IS NULL AND calc_swe_cm IS NULL THEN 'empty_sheet'
+      |              WHEN location_id IS NULL THEN 'unknown_location'
+      |              WHEN end_days < start_days THEN 'end_before_start'
+      |              WHEN method_resolved NOT IN ('bulk', 'average') AND method_resolved <> 'standard' THEN 'unknown_method'
+      |              WHEN method_resolved IN ('bulk', 'average') AND (calc_swe_cm IS NULL OR calc_depth_cm IS NULL) THEN 'missing_average'
+      |              WHEN method_resolved NOT IN ('bulk', 'average') AND (n_missing_swe > 0 OR n_missing_depth > 0) THEN 'missing_sample_values'
+      |              ELSE NULL END AS reject_reason
+      |  FROM annotated a
+      |), ok AS (SELECT * FROM flagged WHERE reject_reason IS NULL
+      |), std AS (
+      |  SELECT o.sheet_id AS survey_id,
+      |         (CAST(epoch(CAST(o.survey_date AS TIMESTAMP)) AS BIGINT) + 25200
+      |          + CAST(floor((CASE WHEN o.n_samples = 1 THEN o.start_days
+      |                 ELSE o.start_days + (o.end_days - o.start_days) * (c.rn - 1) / (o.n_samples - 1) END) * 86400) AS BIGINT)) * 1000000 AS ts_us,
+      |         FALSE AS estimate_flag,
+      |         COALESCE(c.exclude_flag, FALSE) AS exclude_flag,
+      |         round(c.swe_cm * 10) AS swe_mm,
+      |         round(c.depth_cm) AS depth_rounded,
+      |         c.note
+      |  FROM ok o JOIN (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY sheet_id ORDER BY sample_no) AS rn FROM cleaned
+      |  ) c USING (sheet_id)
+      |  WHERE o.method_resolved = 'standard'
+      |), avgd AS (
+      |  SELECT sheet_id AS survey_id,
+      |         (CAST(epoch(CAST(survey_date AS TIMESTAMP)) AS BIGINT) + 25200
+      |          + CAST(floor(start_days * 86400) AS BIGINT)) * 1000000 AS ts_us,
+      |         (method_resolved = 'average') AS estimate_flag,
+      |         FALSE AS exclude_flag,
+      |         round(calc_swe_cm * 10) AS swe_mm,
+      |         round(calc_depth_cm) AS depth_rounded,
+      |         CAST(NULL AS VARCHAR) AS note
+      |  FROM ok WHERE method_resolved IN ('bulk', 'average')
+      |)
+      |SELECT 'meas' AS kind, survey_id, ts_us, estimate_flag, exclude_flag,
+      |       CAST(swe_mm AS DOUBLE) AS swe_mm, CAST(depth_rounded AS DOUBLE) AS depth_rounded,
+      |       note, CAST(NULL AS VARCHAR) AS reject_reason, CAST(NULL AS VARCHAR) AS location_name,
+      |       CAST(NULL AS BIGINT) AS location_id
+      |FROM (SELECT * FROM std UNION ALL SELECT * FROM avgd)
+      |UNION ALL
+      |SELECT 'reject', sheet_id, NULL, NULL, NULL, NULL, NULL, NULL,
+      |       reject_reason, location_name, NULL
+      |FROM flagged WHERE reject_reason IS NOT NULL AND reject_reason <> 'empty_sheet'
+      |UNION ALL
+      |SELECT 'survey', sheet_id, NULL, NULL, NULL, NULL, NULL, method_resolved,
+      |       NULL, NULL, location_id
+      |FROM ok
+      |ORDER BY kind, survey_id, ts_us""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_jdbc_merge", jdbcMerge, Some(jdbcMergeSql)),
+    QueryDef("q_snow_workbook", snowWorkbook, Some(snowWorkbookSql)),
     QueryDef("q_swob_ingest", swobIngest, Some(swobIngestSql)),
     QueryDef("q_import_profile", importProfile, Some(importProfileSql)),
     QueryDef("q_fetch_groups", fetchGroups, Some(fetchGroupsSql)),

@@ -338,8 +338,10 @@ object TextMlQueries {
       .documents(s, d)
       .select(col("doc_id"), PortableHash.md5num56(norm).as("fingerprint"))
       .localCheckpoint(false)
-    val midVal = fp.agg(max(col("doc_id"))).head().getLong(0) / 2
-    val base = java.nio.file.Files.createTempDirectory("graft-streamdedup").toString
+    val maxRow = fp.agg(max(col("doc_id"))).head()
+    require(!maxRow.isNullAt(0), "stream dedup: documents table is empty")
+    val midVal = maxRow.getLong(0) / 2
+    val base = graft.TempRoots.newDir("graft-streamdedup").toString
     val src = s"$base/src"; val cp = s"$base/cp"; val sink = s"$base/sink"
     new java.io.File(src).mkdirs()
     // Size the streaming STATE partitioning to the stream, not the

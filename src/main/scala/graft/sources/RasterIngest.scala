@@ -548,9 +548,15 @@ object RasterIngest {
       tileH: Int = 64
   ): RasterInsertResult = {
     val cellsRaw = spark.read.parquet(path)
+    // sort bands NUMERICALLY before stringifying — lexicographic order
+    // would give '1','10','2',… at >=10 bands and misalign the
+    // positional band_names/units pairing downstream
     val derived = cellsRaw
       .groupBy(col("src_key"))
-      .agg(array_sort(collect_set(col("band").cast("string"))).as("__derived_bands"))
+      .agg(
+        transform(array_sort(collect_set(col("band"))), b => b.cast("string"))
+          .as("__derived_bands")
+      )
     val incoming = meta
       .join(broadcast(derived), Seq("src_key"), "left")
       .withColumn("band_names", coalesce(col("band_names"), col("__derived_bands")))

@@ -146,6 +146,48 @@ class IncrementalIndexSpec extends SparkSpec {
     )
   }
 
+  test("geometry stamps survive persistence and a mismatched screen fails loudly") {
+    val docs = TestTables.documents(spark, sf001).limit(200)
+    val emb = TestTables.embeddings(spark, sf001).limit(200)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+
+    // band index: built at nBands=5, screened at the default 7 — the
+    // (band, bv) keys would be incompatible and recall silently ~0
+    val idx5 = roundTrip(
+      Dedup.buildBandIndex(docs, "doc_id", "text", nBands = 5),
+      "geomband",
+      "band"
+    )
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.simHashScreen(batch, "doc_id", "text", idx5, maxHamming = 4, nBands = 7).collect()
+    }
+    assert(e1.getMessage.contains("geometry mismatch"))
+    // matching geometry still screens fine after the parquet round trip
+    assert(
+      Dedup.simHashScreen(batch, "doc_id", "text", idx5, maxHamming = 4, nBands = 5).count() > 0
+    )
+
+    // cluster index: built under one codebook family, probed under another
+    val cidx = roundTrip(
+      Dedup.buildClusterIndex(emb, "vec_id", "embedding", nCentroids = 16, seed = 7L),
+      "geomcluster",
+      "cluster"
+    )
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup
+        .semDedupScreen(emb, "vec_id", "embedding", cidx, threshold = 0.42,
+          nCentroids = 32, seed = 7L)
+        .collect()
+    }
+    assert(e2.getMessage.contains("geometry mismatch"))
+    assert(
+      Dedup
+        .semDedupScreen(emb, "vec_id", "embedding", cidx, threshold = 0.42,
+          nCentroids = 16, seed = 7L)
+        .count() > 0
+    )
+  }
+
   test("bandSpec: widths cover 56 bits exactly, contiguous, default 7x8 layout preserved") {
     assert(Dedup.bandSpec(7) == Seq((0, 8), (8, 8), (16, 8), (24, 8), (32, 8), (40, 8), (48, 8)))
     assert(Dedup.bandSpec(5) == Seq((0, 12), (12, 11), (23, 11), (34, 11), (45, 11)))

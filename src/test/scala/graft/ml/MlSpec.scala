@@ -226,6 +226,16 @@ class MlSpec extends SparkSpec {
       cb.zip(cb2).forall { case (a, b) => a.sameElements(b) },
       "fit is deterministic for a fixed corpus"
     )
+    // layout independence: the same corpus under a different physical
+    // partitioning must fit the IDENTICAL codebook (the driver sample
+    // is sorted by id before accumulation)
+    val cbRelaid =
+      Similarity.fitCentroids(emb.repartition(7), "vec_id", "embedding",
+        k = 40, iters = 5, sampleN = 300)
+    assert(
+      cb.zip(cbRelaid).forall { case (a, b) => a.sameElements(b) },
+      "fit is deterministic regardless of file/partition layout"
+    )
     val pred = col("vec_id") % 40 === 0
     def pairs(df: org.apache.spark.sql.DataFrame) = df
       .collect()
