@@ -28,7 +28,13 @@ object Bench {
   private val benchNotes: Map[String, String] = Map(
     "q_import_profile" -> ("warm reps replay a once-per-JVM cached 8-row CRUD result " +
       "(IngestQueries.importLoadedCache) — this row measures the resolve/join path, not the " +
-      "upsert/load chain; fresh-JVM Verify exercises the full CRUD path every round")
+      "upsert/load chain; fresh-JVM Verify exercises the full CRUD path every round"),
+    "q_add_discrete" -> ("round-10 isolation (fresh JVM, 5 reps): r9's 1.16->1.67 s move was " +
+      "part refactor cost, part ambient — smallBatch=true at AddDiscrete.assignIdsAbove " +
+      "recovered median 1.32->1.19 s, min 1.13->0.98 s"),
+    "q_image_latest" -> ("round-10 isolation (fresh JVM, alternating A/B at 7 reps): " +
+      "0.56-1.34 s spread with overlapping medians across variants — ambient session noise " +
+      "dominates this row; no stable regression attributable to the SeqIds refactor")
   )
 
   private def median(xs: Seq[Double]): Double = {

@@ -91,7 +91,12 @@ object AddDiscrete {
     // ---- id assignment above the existing max: range-partitioned
     // rank (SeqIds), not a single-task global window ----------------
     val withIds = graft.operators.SeqIds
-      .assignIdsAbove(existingSamples, "sample_id", goodSamples, Seq(col("sample_key")), "sample_id")
+      // smallBatch: addACDiscrete is a MANUAL upload in the reference —
+      // batches are dimension-sized by contract, so skip globalRank's
+      // range-repartition + checkpoint (round 9 measured it costing
+      // ~0.4 s per CRUD chain; SeqIds.scala documents the hatch)
+      .assignIdsAbove(existingSamples, "sample_id", goodSamples, Seq(col("sample_key")),
+        "sample_id", smallBatch = true)
       .drop("__n_results")
 
     // ---- result gates --------------------------------------------

@@ -173,7 +173,10 @@ object ImageIngest {
         "img_series_id",
         batchGated.filter(col("reject_reason").isNull),
         Seq(col("src_key")),
-        "img_series_id"
+        "img_series_id",
+        // image-SERIES registration is a dimension-sized CRUD batch by
+        // contract (one row per camera) — the documented smallBatch hatch
+        smallBatch = true
       )
       .withColumn("source_fx_args", parseFxArgs(col("source_fx_args")))
       .withColumn("first_img", col("start_datetime"))
