@@ -476,12 +476,12 @@ object Dedup {
     * screen with mismatched geometry fails loudly instead of joining
     * on incompatible keys (which silently returns near-zero recall).
     */
-  private val GeomKey = "graft_geometry"
+  private[ml] val GeomKey = "graft_geometry"
 
-  private def geomMetadata(fingerprint: Long) =
+  private[ml] def geomMetadata(fingerprint: Long) =
     new org.apache.spark.sql.types.MetadataBuilder().putLong(GeomKey, fingerprint).build()
 
-  private def indexGeometry(index: DataFrame, cols: Seq[String]): Option[Long] =
+  private[ml] def indexGeometry(index: DataFrame, cols: Seq[String]): Option[Long] =
     cols.iterator
       .flatMap(c =>
         index.schema.fields
@@ -491,7 +491,7 @@ object Dedup {
       )
       .nextOption()
 
-  private def requireGeometry(
+  private[ml] def requireGeometry(
       index: DataFrame,
       cols: Seq[String],
       expected: Long,

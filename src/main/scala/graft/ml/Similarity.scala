@@ -357,6 +357,98 @@ object Similarity {
     */
   private[ml] val ExprCodebookMax = 32
 
+  /** Persistable IVF corpus index — the (cluster, neighbor_id, v)
+    * inverted lists [[ivfTopK]] derives inline, factored out so a
+    * deployment builds them ONCE per corpus generation (persist with
+    * [[Dedup.saveClusterIndexTable]]-style bucketing on `cluster`)
+    * while query batches pay only the probe joins via
+    * [[ivfTopKIndexed]]. The build is the n·R centroid assignment —
+    * with √n-scaled codebooks that is the inline path's one
+    * superlinear term (n^1.5 dot products), exactly the cost an index
+    * amortizes. The `cluster` column carries the same geometry
+    * fingerprint discipline as [[Dedup.buildClusterIndex]], so probing
+    * with a mismatched codebook fails loudly.
+    */
+  def buildIvfIndex(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int = 16,
+      seed: Long = 7L,
+      dim: Int = 64,
+      codebook: Option[Array[Array[Double]]] = None,
+      corpusReplicas: Int = 1
+  ): DataFrame = {
+    VectorOps.register(emb.sparkSession)
+    val centroids = codebook.getOrElse(normalizedCentroids(nCentroids, dim, seed))
+    require(codebook.forall(_.length == nCentroids), "codebook size must equal nCentroids")
+    require(corpusReplicas >= 1 && corpusReplicas <= nCentroids, "corpusReplicas in [1, nCentroids]")
+    val e = normalizedVecs(emb, idCol, vecCol)
+    // corpusReplicas > 1: multi-assignment — each corpus vector is
+    // indexed under its R nearest lists (R×storage, R×candidates), the
+    // standard recall lever when the data's cluster structure is soft
+    // and a near neighbor often sits just across a Voronoi boundary
+    // from every probed list. 1 keeps the exact single-list plan (the
+    // oracle-frozen shape).
+    val assigned =
+      if (centroids.length > ExprCodebookMax) {
+        // large codebook: slim join-kernel assignment, vectors attach
+        // by id afterwards (AQE broadcasts the pair frame when small)
+        val eM = e.localCheckpoint(false)
+        eM.join(assignPairs(eM, "id", "nv", centroids, corpusReplicas), Seq("id"))
+          .select(col("id").as("neighbor_id"), col("nv").as("v"), col("cluster"))
+      } else if (corpusReplicas == 1)
+        e.withColumn("cluster", nearestCentroid(col("nv"), centroids).getField("c"))
+          .select(col("id").as("neighbor_id"), col("nv").as("v"), col("cluster"))
+      else
+        e.withColumn(
+          "cluster",
+          explode(
+            transform(
+              slice(rankedCentroids(col("nv"), centroids), 1, corpusReplicas),
+              x => x.getField("c")
+            )
+          )
+        ).select(col("id").as("neighbor_id"), col("nv").as("v"), col("cluster"))
+    val geom = Dedup.clusterGeomFingerprint(nCentroids, seed, dim, codebook)
+    assigned.select(
+      col("cluster").as("cluster", Dedup.geomMetadata(geom)),
+      col("neighbor_id"),
+      col("v").as("v", Dedup.geomMetadata(geom))
+    )
+  }
+
+  /** Probe a prebuilt (typically parquet-persisted) [[buildIvfIndex]]
+    * index: query vectors assign to their nProbe nearest lists, join
+    * the stored lists, and rank — the corpus never re-assigns. Output
+    * contract is [[ivfTopK]]'s (query_id, rank, neighbor_id, cos); a
+    * multi-assigned index is candidate-deduped on id pairs before
+    * vectors attach, identical to the inline path.
+    */
+  def ivfTopKIndexed(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryPred: Column,
+      index: DataFrame,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      seed: Long = 7L,
+      dim: Int = 64,
+      codebook: Option[Array[Array[Double]]] = None,
+      multiAssigned: Boolean = false
+  ): DataFrame = {
+    Dedup.requireGeometry(
+      index,
+      Seq("cluster", "v"),
+      Dedup.clusterGeomFingerprint(nCentroids, seed, dim, codebook),
+      "IVF"
+    )
+    ivfProbe(emb, idCol, vecCol, queryPred, index, k, nCentroids, nProbe, seed, dim,
+      codebook, multiAssigned)
+  }
+
   def ivfTopK(
       emb: DataFrame,
       idCol: String,
@@ -370,36 +462,34 @@ object Similarity {
       codebook: Option[Array[Array[Double]]] = None,
       corpusReplicas: Int = 1
   ): DataFrame = {
+    val index =
+      buildIvfIndex(emb, idCol, vecCol, nCentroids, seed, dim, codebook, corpusReplicas)
+    ivfProbe(emb, idCol, vecCol, queryPred, index, k, nCentroids, nProbe, seed, dim,
+      codebook, multiAssigned = corpusReplicas > 1)
+  }
+
+  private def ivfProbe(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryPred: Column,
+      corpus: DataFrame,
+      k: Int,
+      nCentroids: Int,
+      nProbe: Int,
+      seed: Long,
+      dim: Int,
+      codebook: Option[Array[Array[Double]]],
+      multiAssigned: Boolean
+  ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     VectorOps.register(emb.sparkSession)
     // None -> the deterministic family (oracle-reproducible); Some ->
     // a fitted codebook ([[fitCentroids]]), the production deployment
     val centroids = codebook.getOrElse(normalizedCentroids(nCentroids, dim, seed))
     require(codebook.forall(_.length == nCentroids), "codebook size must equal nCentroids")
-    require(corpusReplicas >= 1 && corpusReplicas <= nCentroids, "corpusReplicas in [1, nCentroids]")
     def ranked(vec: Column): Column = rankedCentroids(vec, centroids)
     val e = normalizedVecs(emb, idCol, vecCol)
-    // corpusReplicas > 1: multi-assignment — each corpus vector is
-    // indexed under its R nearest lists (R×storage, R×candidates), the
-    // standard recall lever when the data's cluster structure is soft
-    // and a near neighbor often sits just across a Voronoi boundary
-    // from every probed list. 1 keeps the exact single-list plan (the
-    // oracle-frozen shape).
-    val corpus =
-      if (centroids.length > ExprCodebookMax) {
-        // large codebook: slim join-kernel assignment, vectors attach
-        // by id afterwards (AQE broadcasts the pair frame when small)
-        val eM = e.localCheckpoint(false)
-        eM.join(assignPairs(eM, "id", "nv", centroids, corpusReplicas), Seq("id"))
-          .select(col("id").as("neighbor_id"), col("nv").as("v"), col("cluster"))
-      } else if (corpusReplicas == 1)
-        e.withColumn("cluster", nearestCentroid(col("nv"), centroids).getField("c"))
-          .select(col("id").as("neighbor_id"), col("nv").as("v"), col("cluster"))
-      else
-        e.withColumn(
-          "cluster",
-          explode(transform(slice(ranked(col("nv")), 1, corpusReplicas), x => x.getField("c")))
-        ).select(col("id").as("neighbor_id"), col("nv").as("v"), col("cluster"))
     val qBase = emb
       .filter(queryPred)
       .select(col(idCol).as("qid"))
@@ -413,7 +503,7 @@ object Similarity {
       )
       .select(col("query_id"), col("q"), col("cluster"))
     val scored =
-      if (corpusReplicas == 1)
+      if (!multiAssigned)
         corpus
           .join(broadcast(queries), Seq("cluster"))
           .filter(col("query_id") =!= col("neighbor_id"))

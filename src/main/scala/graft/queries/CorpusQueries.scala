@@ -1271,10 +1271,20 @@ object CorpusQueries {
     val maxRow = incoming.agg(max(col("doc_id"))).head()
     new java.io.File(src).mkdirs()
     val sessionParts = s.conf.get("spark.sql.shuffle.partitions")
+    // ONE AvailableNow run over three pre-landed files with
+    // maxFilesPerTrigger=1: the trigger walks them as three sequential
+    // micro-batches, so the re-crawl batch still arrives AFTER the
+    // first copy and the state store must suppress it — the same
+    // cross-batch state exercise the previous two-drain shape bought,
+    // minus a full query startup/teardown (~1 s at gate SF; checkpoint
+    // RESTART recovery is StreamingSpec's job, not this row's)
     def drain(): Unit = {
       val q = graft.streaming.StreamingIngest
         .screenAgainstBandIndex(
-          s.readStream.schema("doc_id LONG, simhash LONG").parquet(src),
+          s.readStream
+            .schema("doc_id LONG, simhash LONG")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
           persisted
         )
         .writeStream
@@ -1298,9 +1308,8 @@ object CorpusQueries {
         try {
           s.conf.set("spark.sql.shuffle.partitions", "4")
           incoming.filter(col("doc_id") <= midVal).coalesce(1).write.mode("append").parquet(src)
-          drain()
           incoming.filter(col("doc_id") > midVal).coalesce(1).write.mode("append").parquet(src)
-          // the re-crawl: drain 1's docs land again — state suppresses them
+          // the re-crawl: micro-batch 1's docs land again — state suppresses them
           incoming.filter(col("doc_id") <= midVal).coalesce(1).write.mode("append").parquet(src)
           drain()
         } finally s.conf.set("spark.sql.shuffle.partitions", sessionParts)

@@ -896,6 +896,41 @@ object TextMlQueries {
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
       .orderBy(col("query_id"), col("rank"))
 
+  /** The production serving shape of [[ivfAnn]]: the inverted lists
+    * are built ONCE (`Similarity.buildIvfIndex`), persisted to
+    * parquet, and the same query batch probes the STORED lists
+    * (`ivfTopKIndexed`) — the per-corpus-generation build /
+    * per-batch serve split a real deployment runs (the build's
+    * n·√n centroid assignment is the inline path's one superlinear
+    * term). The oracle is byte-for-byte q_ivf_ann's: serving a
+    * persisted index must change nothing about the answer.
+    */
+  private def ivfAnnServe(s: SparkSession, d: String): DataFrame = {
+    val emb = TestTables.embeddings(s, d)
+    val dir = graft.TempRoots.newDir("graft-ivfserve").toString
+    Similarity
+      .buildIvfIndex(emb, "vec_id", "embedding", nCentroids = 16)
+      .write
+      .mode("overwrite")
+      .parquet(dir)
+    val out = Similarity
+      .ivfTopKIndexed(
+        emb,
+        "vec_id",
+        "embedding",
+        queryPred = col("vec_id") % 100 === 0,
+        index = s.read.parquet(dir),
+        k = 5,
+        nCentroids = 16,
+        nProbe = 4
+      )
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+      .localCheckpoint(true)
+    rmTree(dir)
+    out
+  }
+
   /** Full IVF-ANN oracle: nearest-centroid lists + nProbe=4 probe
     * sets from the same inlined centroid literals, normalized-vector
     * dot scoring, quantized-margin rank.
@@ -1402,6 +1437,7 @@ object TextMlQueries {
     QueryDef("q_ann_lsh", annLsh, Some(annLshSql), headline = true),
     QueryDef("q_lsh_buckets", lshBuckets, Some(lshBucketsSql)),
     QueryDef("q_ivf_ann", ivfAnn, Some(ivfAnnSql)),
+    QueryDef("q_ivf_ann_serve", ivfAnnServe, Some(ivfAnnSql)),
     QueryDef("q_ann_recall", annRecall, Some(annRecallSql)),
     QueryDef("q_ivf_clusters", ivfClusters, Some(ivfClustersSql)),
     QueryDef("q_pq_encode", pqEncQuery, Some(pqEncodeSql)),

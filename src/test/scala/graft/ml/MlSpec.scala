@@ -210,6 +210,49 @@ class MlSpec extends SparkSpec {
     assert(pairs(Similarity.ivfTopK(emb, "vec_id", "embedding", pred, k = 5)) == ivf)
   }
 
+  test("ivfTopKIndexed over a parquet-persisted buildIvfIndex == inline ivfTopK; geometry guarded") {
+    import spark.implicits._
+    val vecs = Similarity.hyperplanes(240, 64, seed = 5L)
+    val emb = vecs.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.map(_.toFloat).toSeq) }
+      .toSeq
+      .toDF("vec_id", "embedding")
+    val cb = Similarity.fitCentroids(emb, "vec_id", "embedding", k = 40, iters = 4, sampleN = 240)
+    val pred = col("vec_id") % 12 === 0
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r =>
+          (r.getLong(r.fieldIndex("query_id")), r.getInt(r.fieldIndex("rank")),
+            r.getLong(r.fieldIndex("neighbor_id"))))
+        .toSet
+    for (r <- Seq(1, 3)) {
+      val inline = rows(
+        Similarity.ivfTopK(emb, "vec_id", "embedding", pred, k = 5,
+          nCentroids = 40, nProbe = 6, codebook = Some(cb), corpusReplicas = r))
+      val path = java.nio.file.Files.createTempDirectory(s"graft-ivfidx$r").toString
+      Similarity
+        .buildIvfIndex(emb, "vec_id", "embedding", nCentroids = 40,
+          codebook = Some(cb), corpusReplicas = r)
+        .write
+        .mode("overwrite")
+        .parquet(path)
+      val served = rows(
+        Similarity.ivfTopKIndexed(emb, "vec_id", "embedding", pred,
+          spark.read.parquet(path), k = 5, nCentroids = 40, nProbe = 6,
+          codebook = Some(cb), multiAssigned = r > 1))
+      assert(served == inline, s"persisted-index serving must equal inline ivfTopK at R=$r")
+      // probing with the wrong codebook family must fail loudly
+      val e = intercept[IllegalArgumentException] {
+        Similarity
+          .ivfTopKIndexed(emb, "vec_id", "embedding", pred,
+            spark.read.parquet(path), k = 5, nCentroids = 40, nProbe = 6,
+            codebook = None, multiAssigned = r > 1)
+          .collect()
+      }
+      assert(e.getMessage.contains("geometry mismatch"))
+    }
+  }
+
   test("fitCentroids: deterministic unit-norm codebook; fitted + multi-assignment lift IVF recall") {
     import spark.implicits._
     val vecs = Similarity.hyperplanes(300, 64, seed = 3L)
