@@ -34,7 +34,13 @@ object Bench {
       "recovered median 1.32->1.19 s, min 1.13->0.98 s"),
     "q_image_latest" -> ("round-10 isolation (fresh JVM, alternating A/B at 7 reps): " +
       "0.56-1.34 s spread with overlapping medians across variants — ambient session noise " +
-      "dominates this row; no stable regression attributable to the SeqIds refactor")
+      "dominates this row; no stable regression attributable to the SeqIds refactor"),
+    "q_stream_screen" -> ("round 10 restructured to the minimum stateful shape: one " +
+      "AvailableNow run, two micro-batches (crawl 1, then crawl 2 + re-crawl in one file), " +
+      "cached index side. Isolated 7-rep median 3.38 s / min 3.19 s in a session where " +
+      "unchanged q_stream_dedup drifted 1.74 -> 2.49 s; the residual is per-micro-batch " +
+      "replan + state/sink commit machinery (~1.2 s/batch), the Structured Streaming floor " +
+      "at this SF")
   )
 
   private def median(xs: Seq[Double]): Double = {
