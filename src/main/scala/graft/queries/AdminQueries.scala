@@ -628,7 +628,132 @@ object AdminQueries {
       |)
       |ORDER BY src_key, coalesce(parameter_id, -1), status""".stripMargin
 
+  // ---- document store (insertACDocument), oracle-checked -------------
+  // Drives the REAL DocumentIngest.ingest over a part-derived batch and
+  // hashes all three outputs in one frame: content-hash dedup (the ON
+  // CONFLICT (file_hash) DO NOTHING gate — both against the existing
+  // store and first-wins within the batch), the known-type gate, the
+  // non-empty share_with gate, the blank-name gate, and doc↔geom link
+  // fan-out restricted to known geometries. Reject precedence mirrors
+  // `R/insertACDocument.R:26-160`. In-batch duplicate contents are
+  // planted only on rows with distinct names, so the per-hash
+  // first-wins window is tie-free in both engines.
+  private def docStore(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.DocumentIngest
+    val k = col("p_partkey").cast("long")
+    val base = TestTables.part(s, d).filter(k % 19 === 0).select(k.as("k"))
+    val content =
+      when(col("k") % 17 === 0 && col("k") % 13 =!= 0, concat(lit("dup_"), col("k") % 2))
+        .otherwise(concat(lit("c"), col("k")))
+    val incoming = base.select(
+      col("k"),
+      when(col("k") % 13 === 0, lit("")).otherwise(concat(lit("doc_"), col("k"))).as("name"),
+      element_at(
+        array(lit("report"), lit("thesis"), lit("map"), lit("datasheet"), lit("image")),
+        (col("k") % 5 + 1).cast("int")
+      ).as("doc_type"),
+      content.cast("binary").as("payload"),
+      when(col("k") % 9 === 0, array().cast("array<string>"))
+        .otherwise(array(lit("g1"), lit("g2")))
+        .as("share_with"),
+      when(col("k") % 8 === 0, lit(null).cast("array<long>"))
+        .otherwise(array(col("k") % 25, col("k") % 25 + 10, lit(99L)))
+        .as("geom_ids")
+    )
+    val knownTypes = Seq("report", "thesis", "map", "image").toDF("doc_type")
+    val existing = base
+      .filter(col("k") % 11 === 0)
+      .select(graft.functions.PortableHash.md5num56(content.cast("binary")).as("file_hash"))
+    val knownGeoms = (0L to 30L).toDF("geom_id")
+    val res = DocumentIngest.ingest(incoming.drop("k"), knownTypes, existing, knownGeoms)
+    val accept = res.accepted.select(
+      lit("accept").as("kind"),
+      col("name"),
+      col("file_hash"),
+      col("doc_type"),
+      size(col("share_with")).cast("long").as("n_share"),
+      lit(null).cast("string").as("reject_reason"),
+      lit(null).cast("long").as("geom_id")
+    )
+    val reject = res.rejects.select(
+      lit("reject").as("kind"),
+      col("name"),
+      lit(null).cast("long").as("file_hash"),
+      lit(null).cast("string").as("doc_type"),
+      lit(null).cast("long").as("n_share"),
+      col("reject_reason"),
+      lit(null).cast("long").as("geom_id")
+    )
+    val geom = res.geomLinks.select(
+      lit("geom").as("kind"),
+      lit(null).cast("string").as("name"),
+      col("file_hash"),
+      lit(null).cast("string").as("doc_type"),
+      lit(null).cast("long").as("n_share"),
+      lit(null).cast("string").as("reject_reason"),
+      col("geom_id").cast("long").as("geom_id")
+    )
+    accept
+      .unionByName(reject)
+      .unionByName(geom)
+      .orderBy(col("kind"), col("name"), col("file_hash"), col("geom_id"))
+  }
+
+  private lazy val docStoreSql = {
+    val hashSql = graft.functions.PortableHash.md5num56Sql("content")
+    s"""WITH base AS (SELECT CAST(p_partkey AS BIGINT) AS k FROM part WHERE p_partkey % 19 = 0),
+       |inc AS (
+       |  SELECT k,
+       |    CASE WHEN k % 13 = 0 THEN '' ELSE 'doc_' || CAST(k AS VARCHAR) END AS name,
+       |    (['report', 'thesis', 'map', 'datasheet', 'image'])[CAST(k % 5 AS INT) + 1] AS doc_type,
+       |    CASE WHEN k % 17 = 0 AND k % 13 <> 0 THEN 'dup_' || CAST(k % 2 AS VARCHAR)
+       |         ELSE 'c' || CAST(k AS VARCHAR) END AS content,
+       |    CASE WHEN k % 9 = 0 THEN CAST(0 AS BIGINT) ELSE CAST(2 AS BIGINT) END AS n_share,
+       |    (k % 8 = 0) AS geom_null
+       |  FROM base
+       |),
+       |hashed AS (SELECT *, $hashSql AS file_hash FROM inc),
+       |exist AS (SELECT file_hash FROM hashed WHERE k % 11 = 0),
+       |flagged AS (
+       |  SELECT h.*,
+       |         ROW_NUMBER() OVER (PARTITION BY file_hash ORDER BY name) AS rn,
+       |         (h.doc_type IN ('report', 'thesis', 'map', 'image')) AS type_ok,
+       |         (h.file_hash IN (SELECT file_hash FROM exist)) AS exists_flag
+       |  FROM hashed h
+       |),
+       |decided AS (
+       |  SELECT *,
+       |    CASE WHEN name = '' THEN 'missing_name'
+       |         WHEN NOT type_ok THEN 'unknown_type'
+       |         WHEN n_share = 0 THEN 'missing_share_with'
+       |         WHEN exists_flag THEN 'duplicate_content'
+       |         WHEN rn > 1 THEN 'duplicate_in_batch'
+       |         ELSE NULL END AS reject_reason
+       |  FROM flagged
+       |),
+       |ok AS (SELECT * FROM decided WHERE reject_reason IS NULL),
+       |geoms AS (
+       |  SELECT o.file_hash, g.geom_id
+       |  FROM ok o, UNNEST([o.k % 25, o.k % 25 + 10, CAST(99 AS BIGINT)]) AS t(geom_id)
+       |  JOIN (SELECT UNNEST(range(0, 31)) AS geom_id) g USING (geom_id)
+       |  WHERE NOT o.geom_null
+       |)
+       |SELECT * FROM (
+       |  SELECT 'accept' AS kind, name, file_hash, doc_type, n_share,
+       |         CAST(NULL AS VARCHAR) AS reject_reason, CAST(NULL AS BIGINT) AS geom_id
+       |  FROM ok
+       |  UNION ALL
+       |  SELECT 'reject', name, NULL, NULL, NULL, reject_reason, NULL
+       |  FROM decided WHERE reject_reason IS NOT NULL
+       |  UNION ALL
+       |  SELECT 'geom', NULL, file_hash, NULL, NULL, NULL, geom_id FROM geoms
+       |)
+       |ORDER BY kind, name, file_hash, geom_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_doc_store", docStore, Some(docStoreSql)),
     QueryDef("q_catalog_gates", catalogGates, Some(catalogGatesSql)),
     QueryDef("q_borehole", borehole, Some(boreholeSql)),
     QueryDef("q_basin_load", basinLoad, Some(basinLoadSql)),

@@ -830,6 +830,97 @@ object IngestQueries {
       |WHERE n >= 3
       |ORDER BY obs_us""".stripMargin
 
+  // ---- Aquarius corrected-data ingest, oracle-checked ----------------
+  // Drives the REAL AquariusAdapter.fetch over a procedurally generated
+  // JSON response (the reference's largest single source,
+  // `R/downloadAquarius.R`): ±HH:MM offset timestamp parse to UTC,
+  // Value.Numeric NA drop, duplicate-point drop, grade/approval/
+  // qualifier INTERVAL stamping via point-in-interval range joins,
+  // start-watermark cut, canonical normalize. The oracle restates every
+  // rule in closed form over the same nation-derived point family.
+  private val aquariusFixtureCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def aquariusFixture(s: SparkSession, d: String): String =
+    aquariusFixtureCache.computeIfAbsent(
+      d,
+      dir => {
+        val ns = TestTables
+          .nation(s, dir)
+          .select(col("n_nationkey").cast("long"))
+          .collect()
+          .map(_.getLong(0))
+          .sorted
+        def ts(h: Int, m: Int) = f"2024-01-01T$h%02d:$m%02d:00.0000000-07:00"
+        val pts = ns.toSeq.flatMap { n =>
+          val h = (n % 24).toInt
+          val v =
+            if (n % 7 == 3) """"Value":{}"""
+            else s""""Value":{"Numeric":${n * 3 % 17}.25}"""
+          val p = s"""{"Timestamp":"${ts(h, 30)}",$v}"""
+          // repeat-object duplicates the adapter must drop
+          if (n % 5 == 0) Seq(p, p) else Seq(p)
+        }
+        val json =
+          s"""{"Points":[${pts.mkString(",")}],
+             |"Grades":[{"GradeCode":10,"StartTime":"${ts(0, 0)}","EndTime":"${ts(12, 0)}"},
+             |{"GradeCode":20,"StartTime":"${ts(12, 0)}","EndTime":"${ts(23, 0)}"}],
+             |"Approvals":[{"ApprovalLevel":1,"StartTime":"${ts(0, 0)}","EndTime":"${ts(8, 0)}"}],
+             |"Qualifiers":[{"Identifier":"EST","StartTime":"${ts(5, 0)}","EndTime":"${ts(7, 0)}"}]}""".stripMargin
+        val base = graft.TempRoots.newDir("graft-aquarius").toString
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$base/aq.json"),
+          json.getBytes("UTF-8")
+        )
+        s"$base/aq.json"
+      }
+    )
+
+  private def aquariusIngest(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{AquariusAdapter, SeriesConfig}
+    val file = aquariusFixture(s, d)
+    val cfg = SeriesConfig(1L, "downloadAquarius", Map("file" -> file))
+    AquariusAdapter
+      .fetch(s, cfg, java.sql.Timestamp.valueOf("2024-01-01 09:30:00"))
+      .select(
+        unix_micros(col("datetime")).as("dt_us"),
+        col("value"),
+        col("grade"),
+        col("approval"),
+        col("qualifier")
+      )
+      .orderBy(col("dt_us"), col("value"))
+      .localCheckpoint(true)
+  }
+
+  // local-offset (-07:00) fixture times restated directly in UTC:
+  // points at local h:30 -> UTC (h+7):30; grade [00,12) -> [07,19),
+  // grade [12,23) -> [19, next-day 06), approval [00,08) -> [07,15),
+  // qualifier [05,07) -> [12,14)
+  private val aquariusIngestSql =
+    """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS n FROM nation),
+      |pts0 AS (
+      |  SELECT TIMESTAMP '2024-01-01 07:30:00' + to_hours(n % 24) AS datetime,
+      |         CASE WHEN n % 7 = 3 THEN NULL
+      |              ELSE CAST(n * 3 % 17 AS DOUBLE) + CAST(0.25 AS DOUBLE) END AS value
+      |  FROM n
+      |),
+      |pts AS (SELECT DISTINCT datetime, value FROM pts0 WHERE value IS NOT NULL),
+      |grades AS (SELECT * FROM (VALUES
+      |  ('10', TIMESTAMP '2024-01-01 07:00:00', TIMESTAMP '2024-01-01 19:00:00'),
+      |  ('20', TIMESTAMP '2024-01-01 19:00:00', TIMESTAMP '2024-01-02 06:00:00')) AS g(code, s, e)),
+      |approvals AS (SELECT * FROM (VALUES
+      |  ('1', TIMESTAMP '2024-01-01 07:00:00', TIMESTAMP '2024-01-01 15:00:00')) AS a(lvl, s, e)),
+      |quals AS (SELECT * FROM (VALUES
+      |  ('EST', TIMESTAMP '2024-01-01 12:00:00', TIMESTAMP '2024-01-01 14:00:00')) AS q(ident, s, e))
+      |SELECT epoch_us(p.datetime) AS dt_us, p.value,
+      |       g.code AS grade, a.lvl AS approval, q.ident AS qualifier
+      |FROM pts p
+      |LEFT JOIN grades g ON p.datetime >= g.s AND p.datetime < g.e
+      |LEFT JOIN approvals a ON p.datetime >= a.s AND p.datetime < a.e
+      |LEFT JOIN quals q ON p.datetime >= q.s AND p.datetime < q.e
+      |WHERE p.datetime >= TIMESTAMP '2024-01-01 09:30:00'
+      |ORDER BY dt_us, value""".stripMargin
+
   // ---- staged JDBC MERGE sink, oracle-checked -----------------------
   // The JdbcSink spec (Derby round trip) proves the mechanism; this row
   // hashes the POST-MERGE table state against a set-based SQL oracle —
@@ -1102,6 +1193,7 @@ object IngestQueries {
       |ORDER BY kind, survey_id, ts_us""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_aquarius_ingest", aquariusIngest, Some(aquariusIngestSql)),
     QueryDef("q_jdbc_merge", jdbcMerge, Some(jdbcMergeSql)),
     QueryDef("q_snow_workbook", snowWorkbook, Some(snowWorkbookSql)),
     QueryDef("q_swob_ingest", swobIngest, Some(swobIngestSql)),
