@@ -921,6 +921,292 @@ object IngestQueries {
       |WHERE p.datetime >= TIMESTAMP '2024-01-01 09:30:00'
       |ORDER BY dt_us, value""".stripMargin
 
+  // ---- EQWin lab-database ingest, oracle-checked ---------------------
+  // Drives the REAL EqwinAdapter.fetch end-to-end: lab rows staged in
+  // an embedded Derby database and read back over JDBC, censoring
+  // prefixes ('<0.005' / '>100') decomposed into (flag, numeric),
+  // unparseable value strings dropped, import-key CSV mapping through
+  // EcccWq.mapResults (conversion x + offset, below/above-detection
+  // conditions, unmapped parameters dropped), start-watermark cut,
+  // and the per-datetime sample rollup. Output = samples ∪ results.
+  private val eqwinKeyCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def eqwinKeyFixture(): String =
+    eqwinKeyCache.computeIfAbsent(
+      "key",
+      _ => {
+        val csv =
+          """input_param,input_unit,parameter_id,conversion,result_offset,result_type,sample_fraction,result_value_type,result_speciation_id,matrix_state
+            |Zn,mg/L,201,1.0,0.0,2,19,1,,liquid
+            |Zn,ug/L,201,0.001,0.0,2,19,1,,liquid
+            |Pb,mg/L,202,2.0,0.5,2,19,1,,liquid
+            |Pb,ug/L,202,0.002,0.0,2,19,1,,liquid
+            |Cu,mg/L,,1.0,0.0,2,19,1,,liquid
+            |Cu,ug/L,,1.0,0.0,2,19,1,,liquid""".stripMargin
+        val base = graft.TempRoots.newDir("graft-eqwin").toString
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$base/key.csv"),
+          csv.getBytes("UTF-8")
+        )
+        s"$base/key.csv"
+      }
+    )
+
+  private def eqwinIngest(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{EqwinAdapter, SeriesConfig}
+    val k = col("o_orderkey").cast("long")
+    val lab = TestTables
+      .orders(s, d)
+      .filter(k % 101 === 0)
+      .select(
+        concat(lit("STN"), k % 3).as("STATION"),
+        date_add(lit(java.sql.Date.valueOf("2024-02-01")), (k % 28).cast("int"))
+          .cast("timestamp")
+          .as("DT"),
+        element_at(array(lit("Zn"), lit("Pb"), lit("Cu"), lit("Fe")), (k % 4 + 1).cast("int"))
+          .as("PARAM_CODE"),
+        when(k % 2 === 0, lit("mg/L")).otherwise(lit("ug/L")).as("UNITS"),
+        when(k % 7 === 0, lit("<0.005"))
+          .when(k % 7 === 1, lit(">100"))
+          .when(k % 7 === 2, concat(lit(" "), (k % 50).cast("string"), lit(".25 ")))
+          .when(k % 7 === 3, lit("n/a"))
+          .otherwise(concat((k % 50).cast("string"), lit(".25")))
+          .as("VALUE_STR")
+      )
+    val db = s"grafteqwin${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val url = s"jdbc:derby:memory:$db;create=true"
+    lab.write.mode("overwrite").jdbc(url, "LAB", new java.util.Properties())
+    val cfg = SeriesConfig(
+      1L,
+      "downloadEQWin",
+      Map(
+        "url" -> url,
+        "query" -> "SELECT station, dt AS datetime, param_code, units, value_str FROM LAB",
+        "key" -> eqwinKeyFixture()
+      )
+    )
+    val batch = EqwinAdapter.fetch(s, cfg, java.sql.Timestamp.valueOf("2024-02-03 00:00:00"))
+    val results = batch.results.select(
+      lit("result").as("kind"),
+      unix_micros(col("datetime")).as("dt_us"),
+      col("source_sample_id").as("sid"),
+      col("parameter_id"),
+      col("result"),
+      col("condition"),
+      col("condition_value")
+    )
+    val samples = batch.samples.select(
+      lit("sample").as("kind"),
+      unix_micros(col("datetime")).as("dt_us"),
+      col("import_source_id").as("sid"),
+      lit(null).cast("long").as("parameter_id"),
+      lit(null).cast("double").as("result"),
+      col("sample_type").as("condition"),
+      lit(null).cast("double").as("condition_value")
+    )
+    val out = results
+      .unionByName(samples)
+      .orderBy(col("kind"), col("dt_us"), col("sid"), col("parameter_id"), col("result"))
+      .localCheckpoint(true)
+    try java.sql.DriverManager.getConnection(s"jdbc:derby:memory:$db;drop=true")
+    catch { case _: java.sql.SQLException => () }
+    out
+  }
+
+  private val eqwinIngestSql =
+    """WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders WHERE o_orderkey % 101 = 0),
+      |lab AS (
+      |  SELECT 'STN' || CAST(k % 3 AS VARCHAR) AS station,
+      |         CAST(DATE '2024-02-01' + CAST(k % 28 AS INT) AS TIMESTAMP) AS datetime,
+      |         (['Zn', 'Pb', 'Cu', 'Fe'])[CAST(k % 4 AS INT) + 1] AS param_code,
+      |         CASE WHEN k % 2 = 0 THEN 'mg/L' ELSE 'ug/L' END AS units,
+      |         CASE WHEN k % 7 = 0 THEN '<0.005'
+      |              WHEN k % 7 = 1 THEN '>100'
+      |              WHEN k % 7 = 2 THEN ' ' || CAST(k % 50 AS VARCHAR) || '.25 '
+      |              WHEN k % 7 = 3 THEN 'n/a'
+      |              ELSE CAST(k % 50 AS VARCHAR) || '.25' END AS value_str
+      |  FROM base
+      |),
+      |raw AS (
+      |  SELECT station AS site, datetime, param_code AS variable, units AS unit,
+      |         CASE WHEN trim(value_str) LIKE '<%' OR trim(value_str) LIKE '>%'
+      |              THEN substring(trim(value_str), 1, 1) ELSE '' END AS flag,
+      |         CASE WHEN trim(value_str) LIKE '<%' OR trim(value_str) LIKE '>%'
+      |              THEN TRY_CAST(substring(trim(value_str), 2) AS DOUBLE)
+      |              ELSE TRY_CAST(trim(value_str) AS DOUBLE) END AS value,
+      |         station || '|' || CAST(datetime AS VARCHAR) AS source_sample_id
+      |  FROM lab
+      |  WHERE datetime >= TIMESTAMP '2024-02-03 00:00:00'
+      |),
+      |rawf AS (SELECT * FROM raw WHERE value IS NOT NULL),
+      |key AS (SELECT * FROM (VALUES
+      |  ('Zn', 'mg/L', 201, 1.0, 0.0), ('Zn', 'ug/L', 201, 0.001, 0.0),
+      |  ('Pb', 'mg/L', 202, 2.0, 0.5), ('Pb', 'ug/L', 202, 0.002, 0.0)
+      |  ) AS key(input_param, input_unit, parameter_id, conversion, result_offset)),
+      |results AS (
+      |  SELECT r.datetime, r.source_sample_id, CAST(k.parameter_id AS BIGINT) AS parameter_id,
+      |         r.value * CAST(k.conversion AS DOUBLE) + CAST(k.result_offset AS DOUBLE) AS converted,
+      |         r.flag
+      |  FROM rawf r JOIN key k ON r.variable = k.input_param AND r.unit = k.input_unit
+      |)
+      |SELECT * FROM (
+      |  SELECT 'result' AS kind, epoch_us(datetime) AS dt_us, source_sample_id AS sid,
+      |         parameter_id,
+      |         CASE WHEN flag IN ('<', '>') THEN NULL ELSE converted END AS result,
+      |         CASE WHEN flag = '<' THEN 'below detection'
+      |              WHEN flag = '>' THEN 'above detection' END AS condition,
+      |         CASE WHEN flag IN ('<', '>') THEN converted END AS condition_value
+      |  FROM results
+      |  UNION ALL
+      |  SELECT 'sample', epoch_us(datetime),
+      |         array_to_string(list_sort(list(DISTINCT source_sample_id)), ','),
+      |         NULL, NULL, 'sample-routine', NULL
+      |  FROM rawf GROUP BY datetime
+      |)
+      |ORDER BY kind, dt_us, sid, parameter_id, result""".stripMargin
+
+  // ---- synthetic/fixture source, oracle-checked ----------------------
+  // Drives SyntheticAdapter.fetch (the reference's generate_series +
+  // trig fixture family) for a trig series AND the monotone-drift
+  // series, unioned with a label: spine construction from
+  // from/to/step args, the per-series value formula, period stamping,
+  // start-watermark cut. Trig parity note: sin/cos agree to <=1 ulp
+  // across libm implementations and the formula rounds to 3 decimals,
+  // so a cross-engine mismatch needs a value within ~1e-16 of a
+  // 0.0005 boundary — none exists on this fixed 192-point spine
+  // (verified by the hash match itself).
+  private def syntheticSource(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{SeriesConfig, SyntheticAdapter}
+    def leg(series: String): DataFrame =
+      SyntheticAdapter
+        .fetch(
+          s,
+          SeriesConfig(
+            1L,
+            "downloadSynthetic",
+            Map(
+              "series" -> series,
+              "from" -> "2024-01-01 00:00:00",
+              "to" -> "2024-01-03 00:00:00",
+              "step_seconds" -> "900"
+            )
+          ),
+          java.sql.Timestamp.valueOf("2024-01-01 06:00:00")
+        )
+        .select(
+          lit(series).as("series"),
+          unix_micros(col("datetime")).as("dt_us"),
+          col("value"),
+          col("period_seconds")
+        )
+    leg("water_level")
+      .unionByName(leg("conductance"))
+      .orderBy(col("series"), col("dt_us"))
+      .localCheckpoint(true)
+  }
+
+  private val syntheticSourceSql =
+    """WITH spine AS (SELECT unnest(range(0, 192)) AS n),
+      |pts AS (
+      |  SELECT n, CAST(epoch(TIMESTAMP '2024-01-01 00:00:00') AS BIGINT) + n * 900 AS ep
+      |  FROM spine
+      |),
+      |both_series AS (
+      |  SELECT 'water_level' AS series, ep,
+      |         round(10.0 + sin(CAST(ep AS DOUBLE) / 86400.0) * 0.25, 3) AS value
+      |  FROM pts
+      |  UNION ALL
+      |  SELECT 'conductance', ep, 150.0 + CAST(n AS DOUBLE) * 0.5 FROM pts
+      |)
+      |SELECT series, ep * 1000000 AS dt_us, value, CAST(900 AS BIGINT) AS period_seconds
+      |FROM both_series
+      |WHERE ep >= CAST(epoch(TIMESTAMP '2024-01-01 06:00:00') AS BIGINT)
+      |ORDER BY series, dt_us""".stripMargin
+
+  // ---- WSC-shaped CSV station adapter, oracle-checked ----------------
+  // Drives the REAL CsvStationAdapter.fetch over a generated CSV:
+  // header parse, qualifier-code map (incl. unmapped -> NULL), the
+  // bilingual lower-cased approval map, ft->m unit conversion through
+  // UnitConvert, start-watermark cut, canonical normalize
+  // (`R/downloadWSC.R:105-201`). Oracle restates the row family and
+  // both code maps in closed form.
+  private val wscCsvFixtureCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def wscCsvFixture(s: SparkSession, d: String): String =
+    wscCsvFixtureCache.computeIfAbsent(
+      d,
+      dir => {
+        val ns = TestTables
+          .nation(s, dir)
+          .select(col("n_nationkey").cast("long"))
+          .collect()
+          .map(_.getLong(0))
+          .sorted
+        val quals = Seq("-1", "10", "20", "30", "40", "50")
+        val apprs = Seq("Final", "FINALES", "Provisional", "provisoire")
+        val rows = ns.toSeq.map { n =>
+          val dt = f"2024-01-01 08:${n % 60}%02d:00"
+          val v = s"${n * 7 % 31}.5"
+          val q =
+            if (n % 13 == 0) "" // missing code
+            else if (n % 11 == 0) "77" // unmapped code
+            else quals((n % 6).toInt)
+          val a = if (n % 9 == 0) "unknown" else apprs((n % 4).toInt)
+          s"$dt,$v,$q,$a"
+        }
+        val csv = ("datetime,value,qualifier_code,approval_label" +: rows).mkString("\n")
+        val base = graft.TempRoots.newDir("graft-wsccsv").toString
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$base/station.csv"),
+          csv.getBytes("UTF-8")
+        )
+        s"$base/station.csv"
+      }
+    )
+
+  private def wscCsv(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{CsvStationAdapter, SeriesConfig}
+    val file = wscCsvFixture(s, d)
+    val cfg = SeriesConfig(
+      1L,
+      "downloadCsvStation",
+      Map("path" -> file, "convert" -> "ft_to_m")
+    )
+    CsvStationAdapter
+      .fetch(s, cfg, java.sql.Timestamp.valueOf("2024-01-01 08:05:00"))
+      .select(
+        unix_micros(col("datetime")).as("dt_us"),
+        col("value"),
+        col("qualifier"),
+        col("approval")
+      )
+      .orderBy(col("dt_us"), col("value"))
+      .localCheckpoint(true)
+  }
+
+  private val wscCsvSql =
+    """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS n FROM nation),
+      |rows0 AS (
+      |  SELECT TIMESTAMP '2024-01-01 08:00:00' + to_minutes(n % 60) AS datetime,
+      |         (CAST(n * 7 % 31 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / 3.28084 AS value,
+      |         CASE WHEN n % 13 = 0 THEN NULL
+      |              WHEN n % 11 = 0 THEN 77
+      |              ELSE ([-1, 10, 20, 30, 40, 50])[CAST(n % 6 AS INT) + 1] END AS qc,
+      |         CASE WHEN n % 9 = 0 THEN 'unknown'
+      |              ELSE lower((['Final', 'FINALES', 'Provisional', 'provisoire'])[CAST(n % 4 AS INT) + 1]) END AS al
+      |  FROM n
+      |),
+      |qmap AS (SELECT * FROM (VALUES (-1, 'UNS'), (10, 'ICE'), (20, 'EST'), (30, 'PRT'),
+      |  (40, 'REV'), (50, 'DRY')) AS q(qc, qualifier)),
+      |amap AS (SELECT * FROM (VALUES ('final', 'A'), ('finales', 'A'), ('provisional', 'P'),
+      |  ('provisoire', 'P')) AS a(al, approval))
+      |SELECT epoch_us(r.datetime) AS dt_us, r.value, q.qualifier, a.approval
+      |FROM rows0 r
+      |LEFT JOIN qmap q USING (qc)
+      |LEFT JOIN amap a USING (al)
+      |WHERE r.datetime >= TIMESTAMP '2024-01-01 08:05:00'
+      |ORDER BY dt_us, value""".stripMargin
+
   // ---- staged JDBC MERGE sink, oracle-checked -----------------------
   // The JdbcSink spec (Derby round trip) proves the mechanism; this row
   // hashes the POST-MERGE table state against a set-based SQL oracle —
@@ -1194,6 +1480,9 @@ object IngestQueries {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_aquarius_ingest", aquariusIngest, Some(aquariusIngestSql)),
+    QueryDef("q_wsc_csv", wscCsv, Some(wscCsvSql)),
+    QueryDef("q_synthetic_source", syntheticSource, Some(syntheticSourceSql)),
+    QueryDef("q_eqwin_ingest", eqwinIngest, Some(eqwinIngestSql)),
     QueryDef("q_jdbc_merge", jdbcMerge, Some(jdbcMergeSql)),
     QueryDef("q_snow_workbook", snowWorkbook, Some(snowWorkbookSql)),
     QueryDef("q_swob_ingest", swobIngest, Some(swobIngestSql)),
