@@ -921,6 +921,168 @@ object IngestQueries {
       |WHERE p.datetime >= TIMESTAMP '2024-01-01 09:30:00'
       |ORDER BY dt_us, value""".stripMargin
 
+  // ---- small-file compaction, oracle-checked -------------------------
+  // The maintenance OPTIMIZE pass as a hash row: a lineitem slice
+  // written as 17 deliberate small files, compacted to
+  // ceil(bytes/target)=1 sorted file via TableMaintenance.compact
+  // (rewrite + directory swap), then read back — content must be
+  // byte-identical to the pre-compaction derivation and the
+  // before/after file counts exactly (17, 1), both stated by the
+  // oracle as constants.
+  private def compaction(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.TableMaintenance
+    val li = TestTables
+      .lineitem(s, d)
+      .filter(col("l_orderkey") % 43 === 0)
+      .select(
+        col("l_orderkey").cast("long").as("k"),
+        col("l_linenumber").cast("long").as("ln"),
+        col("l_quantity").cast("double").as("qty")
+      )
+    val dir = graft.TempRoots.newDir("graft-compact").toString + "/t"
+    li.repartition(17).write.mode("overwrite").parquet(dir)
+    val (before, after) =
+      TableMaintenance.compact(s, dir, targetFileBytes = 512L * 1024 * 1024,
+        sortCols = Seq("k", "ln"))
+    s.read
+      .parquet(dir)
+      .select(
+        col("k"),
+        col("ln"),
+        col("qty"),
+        lit(before.toLong).as("n_before"),
+        lit(after.toLong).as("n_after")
+      )
+      .orderBy(col("k"), col("ln"), col("qty"))
+      .localCheckpoint(true)
+  }
+
+  private val compactionSql =
+    """SELECT CAST(l_orderkey AS BIGINT) AS k, CAST(l_linenumber AS BIGINT) AS ln,
+      |       CAST(l_quantity AS DOUBLE) AS qty,
+      |       CAST(17 AS BIGINT) AS n_before, CAST(1 AS BIGINT) AS n_after
+      |FROM lineitem WHERE l_orderkey % 43 = 0
+      |ORDER BY k, ln, qty""".stripMargin
+
+  // ---- raster tile writer sink, oracle-checked -----------------------
+  // The tile SINK round trip as a hash row: deterministic cells ->
+  // tileGrid pack -> writeTiles (series/valid_date partitioned layout,
+  // spatially sorted within files) -> read the partitioned parquet
+  // back -> cells() unpack. The oracle is the closed-form cell family
+  // itself: the pack/write/read/unpack pipeline must be the identity,
+  // including edge-tile nodata padding and partition-column type
+  // round-tripping.
+  private def rasterTiles(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Raster
+    val w = 40
+    val cells0 = s
+      .range(2L * w * 24)
+      .select(
+        (col("id") % 2 + 1).as("series_id"),
+        lit("b1").as("band"),
+        lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("issue_ts"),
+        when(
+          col("id") % 2 === 0,
+          lit(java.sql.Timestamp.valueOf("2024-01-02 00:00:00"))
+        ).otherwise(lit(java.sql.Timestamp.valueOf("2024-01-03 00:00:00"))).as("valid_ts"),
+        ((col("id") / 2).cast("long") % w).cast("int").as("x"),
+        (((col("id") / 2).cast("long") / w).cast("long")).cast("int").as("y"),
+        ((((col("id") / 2).cast("long") % w) * 31 +
+          ((col("id") / 2).cast("long") / w).cast("long") * 17 + col("id") % 2) % 97 / lit(8.0))
+          .as("value")
+      )
+    val dir = graft.TempRoots.newDir("graft-tiles").toString + "/t"
+    Raster.writeTiles(Raster.tileGrid(cells0, 8, 8), dir)
+    Raster
+      .cells(s.read.parquet(dir))
+      .select(
+        col("series_id").cast("long").as("series_id"),
+        unix_micros(col("valid_ts")).as("valid_us"),
+        col("band"),
+        col("x").cast("long").as("x"),
+        col("y").cast("long").as("y"),
+        col("value")
+      )
+      .orderBy(col("series_id"), col("x"), col("y"))
+      .localCheckpoint(true)
+  }
+
+  private val rasterTilesSql =
+    """WITH ids AS (SELECT unnest(range(0, 1920)) AS id),
+      |cells AS (
+      |  SELECT id % 2 + 1 AS series_id,
+      |         CASE WHEN id % 2 = 0 THEN TIMESTAMP '2024-01-02 00:00:00'
+      |              ELSE TIMESTAMP '2024-01-03 00:00:00' END AS valid_ts,
+      |         'b1' AS band,
+      |         (id // 2) % 40 AS x,
+      |         (id // 2) // 40 AS y,
+      |         (((id // 2) % 40) * 31 + ((id // 2) // 40) * 17 + id % 2) % 97 / 8.0 AS value
+      |  FROM ids
+      |)
+      |SELECT series_id, epoch_us(valid_ts) AS valid_us, band, x, y, value
+      |FROM cells
+      |ORDER BY series_id, x, y""".stripMargin
+
+  // ---- RWIS road-weather ingest, oracle-checked ----------------------
+  // Drives the REAL RwisAdapter.fetch: measurement rows staged in
+  // embedded Derby and read over JDBC through the adapter's templated
+  // query ({station_id} substitution — Derby has no UNNEST, so the
+  // fixture stages the post-unnest shape the reference's server-side
+  // UNNEST produces), -9999 missing-sentinel filter, station
+  // restriction, start-watermark pushdown, canonical normalize. The
+  // duplicate-datetime raise_error path is IngestSpec's.
+  private def rwisIngest(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{RwisAdapter, SeriesConfig}
+    val k = col("o_orderkey").cast("long")
+    val meas = TestTables
+      .orders(s, d)
+      .filter(k % 103 === 0)
+      .select(
+        (k % 4).cast("int").as("STATION_ID"),
+        (lit(java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime / 1000L) + k * 60)
+          .cast("timestamp")
+          .as("DT"),
+        when(k % 11 === 0, lit(-9999.0)).otherwise((k % 37).cast("double") + lit(0.25)).as("V")
+      )
+    val db = s"graftrwis${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val url = s"jdbc:derby:memory:$db;create=true"
+    meas.write.mode("overwrite").jdbc(url, "RWIS_M", new java.util.Properties())
+    val cfg = SeriesConfig(
+      1L,
+      "downloadRWIS",
+      Map(
+        "url" -> url,
+        "station_id" -> "2",
+        "parameter" -> "unused",
+        "query_template" -> ("SELECT dt AS datetime, v AS value FROM RWIS_M " +
+          "WHERE station_id = {station_id}")
+      )
+    )
+    val out = RwisAdapter
+      .fetch(s, cfg, java.sql.Timestamp.valueOf("2024-03-02 00:00:00"))
+      .select(unix_micros(col("datetime")).as("dt_us"), col("value"))
+      .orderBy(col("dt_us"))
+      .localCheckpoint(true)
+    try java.sql.DriverManager.getConnection(s"jdbc:derby:memory:$db;drop=true")
+    catch { case _: java.sql.SQLException => () }
+    out
+  }
+
+  private val rwisIngestSql =
+    """WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders WHERE o_orderkey % 103 = 0),
+      |meas AS (
+      |  SELECT CAST(k % 4 AS INT) AS station_id,
+      |         TIMESTAMP '2024-03-01 00:00:00' + to_minutes(k) AS datetime,
+      |         CASE WHEN k % 11 = 0 THEN -9999.0
+      |              ELSE CAST(k % 37 AS DOUBLE) + CAST(0.25 AS DOUBLE) END AS value
+      |  FROM base
+      |)
+      |SELECT epoch_us(datetime) AS dt_us, value
+      |FROM meas
+      |WHERE station_id = 2 AND value <> -9999.0
+      |  AND datetime >= TIMESTAMP '2024-03-02 00:00:00'
+      |ORDER BY dt_us""".stripMargin
+
   // ---- EQWin lab-database ingest, oracle-checked ---------------------
   // Drives the REAL EqwinAdapter.fetch end-to-end: lab rows staged in
   // an embedded Derby database and read back over JDBC, censoring
@@ -1483,6 +1645,9 @@ object IngestQueries {
     QueryDef("q_wsc_csv", wscCsv, Some(wscCsvSql)),
     QueryDef("q_synthetic_source", syntheticSource, Some(syntheticSourceSql)),
     QueryDef("q_eqwin_ingest", eqwinIngest, Some(eqwinIngestSql)),
+    QueryDef("q_rwis_ingest", rwisIngest, Some(rwisIngestSql)),
+    QueryDef("q_raster_tiles", rasterTiles, Some(rasterTilesSql)),
+    QueryDef("q_compaction", compaction, Some(compactionSql)),
     QueryDef("q_jdbc_merge", jdbcMerge, Some(jdbcMergeSql)),
     QueryDef("q_snow_workbook", snowWorkbook, Some(snowWorkbookSql)),
     QueryDef("q_swob_ingest", swobIngest, Some(swobIngestSql)),
