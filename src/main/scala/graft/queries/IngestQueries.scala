@@ -921,6 +921,158 @@ object IngestQueries {
       |WHERE p.datetime >= TIMESTAMP '2024-01-01 09:30:00'
       |ORDER BY dt_us, value""".stripMargin
 
+  // ---- HYDAT version watch, oracle-checked ---------------------------
+  // The hydat_check decision table driven through the REAL
+  // HydatCheck.check control flow (fresh install, stale-with-
+  // successful-download, download-that-silently-failed re-check,
+  // up-to-date incl. dash/dashless stamp normalization) — one row per
+  // scenario, the oracle stating the expected table. Two scalar
+  // stamps per check: driver-side by design, nothing to distribute.
+  private def hydatCheck(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.jobs.HydatCheck
+    val scenarios = Seq(
+      ("fresh_ok", None, "2024-01-15", () => Some("2024-01-15")),
+      ("fresh_fail", None, "2024-01-15", () => None),
+      ("stale_ok", Some("2023-12-01"), "2024-01-15", () => Some("20240115")),
+      ("stale_blocked", Some("2023-12-01"), "2024-01-15", () => Some("2023-12-01")),
+      ("up_to_date", Some("2024-01-15"), "2024-01-15", () => Some("unused")),
+      ("up_to_date_norm", Some("20240115"), "2024-01-15", () => Some("unused"))
+    )
+    scenarios
+      .map { case (nameS, local, remote, dl) =>
+        val r = HydatCheck.check(local, remote, dl)
+        (nameS, r.outcome.toString, r.updated, r.localVersion.orNull)
+      }
+      .toDF("scenario", "outcome", "updated", "local_version")
+      .orderBy(col("scenario"))
+  }
+
+  private val hydatCheckSql =
+    """SELECT * FROM (VALUES
+      |  ('fresh_ok', 'Installed', TRUE, '20240115'),
+      |  ('fresh_fail', 'UpdateFailed', FALSE, NULL),
+      |  ('stale_ok', 'Updated', TRUE, '20240115'),
+      |  ('stale_blocked', 'UpdateFailed', FALSE, '20231201'),
+      |  ('up_to_date', 'UpToDate', FALSE, '20240115'),
+      |  ('up_to_date_norm', 'UpToDate', FALSE, '20240115')
+      |) AS t(scenario, outcome, updated, local_version)
+      |ORDER BY scenario""".stripMargin
+
+  // ---- GRIB2 byte decode, oracle-checked -----------------------------
+  // The real edition-2 byte decoder driven through the binaryFile
+  // source (GriddedAdapter.Grib2Decoder): a synthetic writer (the
+  // Grib2Spec encoder, replicated here as the fixture generator)
+  // emits a MULTI-MESSAGE file with 11-bit (non-byte-aligned) simple
+  // packing; the decoder must recover band names, reference+forecast
+  // timestamps and every cell value bit-exactly. refValue 100.5 with
+  // E=D=0 keeps the (R + X*2^E)/10^D arithmetic integer-exact, so the
+  // oracle states values in closed form.
+  private def grib2Encode(
+      discipline: Int, category: Int, number: Int,
+      year: Int, month: Int, day: Int, hour: Int,
+      forecastHours: Int, ni: Int, nj: Int,
+      refValue: Float, binScale: Int, decScale: Int,
+      bitsPerValue: Int, packed: Array[Int]
+  ): Array[Byte] = {
+    import java.nio.ByteBuffer
+    require(packed.length == ni * nj)
+    def s16(v: Int): Int = if (v < 0) 0x8000 | -v else v
+    val sec1 = ByteBuffer.allocate(21)
+    sec1.putInt(21).put(1.toByte)
+    sec1.putShort(0).putShort(0).put(0.toByte).put(0.toByte).put(0.toByte)
+    sec1.putShort(year.toShort).put(month.toByte).put(day.toByte)
+    sec1.put(hour.toByte).put(0.toByte).put(0.toByte)
+    sec1.put(0.toByte).put(0.toByte)
+    val sec3 = ByteBuffer.allocate(72)
+    sec3.putInt(72).put(3.toByte)
+    sec3.put(0.toByte).putInt(ni * nj).put(0.toByte).put(0.toByte)
+    sec3.putShort(0)
+    sec3.position(30); sec3.putInt(ni)
+    sec3.position(34); sec3.putInt(nj)
+    sec3.position(71); sec3.put(0.toByte)
+    val sec4 = ByteBuffer.allocate(34)
+    sec4.putInt(34).put(4.toByte)
+    sec4.putShort(0)
+    sec4.putShort(0)
+    sec4.put(category.toByte).put(number.toByte)
+    sec4.position(17); sec4.put(1.toByte)
+    sec4.position(18); sec4.putInt(forecastHours)
+    val sec5 = ByteBuffer.allocate(21)
+    sec5.putInt(21).put(5.toByte)
+    sec5.putInt(ni * nj)
+    sec5.putShort(0)
+    sec5.putFloat(refValue)
+    sec5.putShort(s16(binScale).toShort)
+    sec5.putShort(s16(decScale).toShort)
+    sec5.put(bitsPerValue.toByte).put(0.toByte)
+    val sec6 = ByteBuffer.allocate(6)
+    sec6.putInt(6).put(6.toByte).put(255.toByte)
+    val dataBytes = (packed.length * bitsPerValue + 7) / 8
+    val sec7 = ByteBuffer.allocate(5 + dataBytes)
+    sec7.putInt(5 + dataBytes).put(7.toByte)
+    var acc = 0L; var accBits = 0
+    packed.foreach { x =>
+      acc = (acc << bitsPerValue) | (x.toLong & ((1L << bitsPerValue) - 1))
+      accBits += bitsPerValue
+      while (accBits >= 8) {
+        sec7.put(((acc >> (accBits - 8)) & 0xff).toByte)
+        accBits -= 8
+      }
+    }
+    if (accBits > 0) sec7.put(((acc << (8 - accBits)) & 0xff).toByte)
+    val body = Array(sec1, sec3, sec4, sec5, sec6, sec7).map(_.array()).reduce(_ ++ _)
+    val totalLen = 16L + body.length + 4
+    val sec0 = ByteBuffer.allocate(16)
+    sec0.put('G'.toByte).put('R'.toByte).put('I'.toByte).put('B'.toByte)
+    sec0.putShort(0).put(discipline.toByte).put(2.toByte)
+    sec0.putLong(totalLen)
+    sec0.array() ++ body ++ "7777".getBytes("ASCII")
+  }
+
+  private val grib2FixtureCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def grib2Fixture(): String =
+    grib2FixtureCache.computeIfAbsent(
+      "f",
+      _ => {
+        val ni = 25; val nj = 8
+        def packed(m: Int) = Array.tabulate(ni * nj)(p => (p * 7 + m * 29) % 1499)
+        val bytes =
+          grib2Encode(0, 1, 8, 2024, 4, 1, 6, 3, ni, nj, 100.5f, 0, 0, 11, packed(0)) ++
+            grib2Encode(0, 1, 11, 2024, 4, 1, 6, 6, ni, nj, 100.5f, 0, 0, 11, packed(1))
+        val base = graft.TempRoots.newDir("graft-grib2").toString
+        java.nio.file.Files.write(java.nio.file.Paths.get(s"$base/f1.grib2"), bytes)
+        base
+      }
+    )
+
+  private def grib2Decode(s: SparkSession, d: String): DataFrame =
+    graft.sources.GriddedAdapter.Grib2Decoder
+      .decode(s, grib2Fixture())
+      .select(
+        col("band"),
+        unix_micros(col("valid_ts")).as("valid_us"),
+        col("x").cast("long").as("x"),
+        col("y").cast("long").as("y"),
+        col("value")
+      )
+      .orderBy(col("band"), col("y"), col("x"))
+      .localCheckpoint(true)
+
+  private val grib2DecodeSql =
+    """WITH m AS (SELECT * FROM (VALUES ('d0_c1_n8', 0, 3), ('d0_c1_n11', 1, 6)) AS m(band, mi, fc)),
+      |p AS (SELECT unnest(range(0, 200)) AS p),
+      |cells AS (
+      |  SELECT band,
+      |         epoch_us(TIMESTAMP '2024-04-01 06:00:00' + to_hours(fc)) AS valid_us,
+      |         p % 25 AS x, p // 25 AS y,
+      |         CAST(100.5 AS DOUBLE) + CAST((p * 7 + mi * 29) % 1499 AS DOUBLE) AS value
+      |  FROM m, p
+      |)
+      |SELECT band, valid_us, x, y, value FROM cells
+      |ORDER BY band, y, x""".stripMargin
+
   // ---- small-file compaction, oracle-checked -------------------------
   // The maintenance OPTIMIZE pass as a hash row: a lineitem slice
   // written as 17 deliberate small files, compacted to
@@ -1648,6 +1800,8 @@ object IngestQueries {
     QueryDef("q_rwis_ingest", rwisIngest, Some(rwisIngestSql)),
     QueryDef("q_raster_tiles", rasterTiles, Some(rasterTilesSql)),
     QueryDef("q_compaction", compaction, Some(compactionSql)),
+    QueryDef("q_grib2_decode", grib2Decode, Some(grib2DecodeSql)),
+    QueryDef("q_hydat_check", hydatCheck, Some(hydatCheckSql)),
     QueryDef("q_jdbc_merge", jdbcMerge, Some(jdbcMergeSql)),
     QueryDef("q_snow_workbook", snowWorkbook, Some(snowWorkbookSql)),
     QueryDef("q_swob_ingest", swobIngest, Some(swobIngestSql)),
