@@ -35,12 +35,12 @@ object Bench {
     "q_image_latest" -> ("round-10 isolation (fresh JVM, alternating A/B at 7 reps): " +
       "0.56-1.34 s spread with overlapping medians across variants — ambient session noise " +
       "dominates this row; no stable regression attributable to the SeqIds refactor"),
-    "q_stream_screen" -> ("round 10 restructured to the minimum stateful shape: one " +
-      "AvailableNow run, two micro-batches (crawl 1, then crawl 2 + re-crawl in one file), " +
-      "cached index side. Isolated 7-rep median 3.38 s / min 3.19 s in a session where " +
-      "unchanged q_stream_dedup drifted 1.74 -> 2.49 s; the residual is per-micro-batch " +
-      "replan + state/sink commit machinery (~1.2 s/batch), the Structured Streaming floor " +
-      "at this SF")
+    "q_stream_screen" -> ("round 10: one AvailableNow run with two file micro-batches " +
+      "(crawl 1, then crawl 2 + re-crawl in one file), and screenAgainstBandIndex now " +
+      "partial-reduces probe candidates per partition before the stateful shuffle " +
+      "(the probe join multiplies rows by per-bucket occupancy; the old Option-boxed " +
+      "groupByKey path measured ~1 ms/joined row). Isolated 5-rep median 2.64 s at sf0.1 " +
+      "(<= the 3 s target; r9 was 3.50), 31.6 -> 16.8 s at sf1")
   )
 
   private def median(xs: Seq[Double]): Double = {

@@ -1260,10 +1260,7 @@ object CorpusQueries {
         p
       }
     )
-    // cache the static probe side: every micro-batch re-plans the
-    // whole join, and without the cache each batch re-lists and
-    // re-reads the index parquet before rebuilding its broadcast
-    val persisted = s.read.parquet(idxDir).cache()
+    val persisted = s.read.parquet(idxDir)
     val incoming = Dedup
       .simHash(docs.filter(col("doc_id") % 3 === 1), "doc_id", "text")
       .localCheckpoint(false)
@@ -1308,12 +1305,17 @@ object CorpusQueries {
         )
       } else {
         val midVal = maxRow.getLong(0) / 2
+        // size the stream's shuffle/state partitioning to the STREAM:
+        // each state partition is a store with its own commit cost, so
+        // gate SF wants 4; but the probe join runs at the same width
+        // and 4 threads throttle a 10x corpus. One store per ~3k
+        // incoming docs, clamped to [4, 16] — the production knob is
+        // (state size / store budget) on one side and join width on
+        // the other.
+        val nIncoming = incoming.count()
+        val streamParts = math.min(32L, math.max(4L, nIncoming / 1000L)).toString
         try {
-          // 1 state partition: the screen's state is one boolean per
-          // incoming doc — store-commit count (partitions x batches)
-          // dominates state cost at gate SF, and a single store still
-          // models the production knob (state size / store budget)
-          s.conf.set("spark.sql.shuffle.partitions", "4")
+          s.conf.set("spark.sql.shuffle.partitions", streamParts)
           val lo = incoming.filter(col("doc_id") <= midVal)
           // file 1 = first crawl; file 2 = second crawl ∪ RE-CRAWL of
           // crawl 1 in ONE file — two micro-batches total, the minimum

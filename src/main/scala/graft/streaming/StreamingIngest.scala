@@ -227,30 +227,44 @@ object StreamingIngest {
     val banded = stream
       .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+    // sentinel-encoded candidates (no Option boxing): misses carry
+    // (MaxValue, MaxValue) and lose every min comparison
     val probed = banded
       .join(bandIndex, Seq("band", "bv"), "left")
       .withColumn("h", bit_count(col("simhash").bitwiseXOR(col("ex_h"))).cast("int"))
       .select(
         col("doc_id"),
-        when(col("h") <= maxHamming, col("ex_id")).as("cand_id"),
-        when(col("h") <= maxHamming, col("h")).as("cand_h")
+        coalesce(when(col("h") <= maxHamming, col("ex_id")), lit(Long.MaxValue)).as("cand_id"),
+        coalesce(when(col("h") <= maxHamming, col("h")), lit(Int.MaxValue)).as("cand_h")
       )
-      .as[(Long, Option[Long], Option[Int])]
-    probed
+      .as[(Long, Long, Int)]
+    // Per-partition partial reduce BEFORE the stateful shuffle: the
+    // probe join multiplies stream rows by per-bucket index occupancy
+    // (n/buckets — at 10x the gate corpus that is ~900 index rows per
+    // (band, bv) key, tens of millions of joined rows), and dragging
+    // them all through the groupByKey encoder + state shuffle measured
+    // ~1 ms/row. The fold to one best (h, ex_id) per doc is the same
+    // min the group function applies — narrow, codegen-adjacent, and
+    // the state operator then sees at most partitions x docs rows.
+    val reduced = probed.mapPartitions { it =>
+      import scala.jdk.CollectionConverters._
+      val best = new java.util.HashMap[Long, (Int, Long)]()
+      it.foreach { case (id, cid, h) =>
+        val cur = best.get(id)
+        if (cur == null || h < cur._1 || (h == cur._1 && cid < cur._2)) best.put(id, (h, cid))
+      }
+      best.entrySet().iterator().asScala.map(e => (e.getKey, e.getValue._2, e.getValue._1))
+    }
+    reduced
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (id: Long, rows: Iterator[(Long, Option[Long], Option[Int])], state: GroupState[Boolean]) =>
+        (id: Long, rows: Iterator[(Long, Long, Int)], state: GroupState[Boolean]) =>
           if (state.exists) Iterator.empty // re-crawl: first batch won
           else {
             state.update(true)
-            val cands = rows.flatMap { case (_, ex, h) =>
-              for { e <- ex; hh <- h } yield (hh, e)
-            }.toSeq
-            if (cands.isEmpty) Iterator.single(ScreenResult(id, is_dup = false, None, None))
-            else {
-              val (h, e) = cands.min // (hamming, ex_id): lower id breaks ties
-              Iterator.single(ScreenResult(id, is_dup = true, Some(e), Some(h)))
-            }
+            val (_, e, h) = rows.minBy(r => (r._3, r._2)) // (hamming, ex_id): lower id breaks ties
+            if (h == Int.MaxValue) Iterator.single(ScreenResult(id, is_dup = false, None, None))
+            else Iterator.single(ScreenResult(id, is_dup = true, Some(e), Some(h)))
           }
       }
   }
