@@ -128,7 +128,8 @@ object BenchScaled {
       ivfProbe: Int,
       codebook: Array[Array[Double]],
       annQueryMod: Long,
-      ivfIndex: DataFrame
+      ivfIndex: DataFrame,
+      ivfPqIndex: DataFrame
   ): Seq[(String, () => Long)] = {
     def docs = TestTables.documents(s, d)
     def emb = TestTables.embeddings(s, d)
@@ -199,6 +200,16 @@ object BenchScaled {
             kNN = 5, m = 8, k = 16, pqSeed = 11L,
             nCentroids = g.nCentroids, nProbe = ivfProbe, coarseCodebook = cb,
             corpusReplicas = 3)
+          .count()),
+      "q_ivf_pq_ann_serve" -> (() =>
+        ProductQuantize
+          .ivfPqTopKIndexed(
+            emb, "vec_id", "embedding",
+            queryPred = col("vec_id") % annQueryMod === 0,
+            index = ivfPqIndex,
+            kNN = 5, m = 8, k = 16, pqSeed = 11L,
+            nCentroids = g.nCentroids, nProbe = ivfProbe, coarseCodebook = cb,
+            multiAssigned = true)
           .count()),
       "q_simhash_screen" -> (() => {
         val idx = Dedup.buildBandIndex(
@@ -531,6 +542,17 @@ object BenchScaled {
         .parquet(ivfIdxDir)
       out(s"${leg}_ivf_index_build_sec") = fmt((System.nanoTime() - tIdx0) / 1e9)
       val ivfIndex = spark.read.parquet(ivfIdxDir)
+      val pqIdxDir = TempRoots.newDir("graft-ivfpqidx").toString
+      val tPq0 = System.nanoTime()
+      ProductQuantize
+        .buildIvfPqIndex(
+          TestTables.embeddings(spark, dir), "vec_id", "embedding",
+          nCentroids = g.nCentroids, coarseCodebook = Some(codebook), corpusReplicas = 3)
+        .write
+        .mode("overwrite")
+        .parquet(pqIdxDir)
+      out(s"${leg}_ivfpq_index_build_sec") = fmt((System.nanoTime() - tPq0) / 1e9)
+      val ivfPqIndex = spark.read.parquet(pqIdxDir)
       flush()
 
       // Bench.timeQuery's discipline at both legs: one untimed
@@ -541,7 +563,8 @@ object BenchScaled {
       // q_semdedup_incr base 2.78 s -> 0.57 s on identical code).
       val reps = sys.env.getOrElse("SPARK_GRAFT_SCALED_REPS", "2").toInt.max(1)
       val times = scala.collection.mutable.LinkedHashMap[String, (Double, Long)]()
-      scaledQueries(spark, dir, g, chosenProbe, codebook, annQueryMod, ivfIndex).foreach {
+      scaledQueries(spark, dir, g, chosenProbe, codebook, annQueryMod, ivfIndex, ivfPqIndex)
+        .foreach {
         case (name, run) =>
           Bench.resetSession(spark)
           run() // untimed warm-up
@@ -560,7 +583,7 @@ object BenchScaled {
       }
       // per-query ANN throughput at this SF: the deployment-facing
       // number the corpus-growth ratio alone doesn't show
-      Seq("q_ivf_ann", "q_ivf_ann_serve", "q_ivf_pq_ann").foreach { q =>
+      Seq("q_ivf_ann", "q_ivf_ann_serve", "q_ivf_pq_ann", "q_ivf_pq_ann_serve").foreach { q =>
         times.get(q).foreach { case (secs, _) =>
           out(s"${leg}_${q}_queries_per_sec") = fmt(nAnnQueries / math.max(secs, 1e-9))
         }

@@ -129,29 +129,43 @@ object ProductQuantize {
     * score to 4 decimals, break ties by id) so the top-k is
     * engine-stable.
     */
-  def ivfPqTopK(
+  /** Combined coarse + PQ geometry fingerprint for persisted IVF-PQ
+    * indexes (the [[Similarity.buildIvfIndex]] discipline): probing a
+    * stored index with a different codebook family or PQ layout must
+    * fail loudly, not silently mis-decode code words.
+    */
+  private def pqGeomFingerprint(
+      m: Int, k: Int, pqSeed: Long,
+      nCentroids: Int, coarseSeed: Long, dim: Int,
+      coarseCodebook: Option[Array[Array[Double]]]
+  ): Long =
+    31L * Dedup.clusterGeomFingerprint(nCentroids, coarseSeed, dim, coarseCodebook) +
+      ((m.toLong * 1000003L) ^ (k.toLong * 8191L) ^ (pqSeed * 31L))
+
+  /** Persistable IVF-PQ corpus index — (cluster, neighbor_id,
+    * pq_code): every corpus vector coarse-assigned and PQ-encoded
+    * ONCE per corpus generation. The build carries BOTH superlinear-ish
+    * inline costs (n·R coarse assignment + n·m·k PQ encode); serving
+    * via [[ivfPqTopKIndexed]] pays only probe joins + ADC lookups.
+    */
+  def buildIvfPqIndex(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
-      queryPred: Column,
-      kNN: Int = 5,
       m: Int = 8,
       k: Int = 16,
       pqSeed: Long = 11L,
       nCentroids: Int = 16,
-      nProbe: Int = 4,
       coarseSeed: Long = 7L,
       dim: Int = 64,
       coarseCodebook: Option[Array[Array[Double]]] = None,
       corpusReplicas: Int = 1
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     VectorOps.register(emb.sparkSession)
     val subDim = dim / m
     val cb = codebooks(m, k, subDim, pqSeed)
-    // None -> the deterministic family (oracle-reproducible); Some ->
-    // a fitted codebook (Similarity.fitCentroids), the production path
-    val coarse = coarseCodebook.getOrElse(Similarity.normalizedCentroids(nCentroids, dim, coarseSeed))
+    val coarse =
+      coarseCodebook.getOrElse(Similarity.normalizedCentroids(nCentroids, dim, coarseSeed))
     require(coarseCodebook.forall(_.length == nCentroids), "codebook size must equal nCentroids")
     require(corpusReplicas >= 1 && corpusReplicas <= nCentroids, "corpusReplicas in [1, nCentroids]")
     val e = Similarity.normalizedVecs(emb, idCol, vecCol)
@@ -177,14 +191,100 @@ object ProductQuantize {
               )
             )
         )
-    val corpus = assigned
+    val geom = pqGeomFingerprint(m, k, pqSeed, nCentroids, coarseSeed, dim, coarseCodebook)
+    assigned
       .withColumn(
         "pq_code",
         (0 until m)
           .map(j => shiftleft(codeStruct(col("nv"), j, subDim, cb(j)).getField("c").cast("long"), 4 * j))
           .reduce(_ + _)
       )
-      .select(col("id").as("neighbor_id"), col("cluster"), col("pq_code"))
+      .select(
+        col("id").as("neighbor_id"),
+        col("cluster").as("cluster", Dedup.geomMetadata(geom)),
+        col("pq_code").as("pq_code", Dedup.geomMetadata(geom))
+      )
+  }
+
+  /** Probe a prebuilt (typically parquet-persisted) [[buildIvfPqIndex]]
+    * index — [[ivfPqTopK]]'s output contract, corpus never re-encodes.
+    */
+  def ivfPqTopKIndexed(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryPred: Column,
+      index: DataFrame,
+      kNN: Int = 5,
+      m: Int = 8,
+      k: Int = 16,
+      pqSeed: Long = 11L,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      coarseSeed: Long = 7L,
+      dim: Int = 64,
+      coarseCodebook: Option[Array[Array[Double]]] = None,
+      multiAssigned: Boolean = false
+  ): DataFrame = {
+    Dedup.requireGeometry(
+      index,
+      Seq("cluster", "pq_code"),
+      pqGeomFingerprint(m, k, pqSeed, nCentroids, coarseSeed, dim, coarseCodebook),
+      "IVF-PQ"
+    )
+    ivfPqProbe(emb, idCol, vecCol, queryPred, index, kNN, m, k, pqSeed, nCentroids, nProbe,
+      coarseSeed, dim, coarseCodebook, multiAssigned)
+  }
+
+  def ivfPqTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryPred: Column,
+      kNN: Int = 5,
+      m: Int = 8,
+      k: Int = 16,
+      pqSeed: Long = 11L,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      coarseSeed: Long = 7L,
+      dim: Int = 64,
+      coarseCodebook: Option[Array[Array[Double]]] = None,
+      corpusReplicas: Int = 1
+  ): DataFrame = {
+    val index = buildIvfPqIndex(emb, idCol, vecCol, m, k, pqSeed, nCentroids, coarseSeed, dim,
+      coarseCodebook, corpusReplicas)
+    ivfPqProbe(emb, idCol, vecCol, queryPred, index, kNN, m, k, pqSeed, nCentroids, nProbe,
+      coarseSeed, dim, coarseCodebook, multiAssigned = corpusReplicas > 1)
+  }
+
+  private def ivfPqProbe(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryPred: Column,
+      corpus: DataFrame,
+      kNN: Int,
+      m: Int,
+      k: Int,
+      pqSeed: Long,
+      nCentroids: Int,
+      nProbe: Int,
+      coarseSeed: Long,
+      dim: Int,
+      coarseCodebook: Option[Array[Array[Double]]],
+      multiAssigned: Boolean
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    VectorOps.register(emb.sparkSession)
+    val subDim = dim / m
+    val cb = codebooks(m, k, subDim, pqSeed)
+    // None -> the deterministic family (oracle-reproducible); Some ->
+    // a fitted codebook (Similarity.fitCentroids), the production path
+    val coarse =
+      coarseCodebook.getOrElse(Similarity.normalizedCentroids(nCentroids, dim, coarseSeed))
+    require(coarseCodebook.forall(_.length == nCentroids), "codebook size must equal nCentroids")
+    val e = Similarity.normalizedVecs(emb, idCol, vecCol)
     val queries = emb
       .filter(queryPred)
       .select(col(idCol).as("qid"))
@@ -228,7 +328,7 @@ object ProductQuantize {
     // is 128 dot products — measured 3x the whole query's cost at
     // sf0.1 before the projection
     val scored =
-      (if (corpusReplicas == 1)
+      (if (!multiAssigned)
          corpus
            .join(broadcast(queries), Seq("cluster"))
            .filter(col("query_id") =!= col("neighbor_id"))

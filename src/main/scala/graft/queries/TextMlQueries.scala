@@ -1188,6 +1188,43 @@ object TextMlQueries {
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("adc"), 4).as("adc"))
       .orderBy(col("query_id"), col("rank"))
 
+  /** [[ivfPqAnn]]'s production serving shape: the PQ-encoded inverted
+    * lists built ONCE (`ProductQuantize.buildIvfPqIndex` — coarse
+    * assignment + PQ encode, the per-corpus-generation build),
+    * persisted to parquet, and the same query batch probed via
+    * `ivfPqTopKIndexed`. Oracle byte-for-byte q_ivf_pq_ann's.
+    */
+  private def ivfPqAnnServe(s: SparkSession, d: String): DataFrame = {
+    val emb = TestTables.embeddings(s, d)
+    val dir = graft.TempRoots.newDir("graft-ivfpqserve").toString
+    graft.ml.ProductQuantize
+      .buildIvfPqIndex(emb, "vec_id", "embedding", m = PqM, k = PqK, pqSeed = PqSeed,
+        nCentroids = 16, coarseSeed = 7L)
+      .write
+      .mode("overwrite")
+      .parquet(dir)
+    val out = graft.ml.ProductQuantize
+      .ivfPqTopKIndexed(
+        emb,
+        "vec_id",
+        "embedding",
+        queryPred = col("vec_id") % 100 === 0,
+        index = s.read.parquet(dir),
+        kNN = 5,
+        m = PqM,
+        k = PqK,
+        pqSeed = PqSeed,
+        nCentroids = 16,
+        nProbe = 4,
+        coarseSeed = 7L
+      )
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("adc"), 4).as("adc"))
+      .orderBy(col("query_id"), col("rank"))
+      .localCheckpoint(true)
+    rmTree(dir)
+    out
+  }
+
   /** Full IVF-PQ oracle: coarse probe lists from the q_ivf_ann
     * centroid literals, per-subspace argmin codes, ADC scoring of the
     * query's exact subvectors against the code-named codebook entries,
@@ -1442,6 +1479,7 @@ object TextMlQueries {
     QueryDef("q_ivf_clusters", ivfClusters, Some(ivfClustersSql)),
     QueryDef("q_pq_encode", pqEncQuery, Some(pqEncodeSql)),
     QueryDef("q_ivf_pq_ann", ivfPqAnn, Some(ivfPqAnnSql)),
+    QueryDef("q_ivf_pq_ann_serve", ivfPqAnnServe, Some(ivfPqAnnSql)),
     QueryDef("q_multimodal_features", multimodalFeatures, Some(multimodalFeaturesSql)),
     QueryDef("q_frame_sample", frameSample, Some(frameSampleSql))
   )

@@ -88,6 +88,38 @@ class ProductQuantizeSpec extends SparkSpec {
     assert(recall >= 0.12, s"mean ADC recall@5 $recall below floor 0.12")
   }
 
+  test("ivfPqTopKIndexed over a parquet-persisted buildIvfPqIndex == inline; geometry guarded") {
+    val e = embs(300)
+    val pred = col("vec_id") % 25 === 0
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r =>
+          (r.getLong(r.fieldIndex("query_id")), r.getInt(r.fieldIndex("rank")),
+            r.getLong(r.fieldIndex("neighbor_id"))))
+        .toSet
+    for (r <- Seq(1, 3)) {
+      val inline =
+        rows(ProductQuantize.ivfPqTopK(e, "vec_id", "embedding", pred, corpusReplicas = r))
+      val path = java.nio.file.Files.createTempDirectory(s"graft-pqidx$r").toString
+      ProductQuantize
+        .buildIvfPqIndex(e, "vec_id", "embedding", corpusReplicas = r)
+        .write
+        .mode("overwrite")
+        .parquet(path)
+      val served = rows(
+        ProductQuantize.ivfPqTopKIndexed(e, "vec_id", "embedding", pred,
+          spark.read.parquet(path), multiAssigned = r > 1))
+      assert(served == inline, s"persisted-index PQ serving must equal inline at R=$r")
+      val err = intercept[IllegalArgumentException] {
+        ProductQuantize
+          .ivfPqTopKIndexed(e, "vec_id", "embedding", pred,
+            spark.read.parquet(path), pqSeed = 99L, multiAssigned = r > 1)
+          .collect()
+      }
+      assert(err.getMessage.contains("geometry mismatch"))
+    }
+  }
+
   test("ivfPqTopK plan: queries broadcast, corpus join side carries codes not vectors") {
     val e = embs(300)
     val df = ProductQuantize.ivfPqTopK(e, "vec_id", "embedding", col("vec_id") % 50 === 0)
