@@ -1543,7 +1543,21 @@ object IngestQueries {
     val db = s"graftmerge${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val url = s"jdbc:derby:memory:$db;create=true"
     val props = new java.util.Properties()
-    existing.write.mode("overwrite").jdbc(url, "MEAS", props)
+    // create the target WITH its primary key (as any real measurement
+    // table has): without it Derby plans the MERGE as a nested-loop
+    // join — quadratic in table size (measured: a 93k-row merge at the
+    // sf10 rehearsal looped for 20+ minutes; keyed, it is seconds)
+    locally {
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = c.createStatement()
+        try st.executeUpdate(
+          "CREATE TABLE MEAS (OKEY BIGINT NOT NULL PRIMARY KEY, MVAL BIGINT)"
+        )
+        finally st.close()
+      } finally c.close()
+    }
+    existing.write.mode("append").jdbc(url, "MEAS", props)
     graft.sources.JdbcSink
       .upsertViaStaging(batch, url, "MEAS", keys = Seq("OKEY"), mode = Upsert.DoUpdate, props)
     // eager checkpoint BEFORE dropping the in-memory db: the returned
