@@ -26,6 +26,16 @@ object Bench {
     * BENCH_LOCAL.json sees them next to the numbers they qualify.
     */
   private val benchNotes: Map[String, String] = Map(
+    "q_swob_ingest" -> ("round 11: the three-round 'bench transient' is CAPTURED and CLOSED — " +
+      "it was never a failure. Root cause: java.io.FileNotFoundException: File <fixture>/*.xml " +
+      "does not exist, thrown by RawLocalFileSystem.getFileStatus on the LITERAL glob string " +
+      "inside FileStreamSink.hasMetadata (Spark 4.1.2, FileStreamSink.scala:58) during every " +
+      "DataFrameReader.load(glob) — Spark WARN-logs the full calling-thread stack (hence frames " +
+      "through Bench.main with no Caused by:) and swallows it; every bench run was rc=0 with the " +
+      "success line AFTER the stack (see BENCH_r10.json tail). Deterministic 4x per bench run, " +
+      "not transient; visibility depended on the harness tail window. Fixed at the transport " +
+      "layer: FileTransport.rows splits a trailing-segment glob into load(dir) + pathGlobFilter, " +
+      "which stats a real directory and probes silently"),
     "q_import_profile" -> ("warm reps replay a once-per-JVM cached 8-row CRUD result " +
       "(IngestQueries.importLoadedCache) — this row measures the resolve/join path, not the " +
       "upsert/load chain; fresh-JVM Verify exercises the full CRUD path every round"),

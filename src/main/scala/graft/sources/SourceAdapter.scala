@@ -110,7 +110,26 @@ object FileTransport extends Transport {
   ): DataFrame = {
     val reader = spark.read.format(format).options(options)
     if (format == "jdbc") reader.option("url", locator).load()
-    else reader.load(locator)
+    else {
+      // `load("<dir>/*.xml")` makes Spark's FileStreamSink.hasMetadata
+      // stat the LITERAL glob string while probing for a streaming-sink
+      // `_spark_metadata` dir; RawLocalFileSystem throws
+      // FileNotFoundException, which Spark WARN-logs with the full
+      // calling-thread stack and swallows (FileStreamSink.scala:58,
+      // Spark 4.1.2). Benign, but the stack pollutes log captures — it
+      // masqueraded as a "bench transient" for three rounds. A glob
+      // confined to the final path segment is equivalent to listing the
+      // parent directory with `pathGlobFilter`, which stats a real
+      // directory and probes silently.
+      def hasGlob(s: String) = s.exists(c => c == '*' || c == '?' || c == '[' || c == '{')
+      val slash = locator.lastIndexOf('/')
+      val (dir, leaf) =
+        if (slash > 0) (locator.substring(0, slash), locator.substring(slash + 1))
+        else ("", locator)
+      if (slash > 0 && hasGlob(leaf) && !hasGlob(dir) && !options.contains("pathGlobFilter"))
+        reader.option("pathGlobFilter", leaf).load(dir)
+      else reader.load(locator)
+    }
   }
 }
 
