@@ -90,13 +90,18 @@ object AddDiscrete {
 
     // ---- id assignment above the existing max: range-partitioned
     // rank (SeqIds), not a single-task global window ----------------
+    // smallBatch (skip globalRank's range-repartition + checkpoint;
+    // round 9 measured it costing ~0.4 s per CRUD chain) is only safe
+    // when the batch truly is dimension-sized — addACDiscrete is a
+    // manual upload in the reference, but nothing here enforces that,
+    // so gate the hatch on the MEASURED batch size instead of the
+    // contract: the frontier is already localCheckpoint'd, so the
+    // count is a cheap scan of pinned blocks, and a bulk backfill
+    // (batch grows with data volume) keeps the distributed rank.
+    val smallBatch = goodSamples.count() <= 50000L
     val withIds = graft.operators.SeqIds
-      // smallBatch: addACDiscrete is a MANUAL upload in the reference —
-      // batches are dimension-sized by contract, so skip globalRank's
-      // range-repartition + checkpoint (round 9 measured it costing
-      // ~0.4 s per CRUD chain; SeqIds.scala documents the hatch)
       .assignIdsAbove(existingSamples, "sample_id", goodSamples, Seq(col("sample_key")),
-        "sample_id", smallBatch = true)
+        "sample_id", smallBatch = smallBatch)
       .drop("__n_results")
 
     // ---- result gates --------------------------------------------

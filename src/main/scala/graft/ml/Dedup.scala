@@ -478,8 +478,32 @@ object Dedup {
     */
   private[ml] val GeomKey = "graft_geometry"
 
+  /** Multi-assignment replica count stamped alongside the geometry on
+    * persisted ANN index key columns: probing a corpusReplicas>1 index
+    * without candidate dedup puts the same neighbor at several top-k
+    * ranks — derive the dedup decision from the INDEX, never from a
+    * caller flag that can silently disagree with how it was built.
+    */
+  private[ml] val ReplicasKey = "graft_corpus_replicas"
+
   private[ml] def geomMetadata(fingerprint: Long) =
     new org.apache.spark.sql.types.MetadataBuilder().putLong(GeomKey, fingerprint).build()
+
+  private[ml] def geomMetadata(fingerprint: Long, replicas: Int) =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(GeomKey, fingerprint)
+      .putLong(ReplicasKey, replicas.toLong)
+      .build()
+
+  /** Replica count a [[geomMetadata]]-stamped index column carries, if
+    * any (metadata round-trips through parquet and bucketed tables, so
+    * a persisted index keeps its stamp).
+    */
+  private[ml] def indexReplicas(index: DataFrame, colName: String): Option[Long] =
+    index.schema.fields
+      .find(_.name == colName)
+      .filter(_.metadata.contains(ReplicasKey))
+      .map(_.metadata.getLong(ReplicasKey))
 
   private[ml] def indexGeometry(index: DataFrame, cols: Seq[String]): Option[Long] =
     cols.iterator

@@ -201,13 +201,20 @@ object ProductQuantize {
       )
       .select(
         col("id").as("neighbor_id"),
-        col("cluster").as("cluster", Dedup.geomMetadata(geom)),
+        // the cluster stamp also records corpusReplicas so the probe
+        // side derives its candidate-dedup decision from the index
+        // itself (see [[ivfPqTopKIndexed]])
+        col("cluster").as("cluster", Dedup.geomMetadata(geom, corpusReplicas)),
         col("pq_code").as("pq_code", Dedup.geomMetadata(geom))
       )
   }
 
   /** Probe a prebuilt (typically parquet-persisted) [[buildIvfPqIndex]]
     * index — [[ivfPqTopK]]'s output contract, corpus never re-encodes.
+    *
+    * Multi-assignment is DERIVED from the replica count stamped on the
+    * index's `cluster` column ([[Similarity.ivfTopKIndexed]] rationale);
+    * the `multiAssigned` parameter only applies to unstamped frames.
     */
   def ivfPqTopKIndexed(
       emb: DataFrame,
@@ -232,8 +239,9 @@ object ProductQuantize {
       pqGeomFingerprint(m, k, pqSeed, nCentroids, coarseSeed, dim, coarseCodebook),
       "IVF-PQ"
     )
+    val effMulti = Dedup.indexReplicas(index, "cluster").map(_ > 1L).getOrElse(multiAssigned)
     ivfPqProbe(emb, idCol, vecCol, queryPred, index, kNN, m, k, pqSeed, nCentroids, nProbe,
-      coarseSeed, dim, coarseCodebook, multiAssigned)
+      coarseSeed, dim, coarseCodebook, effMulti)
   }
 
   def ivfPqTopK(

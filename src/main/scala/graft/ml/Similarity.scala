@@ -412,7 +412,10 @@ object Similarity {
         ).select(col("id").as("neighbor_id"), col("nv").as("v"), col("cluster"))
     val geom = Dedup.clusterGeomFingerprint(nCentroids, seed, dim, codebook)
     assigned.select(
-      col("cluster").as("cluster", Dedup.geomMetadata(geom)),
+      // the cluster stamp also records corpusReplicas so the probe
+      // side derives its candidate-dedup decision from the index
+      // itself (see [[ivfTopKIndexed]])
+      col("cluster").as("cluster", Dedup.geomMetadata(geom, corpusReplicas)),
       col("neighbor_id"),
       col("v").as("v", Dedup.geomMetadata(geom))
     )
@@ -424,6 +427,15 @@ object Similarity {
     * contract is [[ivfTopK]]'s (query_id, rank, neighbor_id, cos); a
     * multi-assigned index is candidate-deduped on id pairs before
     * vectors attach, identical to the inline path.
+    *
+    * Whether the index is multi-assigned is DERIVED from the replica
+    * count [[buildIvfIndex]] stamps on the `cluster` column (metadata
+    * survives parquet persistence); the `multiAssigned` parameter is
+    * only consulted for hand-built index frames that carry no stamp.
+    * Deriving closes the silent-wrong-results hole where a
+    * corpusReplicas>1 index probed with the default flag passed the
+    * geometry guard yet skipped candidate dedup, so one neighbor
+    * occupied several top-k ranks.
     */
   def ivfTopKIndexed(
       emb: DataFrame,
@@ -445,8 +457,9 @@ object Similarity {
       Dedup.clusterGeomFingerprint(nCentroids, seed, dim, codebook),
       "IVF"
     )
+    val effMulti = Dedup.indexReplicas(index, "cluster").map(_ > 1L).getOrElse(multiAssigned)
     ivfProbe(emb, idCol, vecCol, queryPred, index, k, nCentroids, nProbe, seed, dim,
-      codebook, multiAssigned)
+      codebook, effMulti)
   }
 
   def ivfTopK(

@@ -1308,8 +1308,8 @@ object CorpusQueries {
         // size the stream's shuffle/state partitioning to the STREAM:
         // each state partition is a store with its own commit cost, so
         // gate SF wants 4; but the probe join runs at the same width
-        // and 4 threads throttle a 10x corpus. One store per ~3k
-        // incoming docs, clamped to [4, 16] — the production knob is
+        // and 4 threads throttle a 10x corpus. One store per ~1k
+        // incoming docs, clamped to [4, 32] — the production knob is
         // (state size / store budget) on one side and join width on
         // the other.
         val nIncoming = incoming.count()

@@ -241,6 +241,15 @@ class MlSpec extends SparkSpec {
           spark.read.parquet(path), k = 5, nCentroids = 40, nProbe = 6,
           codebook = Some(cb), multiAssigned = r > 1))
       assert(served == inline, s"persisted-index serving must equal inline ivfTopK at R=$r")
+      // the candidate-dedup decision is DERIVED from the replica count
+      // buildIvfIndex stamps on the cluster column (and the stamp
+      // survives parquet) — omitting the multiAssigned flag on an R=3
+      // index must still dedup, not seat one neighbor at several ranks
+      val servedDefaultFlag = rows(
+        Similarity.ivfTopKIndexed(emb, "vec_id", "embedding", pred,
+          spark.read.parquet(path), k = 5, nCentroids = 40, nProbe = 6,
+          codebook = Some(cb)))
+      assert(servedDefaultFlag == inline, s"multiAssigned must derive from the index stamp at R=$r")
       // probing with the wrong codebook family must fail loudly
       val e = intercept[IllegalArgumentException] {
         Similarity

@@ -110,6 +110,12 @@ class ProductQuantizeSpec extends SparkSpec {
         ProductQuantize.ivfPqTopKIndexed(e, "vec_id", "embedding", pred,
           spark.read.parquet(path), multiAssigned = r > 1))
       assert(served == inline, s"persisted-index PQ serving must equal inline at R=$r")
+      // dedup decision derives from the replica stamp on the cluster
+      // column — omitting the flag on an R=3 index must still dedup
+      val servedDefaultFlag = rows(
+        ProductQuantize.ivfPqTopKIndexed(e, "vec_id", "embedding", pred,
+          spark.read.parquet(path)))
+      assert(servedDefaultFlag == inline, s"multiAssigned must derive from the index stamp at R=$r")
       val err = intercept[IllegalArgumentException] {
         ProductQuantize
           .ivfPqTopKIndexed(e, "vec_id", "embedding", pred,
