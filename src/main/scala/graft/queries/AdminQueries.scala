@@ -752,12 +752,102 @@ object AdminQueries {
        |ORDER BY kind, name, file_hash, geom_id""".stripMargin
   }
 
+  // ---- stored-expression safety sandbox (SURVEY §2.8) ---------------
+
+  /** Accept/reject decision table for the stored-expression sandbox
+    * (`continuous.numeric_sql_expression_is_safe`,
+    * `inst/patches/patch_55.R:582-725`): every lexer rule of
+    * [[graft.functions.ExpressionSandbox.validate]] fires at least
+    * once — empty input, the `;` gate, both comment forms, the
+    * character-class lexer gap, forbidden DML words (first-word-wins
+    * order), unknown identifiers vs the case-insensitive allowlist,
+    * and the approved-function path. Accepted rows additionally carry
+    * the `$n`-bound rewrite and a real parse check against Spark's SQL
+    * grammar (the validator's documented caller contract). Driver-side
+    * evaluation is bounded by contract: the expression table is a rule
+    * dictionary, never data.
+    */
+  private def expressionSandbox(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.ExpressionSandbox
+    val idents = Set("flow", "stage")
+    // (id, expression, validate against the ident allowlist?)
+    val cases: Seq[(Long, String, Boolean)] = Seq(
+      (1L, "$1 + $2 * 2", false),
+      (2L, "round($1, 2) - abs($2)", false),
+      (3L, "power($1, 0.5) + 3.5e2", false),
+      (4L, "flow / stage ^ 2", true),
+      (5L, "coalesce($1, 0) % 7", false),
+      (6L, "", false),
+      (7L, "   ", false),
+      (8L, "1; drop table t", false),
+      (9L, "1 -- comment", false),
+      (10L, "1 /* c */ + 2", false),
+      (11L, "select 1", false),
+      (12L, "cast(1 as int)", false),
+      (13L, "drop(5)", false),
+      (14L, "foo($1)", false),
+      (15L, "flow + depth", true),
+      (16L, "$1 > 2", false),
+      (17L, "a & b", false),
+      (18L, "greatest($1, $2, 0) - least($1, $2, 0)", false),
+      (19L, "ln($1) - log10($2)", false),
+      (20L, "stage + Stage", true)
+    )
+    val rows = cases.map { case (id, e, withIdents) =>
+      val st = ExpressionSandbox
+        .validate(e, if (withIdents) idents else Set.empty)
+        .fold(identity, _ => "ok")
+      val bound =
+        if (st == "ok") ExpressionSandbox.bindPlaceholders(e, Map(1 -> "v", 2 -> "w")) else null
+      val parses: Option[Boolean] =
+        if (st == "ok")
+          Some(
+            try { s.sessionState.sqlParser.parseExpression(bound); true }
+            catch { case _: Throwable => false }
+          )
+        else None
+      (id, e, st, bound, parses)
+    }
+    rows
+      .toDF("expr_id", "expression", "status", "bound", "parses")
+      .orderBy(col("expr_id"))
+  }
+
+  private val expressionSandboxSql =
+    """SELECT CAST(expr_id AS BIGINT) AS expr_id, expression, status, bound,
+      |       CAST(parses AS BOOLEAN) AS parses
+      |FROM (VALUES
+      |  (1,  '$1 + $2 * 2',                           'ok', '(v) + (w) * 2', true),
+      |  (2,  'round($1, 2) - abs($2)',                'ok', 'round((v), 2) - abs((w))', true),
+      |  (3,  'power($1, 0.5) + 3.5e2',                'ok', 'power((v), 0.5) + 3.5e2', true),
+      |  (4,  'flow / stage ^ 2',                      'ok', 'flow / stage ^ 2', true),
+      |  (5,  'coalesce($1, 0) % 7',                   'ok', 'coalesce((v), 0) % 7', true),
+      |  (6,  '',                                      'empty expression', NULL, NULL),
+      |  (7,  '   ',                                   'empty expression', NULL, NULL),
+      |  (8,  '1; drop table t',                       ''';'' not allowed', NULL, NULL),
+      |  (9,  '1 -- comment',                          'comments not allowed', NULL, NULL),
+      |  (10, '1 /* c */ + 2',                         'comments not allowed', NULL, NULL),
+      |  (11, 'select 1',                              'forbidden word: select', NULL, NULL),
+      |  (12, 'cast(1 as int)',                        'forbidden word: cast', NULL, NULL),
+      |  (13, 'drop(5)',                               'forbidden word: drop', NULL, NULL),
+      |  (14, 'foo($1)',                               'unknown identifier/function: foo', NULL, NULL),
+      |  (15, 'flow + depth',                          'unknown identifier/function: depth', NULL, NULL),
+      |  (16, '$1 > 2',                                'disallowed characters in: $1 > 2', NULL, NULL),
+      |  (17, 'a & b',                                 'disallowed characters in: a & b', NULL, NULL),
+      |  (18, 'greatest($1, $2, 0) - least($1, $2, 0)', 'ok', 'greatest((v), (w), 0) - least((v), (w), 0)', true),
+      |  (19, 'ln($1) - log10($2)',                    'ok', 'ln((v)) - log10((w))', true),
+      |  (20, 'stage + Stage',                         'ok', 'stage + Stage', true)
+      |) AS t(expr_id, expression, status, bound, parses)
+      |ORDER BY expr_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_doc_store", docStore, Some(docStoreSql)),
     QueryDef("q_catalog_gates", catalogGates, Some(catalogGatesSql)),
     QueryDef("q_borehole", borehole, Some(boreholeSql)),
     QueryDef("q_basin_load", basinLoad, Some(basinLoadSql)),
     QueryDef("q_doc_update", docUpdate, Some(docUpdateSql)),
-    QueryDef("q_add_discrete", addDiscrete, Some(addDiscreteSql))
+    QueryDef("q_add_discrete", addDiscrete, Some(addDiscreteSql)),
+    QueryDef("q_expression_sandbox", expressionSandbox, Some(expressionSandboxSql))
   )
 }

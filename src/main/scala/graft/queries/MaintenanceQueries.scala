@@ -322,11 +322,125 @@ object MaintenanceQueries {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  // ---- catalog bounds maintenance (SURVEY §2.4, patch_41 triggers) --
+
+  /** Decision-table oracle for BOTH bounds-maintenance contracts
+    * (`inst/patches/patch_41.R:618-960`): a nation-derived catalog
+    * covering every branch (NULL start / NULL end / wide bounds the
+    * batch falls inside / compound rows the triggers skip / series the
+    * batch never touches / NULL and non-NULL last_new_data), an
+    * events-derived append batch, and a sparse daily table. `m_*` =
+    * the insert-trigger merge ([[BoundsMaintenance.mergeInsertBounds]]:
+    * null-safe LEAST/GREATEST + last_new_data stamp); `x_*` = the
+    * exact two-fact-table recompute chained after it
+    * ([[BoundsMaintenance.refreshBasicBounds]]).
+    */
+  private def boundsMaintenance(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.BoundsMaintenance
+    val n = TestTables.nation(s, d).select(col("n_nationkey").cast("long").as("n"))
+    val catalog = n.select(
+      col("n").as("timeseries_id"),
+      when(col("n") % 5 === 0, lit("compound")).otherwise(lit("basic")).as("timeseries_type"),
+      when(col("n") % 4 === 0, lit(null).cast("timestamp"))
+        .when(col("n") % 7 === 0, timestamp_seconds(lit(1672531200L))) // 2023-01-01: batch inside
+        .otherwise(timestamp_seconds(lit(1704844800L) + col("n") * 3600))
+        .as("start_datetime"),
+      when(col("n") % 4 === 1, lit(null).cast("timestamp"))
+        .when(col("n") % 7 === 0, timestamp_seconds(lit(1735689600L))) // 2025-01-01
+        .otherwise(timestamp_seconds(lit(1705708800L) + col("n") * 3600))
+        .as("end_datetime"),
+      when(col("n") % 3 === 0, lit(null).cast("timestamp"))
+        .otherwise(timestamp_seconds(lit(1704412800L)))
+        .as("last_new_data")
+    )
+    val batch = TestTables.events(s, d).select(
+      (col("user_id") % 28).cast("long").as("timeseries_id"),
+      col("ts").as("datetime")
+    )
+    val daily = n
+      .filter(col("n") % 2 === 0)
+      .select(
+        col("n").as("timeseries_id"),
+        timestamp_seconds(lit(1685577600L) + col("n") * 86400).as("datetime")
+      )
+    val merged =
+      BoundsMaintenance.mergeInsertBounds(catalog, batch, timestamp_seconds(lit(1717200000L)))
+    val refreshed = BoundsMaintenance.refreshBasicBounds(merged, batch, daily)
+    merged
+      .select(
+        col("timeseries_id"),
+        col("timeseries_type"),
+        unix_micros(col("start_datetime")).as("m_start_us"),
+        unix_micros(col("end_datetime")).as("m_end_us"),
+        unix_micros(col("last_new_data")).as("last_new_data_us")
+      )
+      .join(
+        refreshed.select(
+          col("timeseries_id"),
+          unix_micros(col("start_datetime")).as("x_start_us"),
+          unix_micros(col("end_datetime")).as("x_end_us")
+        ),
+        Seq("timeseries_id")
+      )
+      .orderBy(col("timeseries_id"))
+  }
+
+  private val boundsMaintenanceSql =
+    """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS n FROM nation),
+      |cat AS (
+      |  SELECT n AS timeseries_id,
+      |         CASE WHEN n % 5 = 0 THEN 'compound' ELSE 'basic' END AS timeseries_type,
+      |         CASE WHEN n % 4 = 0 THEN NULL
+      |              WHEN n % 7 = 0 THEN 1672531200000000
+      |              ELSE (1704844800 + n * 3600) * 1000000 END AS start_us,
+      |         CASE WHEN n % 4 = 1 THEN NULL
+      |              WHEN n % 7 = 0 THEN 1735689600000000
+      |              ELSE (1705708800 + n * 3600) * 1000000 END AS end_us,
+      |         CASE WHEN n % 3 = 0 THEN NULL ELSE 1704412800000000 END AS lnd_us
+      |  FROM n
+      |), ins AS (
+      |  SELECT CAST(user_id % 28 AS BIGINT) AS timeseries_id,
+      |         epoch_us(MIN(ts)) AS i_s, epoch_us(MAX(ts)) AS i_e
+      |  FROM events GROUP BY 1
+      |), dbounds AS (
+      |  SELECT n AS timeseries_id,
+      |         MIN((1685577600 + n * 86400) * 1000000) AS d_s,
+      |         MAX((1685577600 + n * 86400) * 1000000) AS d_e
+      |  FROM n WHERE n % 2 = 0 GROUP BY 1
+      |), m AS (
+      |  SELECT c.timeseries_id, c.timeseries_type,
+      |         CASE WHEN i.timeseries_id IS NULL OR c.timeseries_type <> 'basic' THEN c.start_us
+      |              WHEN c.start_us IS NULL THEN i.i_s
+      |              ELSE LEAST(c.start_us, i.i_s) END AS m_start_us,
+      |         CASE WHEN i.timeseries_id IS NULL OR c.timeseries_type <> 'basic' THEN c.end_us
+      |              WHEN c.end_us IS NULL THEN i.i_e
+      |              ELSE GREATEST(c.end_us, i.i_e) END AS m_end_us,
+      |         CASE WHEN i.timeseries_id IS NOT NULL AND c.timeseries_type = 'basic'
+      |              THEN 1717200000000000 ELSE c.lnd_us END AS last_new_data_us
+      |  FROM cat c LEFT JOIN ins i USING (timeseries_id)
+      |), x AS (
+      |  SELECT m2.timeseries_id,
+      |         CASE WHEN m2.timeseries_type = 'basic'
+      |              THEN COALESCE(LEAST(i.i_s, d.d_s), i.i_s, d.d_s)
+      |              ELSE m2.m_start_us END AS x_start_us,
+      |         CASE WHEN m2.timeseries_type = 'basic'
+      |              THEN COALESCE(GREATEST(i.i_e, d.d_e), i.i_e, d.d_e)
+      |              ELSE m2.m_end_us END AS x_end_us
+      |  FROM m m2
+      |  LEFT JOIN ins i USING (timeseries_id)
+      |  LEFT JOIN dbounds d USING (timeseries_id)
+      |)
+      |SELECT m.timeseries_id, m.timeseries_type, m.m_start_us, m.m_end_us,
+      |       m.last_new_data_us, x.x_start_us, x.x_end_us
+      |FROM m JOIN x USING (timeseries_id)
+      |ORDER BY timeseries_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_unit_convert", unitConvert, Some(unitConvertSql)),
     QueryDef("q_feb29", feb29, Some(feb29Sql)),
     QueryDef("q_upsert", upsert, Some(upsertSql)),
     QueryDef("q_audit_capture", auditCapture, Some(auditCaptureSql)),
-    QueryDef("q_tail_trim", tailTrim, Some(tailTrimSql))
+    QueryDef("q_tail_trim", tailTrim, Some(tailTrimSql)),
+    QueryDef("q_bounds_maintenance", boundsMaintenance, Some(boundsMaintenanceSql))
   )
 }

@@ -324,6 +324,176 @@ object SyncQueries {
        |ORDER BY series_id, op, start_us NULLS FIRST, id""".stripMargin
   }
 
+  // ---- qualifier rank streams: overlapping different-type adjust ----
+
+  /** Qualifier rank streams (SURVEY §2.9): segments of two qualifier
+    * TYPES over the same series — per the reference's qualifier
+    * semantics (`R/synchronize.R` qualifier handling), streams of
+    * different types may overlap EACH OTHER while each type remains
+    * independently non-overlapping. Exercises
+    * [[graft.operators.SegmentAdjust.adjust]]'s `streamCol` grouping
+    * (ONE shuffle on the composite (series, stream) key — the type
+    * dimension rides the same exchange, never a second one) and the
+    * non-bridged append path q_segment_adjust leaves uncovered. The
+    * oracle re-runs the whole interval algebra relationally over the
+    * composite key uk = user_id*2 + type.
+    */
+  private def qualifierRanks(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.SegmentAdjust
+    val e = TestTables.events(s, d)
+      .withColumn("stream", when(col("event_id") % 2 === 0, lit("ICE")).otherwise(lit("EST")))
+    def rle(from: String, to: String, withIds: Boolean) = {
+      val seg = Segments
+        .fromPoints(
+          e.filter(
+            col("ts") >= lit(from).cast("timestamp") && col("ts") < lit(to).cast("timestamp")
+          ),
+          keyCols = Seq("user_id", "stream"),
+          dtCol = "ts",
+          valueCol = "event_type",
+          orderCols = Seq("event_id")
+        )
+        .withColumn("end_dt", coalesce(col("end_dt"), col("last_dt") + expr("INTERVAL 1 HOUR")))
+        .select(
+          col("user_id").as("series_id"),
+          col("stream"),
+          col("event_type").as("value"),
+          col("start_dt"),
+          col("end_dt")
+        )
+      if (withIds)
+        seg.withColumn(
+          "id",
+          row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("series_id"), col("stream"))
+              .orderBy(col("start_dt"))
+          ).cast("long")
+        )
+      else seg.withColumn("id", lit(null).cast("long"))
+    }
+    SegmentAdjust
+      .adjust(
+        rle("2024-01-01 00:00:00", "2024-01-16 00:00:00", withIds = true),
+        rle("2024-01-16 00:00:00", "2024-02-01 00:00:00", withIds = false),
+        streamCol = Some("stream")
+      )
+      .select(
+        col("series_id"),
+        col("stream"),
+        col("id"),
+        col("value"),
+        unix_micros(col("start_dt")).as("start_us"),
+        unix_micros(col("end_dt")).as("end_us"),
+        col("op")
+      )
+      .orderBy(col("series_id"), col("stream"), col("op"), col("start_us"), col("id"))
+  }
+
+  private val qualifierRanksSql = {
+    // the q_segment_adjust relational algebra with (a) the composite
+    // stream key uk = user_id*2 + event_id%2 in place of user_id and
+    // (b) NO bridge-latest-extension step (eb == e0)
+    def rleCte(tag: String, from: String, to: String) =
+      s"""p$tag AS (
+         |  SELECT uk, ts, event_id, event_type,
+         |         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+         |  FROM (SELECT user_id * 2 + event_id % 2 AS uk, ts, event_id, event_type
+         |        FROM events
+         |        WHERE ts >= TIMESTAMP '$from' AND ts < TIMESTAMP '$to')
+         |  WINDOW w AS (PARTITION BY uk ORDER BY ts, event_id)
+         |), g$tag AS (
+         |  SELECT *, sum(chg) OVER (PARTITION BY uk ORDER BY ts, event_id
+         |                           ROWS UNBOUNDED PRECEDING) AS g
+         |  FROM p$tag
+         |), s$tag AS (
+         |  SELECT uk, g, min(ts) AS start_dt, max(ts) AS last_dt, min(event_type) AS value
+         |  FROM g$tag GROUP BY 1, 2
+         |)""".stripMargin
+    s"""WITH ${rleCte("1", "2024-01-01 00:00:00", "2024-01-16 00:00:00")},
+       |${rleCte("2", "2024-01-16 00:00:00", "2024-02-01 00:00:00")},
+       |e0 AS (
+       |  SELECT uk, value, start_dt,
+       |         coalesce(lead(start_dt) OVER (PARTITION BY uk ORDER BY start_dt),
+       |                  last_dt + INTERVAL 1 HOUR) AS end_dt,
+       |         CAST(row_number() OVER (PARTITION BY uk ORDER BY start_dt) AS BIGINT) AS id
+       |  FROM s1
+       |), n0 AS (
+       |  SELECT uk, value, start_dt,
+       |         coalesce(lead(start_dt) OVER (PARTITION BY uk ORDER BY start_dt),
+       |                  last_dt + INTERVAL 1 HOUR) AS end_dt
+       |  FROM s2
+       |), bnd AS (
+       |  SELECT DISTINCT uk, bd FROM (
+       |    SELECT uk, start_dt AS bd FROM e0
+       |    UNION ALL SELECT uk, end_dt FROM e0
+       |    UNION ALL SELECT uk, start_dt FROM n0
+       |    UNION ALL SELECT uk, end_dt FROM n0)
+       |), units AS (
+       |  SELECT * FROM (
+       |    SELECT uk, bd AS u_start,
+       |           lead(bd) OVER (PARTITION BY uk ORDER BY bd) AS u_end
+       |    FROM bnd
+       |  ) WHERE u_end IS NOT NULL
+       |), valued AS (
+       |  SELECT u.uk, u.u_start, u.u_end, coalesce(n.value, e.value) AS value
+       |  FROM units u
+       |  LEFT JOIN n0 n ON n.uk = u.uk AND n.start_dt <= u.u_start AND n.end_dt >= u.u_end
+       |  LEFT JOIN e0 e ON e.uk = u.uk AND e.start_dt <= u.u_start AND e.end_dt >= u.u_end
+       |  WHERE coalesce(n.value, e.value) IS NOT NULL
+       |), m0 AS (
+       |  SELECT *, CASE WHEN lag(value) OVER w IS DISTINCT FROM value
+       |                   OR lag(u_end) OVER w IS DISTINCT FROM u_start THEN 1 ELSE 0 END AS chg
+       |  FROM valued WINDOW w AS (PARTITION BY uk ORDER BY u_start)
+       |), m1 AS (
+       |  SELECT *, sum(chg) OVER (PARTITION BY uk ORDER BY u_start
+       |                           ROWS UNBOUNDED PRECEDING) AS g
+       |  FROM m0
+       |), merged AS (
+       |  SELECT uk, min(u_start) AS start_dt, max(u_end) AS end_dt, min(value) AS value,
+       |         CAST(row_number() OVER (PARTITION BY uk ORDER BY min(u_start)) AS BIGINT) AS pos
+       |  FROM m1 GROUP BY uk, g
+       |), withid AS (
+       |  SELECT m.uk, CASE WHEN m.pos <= coalesce(ne.n, 0) THEN m.pos END AS id,
+       |         m.value, m.start_dt, m.end_dt
+       |  FROM merged m
+       |  LEFT JOIN (SELECT uk, count(*) AS n FROM e0 GROUP BY 1) ne USING (uk)
+       |), deletes AS (
+       |  SELECT e.uk, e.id FROM e0 e
+       |  JOIN (SELECT uk, count(*) AS m FROM merged GROUP BY 1) mc USING (uk)
+       |  WHERE e.id > mc.m
+       |), sk_e AS (
+       |  SELECT uk, string_agg(coalesce(id::VARCHAR, 'NA') || '|' || value || '|'
+       |           || epoch_us(start_dt) || '|' || epoch_us(end_dt), ';'
+       |           ORDER BY start_dt, end_dt) AS sk
+       |  FROM e0 GROUP BY 1
+       |), sk_m AS (
+       |  SELECT uk, string_agg(coalesce(id::VARCHAR, 'NA') || '|' || value || '|'
+       |           || epoch_us(start_dt) || '|' || epoch_us(end_dt), ';'
+       |           ORDER BY start_dt, end_dt) AS sk
+       |  FROM withid GROUP BY 1
+       |), changed AS (
+       |  SELECT coalesce(m.uk, e.uk) AS uk
+       |  FROM sk_m m FULL JOIN sk_e e USING (uk)
+       |  WHERE m.sk IS DISTINCT FROM e.sk
+       |  UNION SELECT uk FROM deletes
+       |)
+       |SELECT * FROM (
+       |  SELECT CAST(uk // 2 AS BIGINT) AS series_id,
+       |         CASE WHEN uk % 2 = 0 THEN 'ICE' ELSE 'EST' END AS stream,
+       |         id, value,
+       |         epoch_us(start_dt) AS start_us, epoch_us(end_dt) AS end_us,
+       |         'upsert' AS op
+       |  FROM withid WHERE uk IN (SELECT uk FROM changed)
+       |  UNION ALL
+       |  SELECT CAST(uk // 2 AS BIGINT),
+       |         CASE WHEN uk % 2 = 0 THEN 'ICE' ELSE 'EST' END,
+       |         id, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), 'delete'
+       |  FROM deletes WHERE uk IN (SELECT uk FROM changed)
+       |)
+       |ORDER BY series_id, stream, op, start_us NULLS FIRST, id""".stripMargin
+  }
+
   // ---- two-level discrete sample/result sync (synchronize_discrete.R)
 
   /** Sample-level reconciliation actions over a deterministic
@@ -404,6 +574,7 @@ object SyncQueries {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_rle_segments", rleSegments, Some(rleSegmentsSql)),
     QueryDef("q_segment_adjust", segmentAdjust, Some(segmentAdjustSql)),
+    QueryDef("q_qualifier_ranks", qualifierRanks, Some(qualifierRanksSql)),
     QueryDef("q_locf", locf, Some(locfSql)),
     QueryDef("q_json_extract", jsonExtract, Some(jsonExtractSql)),
     QueryDef("q_sync_diff", syncDiff, Some(syncDiffSql), headline = true),
