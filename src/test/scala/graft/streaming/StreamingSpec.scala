@@ -248,10 +248,15 @@ class StreamingSpec extends SparkSpec {
       assert(q.awaitTermination(120000), "stream did not terminate within 120s")
     }
 
-    // two crawl batches against the same stored index
+    // two crawl batches against the same stored index; batch 2 also
+    // RE-CRAWLS part of batch 1 — the emit-once state must suppress
+    // the replayed docs across batches (the q_stream_screen row times
+    // a single batch, so this cross-batch guarantee lives here)
     sims.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(src)
     run()
-    sims.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(src)
+    sims.filter(col("doc_id") % 2 === 1)
+      .unionByName(sims.filter(col("doc_id") % 4 === 0))
+      .write.mode("append").parquet(src)
     run()
 
     val streamed = spark.read.parquet(sink).collect()
