@@ -179,10 +179,24 @@ object Bench {
     * regressions). Shipped INSIDE the artifact so no round-close
     * narrative can omit it again (round 10 did).
     */
+  /** The sf the previous artifact was measured at — comparing medians
+    * across different SFs is meaningless, so [[roundOverRound]] only
+    * fires when they match.
+    */
+  private lazy val prevSf: Option[String] = {
+    val p = java.nio.file.Paths.get("BENCH_PREV.json")
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      """"sf": "([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+    }
+  }
+
   private def roundOverRound(
-      results: Seq[(String, (Double, Double, Double, Seq[Double]))]
+      results: Seq[(String, (Double, Double, Double, Seq[Double]))],
+      sfDir: String
   ): Option[String] = {
-    if (prevMedians.isEmpty) return None
+    if (prevMedians.isEmpty || !prevSf.contains(sfDir)) return None
     val common = results.filter { case (k, _) => prevMedians.contains(k) }
     if (common.isEmpty) return None
     val prev = common.map(c => prevMedians(c._1)).sum
@@ -208,7 +222,7 @@ object Bench {
     val notes = benchNotes.toSeq.sorted
       .map { case (k, v) => s"""    "$k": "$v"""" }
       .mkString(",\n")
-    val ror = roundOverRound(results)
+    val ror = roundOverRound(results, sfDir)
       .map(s => s"""  "round_over_round": "$s",\n""")
       .getOrElse("")
     val json =
