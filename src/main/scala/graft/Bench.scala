@@ -31,6 +31,15 @@ object Bench {
       "Interpret through the bench-noise envelope: identical code measured 82.5 / 91.2 / 106.1 s " +
       "suite totals across three runs within round 11's build session alone — isolate per-query " +
       "movers in fresh JVMs before believing them (q_leakage_split / q_raster_zonal notes)"),
+    "_logged_stack_classes" -> ("two classes of NON-FATAL stack traces can appear in bench " +
+      "stderr and have both been root-caused; neither is a failure (rc=0, success line follows). " +
+      "(1) FileStreamSink.hasMetadata FileNotFoundException on glob loads — fixed round 11 at " +
+      "FileTransport.rows (q_swob_ingest note). (2) DAGScheduler 'Failed to update accumulator' " +
+      "/ AccumulatorContext 'garbage collected accumulator' ERRORs: the 5-min periodic GC " +
+      "(spark.cleaner.periodicGC.interval, round-8 disk-hygiene knob) reclaims SQLMetric " +
+      "accumulators of COMPLETED queries while late task-completion events still reference " +
+      "them; Spark logs and continues, task results unaffected. If a captured tail shows a " +
+      "stack, check for the success line after it before treating it as a crash"),
     "q_swob_ingest" -> ("round 11: the three-round 'bench transient' is CAPTURED and CLOSED — " +
       "it was never a failure. Root cause: java.io.FileNotFoundException: File <fixture>/*.xml " +
       "does not exist, thrown by RawLocalFileSystem.getFileStatus on the LITERAL glob string " +

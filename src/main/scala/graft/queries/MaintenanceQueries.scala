@@ -435,12 +435,62 @@ object MaintenanceQueries {
       |FROM m JOIN x USING (timeseries_id)
       |ORDER BY timeseries_id""".stripMargin
 
+  // ---- schema docs generator (SURVEY §2.12) -------------------------
+
+  /** Drift-pin for the schema-reference generator
+    * (`R/generateACDatabaseReference.R`): drives the REAL
+    * [[graft.jobs.SchemaDocs.render]] and, per documented table, emits
+    * the row count parsed out of the rendered HTML tbody alongside the
+    * declared column count, NOT-NULL count, and the canonical
+    * `name:type:nullability` column list. The oracle restates the
+    * whole decision table, so ANY schema or renderer change must
+    * consciously update this row — the "generated from code, cannot
+    * drift" claim enforced by the correctness gate instead of asserted
+    * in a spec. Driver-side work is 8 declared schemas — a rule
+    * dictionary, never data.
+    */
+  private def schemaDocs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.jobs.SchemaDocs
+    val html = SchemaDocs.render()
+    val rows = SchemaDocs.tables.map { case (name, _, schema) =>
+      val section = html.substring(html.indexOf(s"""<section id="$name">"""))
+      val body = section.substring(section.indexOf("<tbody>"), section.indexOf("</tbody>"))
+      val nHtmlRows = "<tr>".r.findAllIn(body).length.toLong
+      val canonical = schema.fields
+        .map(f => s"${f.name}:${f.dataType.simpleString}:${if (f.nullable) "null" else "notnull"}")
+        .mkString("|")
+      (name, schema.fields.length.toLong, schema.fields.count(!_.nullable).toLong,
+        nHtmlRows, canonical)
+    }
+    rows
+      .toDF("table_name", "n_columns", "n_not_null", "n_html_rows", "columns")
+      .orderBy(col("table_name"))
+  }
+
+  private val schemaDocsSql =
+    """SELECT table_name, CAST(n_columns AS BIGINT) AS n_columns,
+      |       CAST(n_not_null AS BIGINT) AS n_not_null,
+      |       CAST(n_html_rows AS BIGINT) AS n_html_rows, columns
+      |FROM (VALUES
+      |  ('audit_log', 7, 5, 7, 'log_id:bigint:notnull|table_name:string:notnull|row_id:bigint:notnull|action:string:notnull|action_ts:timestamp:notnull|old_payload:map<string,string>:null|changed_fields:array<string>:null'),
+      |  ('corrections', 10, 6, 10, 'correction_id:bigint:notnull|timeseries_id:bigint:notnull|start_dt:timestamp:notnull|end_dt:timestamp:notnull|ctype:string:notnull|value1:double:null|value2:double:null|window_seconds:bigint:null|equation:string:null|priority:int:notnull'),
+      |  ('measurements_calculated_daily', 24, 2, 24, 'timeseries_id:bigint:notnull|date:date:notnull|value:double:null|imputed:boolean:null|percent_historic_range:double:null|doy_count:bigint:null|max:double:null|min:double:null|q90:double:null|q75:double:null|q50:double:null|q25:double:null|q10:double:null|mean:double:null|max_30yr:double:null|min_30yr:double:null|q90_30yr:double:null|q75_30yr:double:null|q50_30yr:double:null|q25_30yr:double:null|q10_30yr:double:null|mean_30yr:double:null|percent_historic_range_30yr:double:null|doy_count_30yr:bigint:null'),
+      |  ('measurements_continuous', 9, 5, 9, 'measurement_row_id:bigint:notnull|timeseries_id:bigint:notnull|datetime:timestamp:notnull|value:double:null|period_seconds:bigint:null|imputed:boolean:notnull|no_update:boolean:notnull|created:timestamp:null|modified:timestamp:null'),
+      |  ('qc_segments', 6, 5, 6, 'segment_id:bigint:null|timeseries_id:bigint:notnull|segment_type:string:notnull|value:string:notnull|start_dt:timestamp:notnull|end_dt:timestamp:notnull'),
+      |  ('results', 13, 3, 13, 'result_id:bigint:notnull|sample_id:bigint:notnull|parameter_id:bigint:notnull|sample_fraction:string:null|result:double:null|result_condition:string:null|result_condition_value:double:null|result_value_type:string:null|protocol_method:string:null|laboratory:string:null|analysis_datetime:timestamp:null|share_with:array<string>:null|no_update:boolean:null'),
+      |  ('samples', 14, 2, 14, 'sample_id:bigint:notnull|location_id:bigint:null|sub_location_id:bigint:null|media_id:bigint:null|z:double:null|datetime:timestamp:notnull|target_datetime:timestamp:null|collection_method:string:null|sample_type:string:null|documents:array<bigint>:null|share_with:array<string>:null|import_source:string:null|import_source_id:string:null|no_update:boolean:null'),
+      |  ('timeseries', 21, 2, 21, 'timeseries_id:bigint:notnull|location_id:bigint:null|sub_location_id:bigint:null|parameter_id:bigint:null|media_id:bigint:null|aggregation_type:string:null|z:double:null|timeseries_type:string:null|source_fx:string:null|source_fx_args:map<string,string>:null|record_rate_seconds:bigint:null|start_datetime:timestamp:null|end_datetime:timestamp:null|last_new_data:timestamp:null|active:boolean:notnull|share_with:array<string>:null|default_owner:bigint:null|sensor_priority:int:null|timezone_daily_calc:int:null|sync_remote:boolean:null|publicly_visible:boolean:null')
+      |) AS t(table_name, n_columns, n_not_null, n_html_rows, columns)
+      |ORDER BY table_name""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_unit_convert", unitConvert, Some(unitConvertSql)),
     QueryDef("q_feb29", feb29, Some(feb29Sql)),
     QueryDef("q_upsert", upsert, Some(upsertSql)),
     QueryDef("q_audit_capture", auditCapture, Some(auditCaptureSql)),
     QueryDef("q_tail_trim", tailTrim, Some(tailTrimSql)),
-    QueryDef("q_bounds_maintenance", boundsMaintenance, Some(boundsMaintenanceSql))
+    QueryDef("q_bounds_maintenance", boundsMaintenance, Some(boundsMaintenanceSql)),
+    QueryDef("q_schema_docs", schemaDocs, Some(schemaDocsSql))
   )
 }
