@@ -48,7 +48,9 @@ class DeterminismSpec extends SparkSpec {
     "q_kn_screen",         // persisted-LM-index probe with backoff chain (round 7)
     "q_containment",       // df-capped inverted-index pair join, asymmetric score (round 7)
     "q_epoch_shuffle",     // seeded hash permutation + per-shard rank windows (round 7)
-    "q_temperature_mix"    // sqrt-weight apportionment + hash-rank fill (round 7)
+    "q_temperature_mix",   // sqrt-weight apportionment + hash-rank fill (round 7)
+    "q_qualifier_ranks",   // composite-stream flatMapGroups kernel (round 11)
+    "q_bounds_maintenance" // null-safe extrema merge + broadcast catalog join (round 11)
   )
 
   private def rows(name: String): Seq[String] =
