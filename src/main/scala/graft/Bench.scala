@@ -59,6 +59,10 @@ object Bench {
       "per git): isolated medians 1.35-1.48 s, matching the r10 in-suite 1.41 s; the r9 " +
       "0.91 s was the favorable tail of the same envelope (sf1/sf10 ratios stayed in band " +
       "both rounds) — ambient, no stable regression to bisect"),
+    "q_leakage_split_serve" -> ("warm reps probe the once-per-JVM persisted cluster-label " +
+      "table (CorpusQueries.clusterLabelCache) — this row measures the SERVE path (label scan " +
+      "+ split hash), which is its point; the per-corpus-generation label BUILD cost is the " +
+      "inline q_leakage_split row, and fresh-JVM Verify exercises build+serve every round"),
     "q_import_profile" -> ("warm reps replay a once-per-JVM cached 8-row CRUD result " +
       "(IngestQueries.importLoadedCache) — this row measures the resolve/join path, not the " +
       "upsert/load chain; fresh-JVM Verify exercises the full CRUD path every round"),
