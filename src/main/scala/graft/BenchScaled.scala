@@ -51,7 +51,9 @@ object BenchScaled {
   private def log2ceil(n: Long): Int = math.ceil(math.log(n.toDouble.max(2)) / math.log(2)).toInt
 
   def geometry(nDocs: Long, nVecs: Long): Geometry = {
-    val nCentroids = math.max(16, math.ceil(math.sqrt(nVecs.toDouble)).toInt)
+    // single source for the IVF rule: Similarity.ruleGeometry (also
+    // behind the registered q_ivf_serve_scaled rows)
+    val nCentroids = Similarity.ruleGeometry(nVecs)._1
     val probes = Seq(0.05, 0.10, 0.20)
       .map(f => math.max(4, math.ceil(f * nCentroids).toInt))
       .distinct
@@ -455,6 +457,7 @@ object BenchScaled {
     // refuse to start without headroom for shuffle spill + checkpoints
     val freeGb = TempRoots.freeBytes / (1L << 30)
     require(freeGb >= 15, s"scaled rehearsal needs >=15 GB free, have $freeGb GB")
+    TempRoots.initJvmScratch()
     val spark = SparkSession
       .builder()
       .master(s"local[$cpus]")
@@ -464,6 +467,7 @@ object BenchScaled {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.cleaner.periodicGC.interval", "5min")
+      .config("spark.sql.warehouse.dir", TempRoots.warehouseDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -632,6 +636,14 @@ object BenchScaled {
       ratios.filterNot(r => inlineAnn(r._1)).forall(_._2 < dataRatio) &&
         ratios.find(_._1 == "q_ivf_ann_serve").forall(_._2 <= 30.0)
     )
+    // the excluded build rows' per-unit factors, emitted on their own
+    // so a regression in the inline-ANN build path stays
+    // machine-visible even though criterion_met doesn't bar it
+    // (ADVICE r11: an exemption without its own number is a blind spot)
+    out("inline_ann_build_per_unit") = ratios
+      .filter(r => inlineAnn(r._1))
+      .map { case (q, r) => s""""$q": ${fmt(r / dataRatio)}""" }
+      .mkString("{", ", ", "}")
     flush()
     // the one machine-readable line the driver tail keeps
     println(

@@ -28,7 +28,26 @@ import org.apache.spark.sql.functions._
   *     and component distribution preserved, cross-replica cosine
   *     decorrelated.
   *
-  * Usage: runMain graft.ScaleUp <srcSfDir> <outDir> <factor>
+  * Text perturbation modes (4th arg, default `caesar`):
+  *   - `caesar`: the historical per-replica alphabet rotation. Its
+  *     period is 26, so at factor >= 27 replicas k and k+26 carry
+  *     IDENTICAL text — duplicate density GROWS with the factor
+  *     (~factor/26 exact copies of every document at 100x). That is a
+  *     legitimate dedup workload (the planted duplicates are what the
+  *     pair family must find) but it makes pair-row output quadratic
+  *     in the factor, conflating output volume with engine scaling.
+  *   - `perm`: an independent pseudorandom alphabet PERMUTATION per
+  *     replica (splitmix64-seeded Fisher-Yates; k=0 stays identity).
+  *     No period — any two distinct replicas differ by a random
+  *     substitution, cross-replica shingle overlap is noise at EVERY
+  *     factor, so duplicate density (and with it the true pair count)
+  *     stays CONSTANT as the factor grows. Token boundaries, lengths
+  *     and counts are preserved exactly like caesar. This is the
+  *     constant-density leg that separates "output got quadratically
+  *     bigger" from "the engine scaled superlinearly" (VERDICT r11
+  *     item 3).
+  *
+  * Usage: runMain graft.ScaleUp <srcSfDir> <outDir> <factor> [caesar|perm]
   */
 object ScaleUp {
 
@@ -39,10 +58,41 @@ object ScaleUp {
   private def span(df: DataFrame, c: String): Long =
     df.agg(coalesce(max(col(c)), lit(0L))).head().getLong(0) + 1L
 
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Replica k's lowercase-alphabet image under the chosen mode. */
+  private[graft] def replicaAlphabet(mode: String, k: Int): String = {
+    val alphabet = "abcdefghijklmnopqrstuvwxyz"
+    mode match {
+      case "caesar" => alphabet.drop(k % 26) + alphabet.take(k % 26)
+      case "perm" =>
+        if (k == 0) alphabet
+        else {
+          val a = alphabet.toCharArray
+          var i = a.length - 1
+          while (i >= 1) {
+            val j = java.lang.Long.remainderUnsigned(mix64(k.toLong * 31L + i), i + 1L).toInt
+            val t = a(i); a(i) = a(j); a(j) = t
+            i -= 1
+          }
+          new String(a)
+        }
+      case other => throw new IllegalArgumentException(s"unknown text mode '$other' (caesar|perm)")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: ScaleUp <srcSfDir> <outDir> <factor>")
+    require(args.length == 3 || args.length == 4, "usage: ScaleUp <srcSfDir> <outDir> <factor> [caesar|perm]")
     val (src, out, factor) = (args(0), args(1), args(2).toInt)
+    val textMode = if (args.length == 4) args(3) else "caesar"
+    replicaAlphabet(textMode, 1) // validate the mode before any work
     require(factor >= 1)
+    TempRoots.initJvmScratch()
     val spark = SparkSession
       .builder()
       .master(s"local[${math.min(Runtime.getRuntime.availableProcessors, 32)}]")
@@ -51,6 +101,7 @@ object ScaleUp {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir", TempRoots.warehouseDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -93,13 +144,13 @@ object ScaleUp {
     val alphabet = "abcdefghijklmnopqrstuvwxyz"
     wr(
       replicas { k =>
-        // rotate BOTH cases: tokenizers lowercase first, so an
-        // unrotated uppercase letter would leak cross-replica overlap
-        val rot = alphabet.drop(k % 26) + alphabet.take(k % 26)
+        // map BOTH cases: tokenizers lowercase first, so an
+        // unmapped uppercase letter would leak cross-replica overlap
+        val img = replicaAlphabet(textMode, k)
         shifted(documents, Map("doc_id" -> dSpan), k)
           .withColumn(
             "text",
-            translate(col("text"), alphabet + alphabet.toUpperCase, rot + rot.toUpperCase)
+            translate(col("text"), alphabet + alphabet.toUpperCase, img + img.toUpperCase)
           )
       },
       "documents",

@@ -31,6 +31,25 @@ object TempRoots {
   def newDir(prefix: String): java.nio.file.Path =
     java.nio.file.Files.createTempDirectory(root, prefix)
 
+  /** Where every engine-owned SparkSession points
+    * `spark.sql.warehouse.dir` — by default Spark creates
+    * `spark-warehouse/` in user.dir (the repo root), outside the
+    * cleaned scratch tree.
+    */
+  def warehouseDir: String = root.resolve("spark-warehouse").toString
+
+  /** JVM-wide scratch redirection, called by every entry point
+    * (Bench/Verify/BenchScaled/ScaleUp/specs) before the first Derby
+    * or Spark use: embedded Derby writes `derby.log` to user.dir
+    * unless `derby.stream.error.file` says otherwise. State
+    * accumulating outside [[root]] is invisible to `sbt clean` and is
+    * exactly the slow systemic cost the bench-noise postmortems go
+    * looking for (VERDICT r11 item 5).
+    */
+  def initJvmScratch(): Unit =
+    if (!sys.props.contains("derby.stream.error.file"))
+      sys.props("derby.stream.error.file") = root.resolve("derby.log").toString
+
   /** Free bytes on the filesystem holding [[root]] — rehearsal-scale
     * runs check this before generating multi-GB fixtures (round 8's
     * sf10 attempts died twice to a filled disk with no diagnosis).

@@ -505,6 +505,34 @@ object Dedup {
       .filter(_.metadata.contains(ReplicasKey))
       .map(_.metadata.getLong(ReplicasKey))
 
+  /** Multi-assignment resolution for a probe over a prebuilt index:
+    * a stamped index is authoritative (replicas > 1 means candidates
+    * MUST dedup). The one disagreement a stamp cannot adjudicate is an
+    * EXPLICIT multiAssigned=true against a replicas=1 stamp — e.g. an
+    * index externally unioned with extra assignments after the build —
+    * where silently preferring the stamp would make the caller's flag
+    * a no-op and skip a dedup the caller asked for. That case throws:
+    * rebuild with the intended corpusReplicas (the stamp then carries
+    * it) or drop the flag.
+    */
+  private[ml] def effectiveMultiAssigned(
+      index: DataFrame,
+      colName: String,
+      multiAssigned: Boolean,
+      what: String
+  ): Boolean =
+    indexReplicas(index, colName) match {
+      case Some(r) =>
+        require(
+          !(multiAssigned && r <= 1L),
+          s"$what index stamps replicas=$r but multiAssigned=true was passed — the stamp " +
+            "says single-assignment, so either it is stale (rebuild the index with the " +
+            "intended corpusReplicas) or the flag is wrong; refusing to silently ignore it"
+        )
+        r > 1L
+      case None => multiAssigned
+    }
+
   private[ml] def indexGeometry(index: DataFrame, cols: Seq[String]): Option[Long] =
     cols.iterator
       .flatMap(c =>

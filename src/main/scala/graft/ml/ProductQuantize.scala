@@ -239,7 +239,7 @@ object ProductQuantize {
       pqGeomFingerprint(m, k, pqSeed, nCentroids, coarseSeed, dim, coarseCodebook),
       "IVF-PQ"
     )
-    val effMulti = Dedup.indexReplicas(index, "cluster").map(_ > 1L).getOrElse(multiAssigned)
+    val effMulti = Dedup.effectiveMultiAssigned(index, "cluster", multiAssigned, "IVF-PQ")
     ivfPqProbe(emb, idCol, vecCol, queryPred, index, kNN, m, k, pqSeed, nCentroids, nProbe,
       coarseSeed, dim, coarseCodebook, effMulti)
   }

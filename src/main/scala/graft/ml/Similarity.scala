@@ -369,6 +369,21 @@ object Similarity {
     * fingerprint discipline as [[Dedup.buildClusterIndex]], so probing
     * with a mismatched codebook fails loudly.
     */
+  /** The corpus-derived IVF geometry rule the scaled rehearsals
+    * measure under (`BENCH_SF10_SCALED.json.rule`): sqrt-n coarse
+    * lists (list length ~ sqrt n, so probe cost per query ~
+    * nProbe*sqrt n stays sublinear at any corpus size), probing 10 %
+    * of the lists — the middle level of the rehearsal's measured
+    * recall curve (recall@5 ~0.84 at both 2k and 200k vectors).
+    * Registered rule-geometry rows (q_ivf_serve_scaled /
+    * q_ivf_pq_serve_scaled) and the rehearsal derive from here so the
+    * rule has exactly one definition.
+    */
+  def ruleGeometry(nVecs: Long): (Int, Int) = {
+    val nCentroids = math.max(16, math.ceil(math.sqrt(nVecs.toDouble)).toInt)
+    (nCentroids, math.max(4, math.ceil(0.10 * nCentroids).toInt))
+  }
+
   def buildIvfIndex(
       emb: DataFrame,
       idCol: String,
@@ -431,7 +446,10 @@ object Similarity {
     * Whether the index is multi-assigned is DERIVED from the replica
     * count [[buildIvfIndex]] stamps on the `cluster` column (metadata
     * survives parquet persistence); the `multiAssigned` parameter is
-    * only consulted for hand-built index frames that carry no stamp.
+    * only consulted for hand-built index frames that carry no stamp,
+    * and an explicit `multiAssigned=true` against a replicas=1 stamp
+    * throws rather than being silently ignored
+    * ([[Dedup.effectiveMultiAssigned]]).
     * Deriving closes the silent-wrong-results hole where a
     * corpusReplicas>1 index probed with the default flag passed the
     * geometry guard yet skipped candidate dedup, so one neighbor
@@ -457,7 +475,7 @@ object Similarity {
       Dedup.clusterGeomFingerprint(nCentroids, seed, dim, codebook),
       "IVF"
     )
-    val effMulti = Dedup.indexReplicas(index, "cluster").map(_ > 1L).getOrElse(multiAssigned)
+    val effMulti = Dedup.effectiveMultiAssigned(index, "cluster", multiAssigned, "IVF")
     ivfProbe(emb, idCol, vecCol, queryPred, index, k, nCentroids, nProbe, seed, dim,
       codebook, effMulti)
   }

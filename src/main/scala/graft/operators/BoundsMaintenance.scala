@@ -63,13 +63,35 @@ object BoundsMaintenance {
     * series), replacing the stored bounds on every 'basic' catalog
     * row. The delete/update triggers route here; an insert-only path
     * uses the cheaper [[mergeInsertBounds]].
+    *
+    * Column contract: `catalog` carries (timeseries_id,
+    * timeseries_type, start_datetime, end_datetime); `continuous`
+    * carries (timeseries_id, datetime); `daily` carries
+    * (timeseries_id, datetime) OR the daily table's native
+    * (timeseries_id, date) — a `date`-typed column is cast to a UTC
+    * midnight timestamp inside, matching the reference's
+    * `date::timestamp AT TIME ZONE 'UTC'` in patch_41.
+    *
+    * Cardinality: unlike [[mergeInsertBounds]]' batch-touched-series
+    * aggregate, this aggregate has one row per series WITH DATA —
+    * catalog-sized, potentially millions of rows at the 100 TB
+    * target. No broadcast hint here for that reason: the join keys
+    * match, and AQE picks broadcast when the aggregate measures small
+    * and a shuffle join when it doesn't.
     */
   def refreshBasicBounds(catalog: DataFrame, continuous: DataFrame, daily: DataFrame): DataFrame = {
+    val dailyTs =
+      if (daily.columns.contains("datetime")) daily
+      else
+        // date -> midnight timestamp in the session timezone; engine
+        // sessions here pin spark.sql.session.timeZone=UTC, so this is
+        // the reference's `date::timestamp AT TIME ZONE 'UTC'`
+        daily.withColumn("datetime", col("date").cast("timestamp"))
     def bounds(df: DataFrame, s: String, e: String) =
       df.groupBy(col("timeseries_id"))
         .agg(min(col("datetime")).as(s), max(col("datetime")).as(e))
     val b = bounds(continuous, "__rs", "__re")
-      .join(bounds(daily, "__ds", "__de"), Seq("timeseries_id"), "full")
+      .join(bounds(dailyTs, "__ds", "__de"), Seq("timeseries_id"), "full")
       // Spark least/greatest skip NULLs (null only when all inputs
       // are), mirroring the reference's MIN/MAX-over-VALUES shape
       .select(
@@ -79,7 +101,7 @@ object BoundsMaintenance {
       )
     val basic = col("timeseries_type") === "basic"
     catalog
-      .join(broadcast(b), Seq("timeseries_id"), "left")
+      .join(b, Seq("timeseries_id"), "left")
       .withColumn("start_datetime", when(basic, col("__bs")).otherwise(col("start_datetime")))
       .withColumn("end_datetime", when(basic, col("__be")).otherwise(col("end_datetime")))
       .drop("__bs", "__be")

@@ -638,8 +638,114 @@ object LifecycleQueries {
       |GROUP BY t.series_key, t.date, t.value
       |ORDER BY t.series_key, t.date""".stripMargin
 
+  // ---- corrected read path, end to end (SURVEY §3.2) ----------------
+
+  /** The composition `measurements_continuous_corrected(tsid, from,
+    * to, stat, step)` actually serves (`inst/patches/patch_44.R:
+    * 1904-2073` composed with the patch_41 compound resolver): ONE
+    * call through [[graft.operators.CorrectedReader.read]] resolving
+    * an expression compound whose anchor member carries its own
+    * correction, applying the compound's OWN two-correction fold
+    * (patch_41.R:1487-1502), windowing, and resampling to 6-hour
+    * bins with explicit empty bins. Every constituent operator is
+    * individually oracle-green (q_expression_compound, q_corrections,
+    * q_resample); this row pins the COMPOSITION — the driver-time
+    * compound resolution producing one Catalyst plan end to end —
+    * the way q_daily_update_e2e pins §3.1.
+    *
+    * Fixture series (from events): tsid 1 = hourly avg of clicks
+    * ("temp", scale-corrected), tsid 2 = hourly avg of views
+    * ("cond", correction-free fast path); tsid 10 = the reference's
+    * own fixture expression over the two (R/create_test_DB.R:856-861)
+    * with an offset then a scale correction of its own.
+    */
+  private def correctedReadE2e(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.CorrectedReader
+    import graft.operators.CorrectedReader.{Catalog, CompoundDef, Member}
+    val e = TestTables.events(s, d)
+    def hourly(etype: String, tsid: Long): DataFrame =
+      e.filter(col("event_type") === etype)
+        .groupBy(date_trunc("hour", col("ts")).as("datetime"))
+        .agg(avg(col("value")).as("value"))
+        .select(lit(tsid).as("timeseries_id"), col("datetime"), col("value"))
+    import s.implicits._
+    val corrections = Seq(
+      // member series 1: a scale over most of the window
+      (1L, 1L, "2024-01-03 00:00:00", "2024-01-25 00:00:00", "scale", Some(110.0), Option.empty[Double], Option.empty[Long], Option.empty[String], 1),
+      // the compound's OWN corrections: offset then scale (fold order
+      // = (priority, correction_id) asc)
+      (2L, 10L, "2024-01-08 00:00:00", "2024-01-16 00:00:00", "offset_linear", Some(0.5), None, None, None, 1),
+      (3L, 10L, "2024-01-12 00:00:00", "2024-01-20 00:00:00", "scale", Some(90.0), None, None, None, 2)
+    ).toDF("correction_id", "timeseries_id", "start_s", "end_s", "ctype", "value1", "value2", "window_seconds", "equation", "priority")
+      .withColumn("start_dt", to_timestamp(col("start_s")))
+      .withColumn("end_dt", to_timestamp(col("end_s")))
+      .drop("start_s", "end_s")
+    val cat = Catalog(
+      measurements = hourly("click", 1L).unionByName(hourly("view", 2L)),
+      corrections = corrections,
+      compounds = Map(
+        10L -> CompoundDef(
+          // the reference's own fixture expression (R/create_test_DB.R:856-861)
+          Some("cond / (1 + 0.0191 * (temp - 25))"),
+          Seq(Member("temp", 1L, priority = 1), Member("cond", 2L, priority = 2))
+        )
+      ),
+      correctedSeriesIds = Set(1L, 10L)
+    )
+    CorrectedReader
+      .read(cat, 10L, from = "2024-01-05 00:00:00", to = "2024-01-28 00:00:00",
+        resampleSeconds = Some(21600L), resampleStatistic = "mean")
+      .select(
+        unix_micros(col("datetime")).as("bin_us"),
+        round(col("value"), 4).as("value"),
+        col("n"),
+        col("period_seconds")
+      )
+      .orderBy(col("bin_us"))
+  }
+
+  private val correctedReadE2eSql =
+    """WITH m1 AS (
+      |  SELECT date_trunc('hour', ts) AS datetime, avg(value) AS value
+      |  FROM events WHERE event_type = 'click' GROUP BY 1
+      |), m2 AS (
+      |  SELECT date_trunc('hour', ts) AS datetime, avg(value) AS value
+      |  FROM events WHERE event_type = 'view' GROUP BY 1
+      |), m1c AS (
+      |  SELECT datetime,
+      |         CASE WHEN datetime >= TIMESTAMP '2024-01-03' AND datetime <= TIMESTAMP '2024-01-25'
+      |              THEN value * 110.0 / 100.0 ELSE value END AS value
+      |  FROM m1
+      |), comp AS (
+      |  SELECT t.datetime, c.value / (1 + 0.0191 * (t.value - 25)) AS value
+      |  FROM m1c t JOIN m2 c USING (datetime)
+      |), compc AS (
+      |  SELECT datetime,
+      |         CASE WHEN datetime >= TIMESTAMP '2024-01-12' AND datetime <= TIMESTAMP '2024-01-20'
+      |              THEN w1 * 90.0 / 100.0 ELSE w1 END AS value
+      |  FROM (SELECT datetime,
+      |               CASE WHEN datetime >= TIMESTAMP '2024-01-08' AND datetime <= TIMESTAMP '2024-01-16'
+      |                    THEN value + 0.5 ELSE value END AS w1
+      |        FROM comp)
+      |), bins AS (
+      |  SELECT range AS bin_ts
+      |  FROM range(TIMESTAMP '2024-01-05', TIMESTAMP '2024-01-28', INTERVAL 6 HOUR)
+      |), aggs AS (
+      |  SELECT TIMESTAMP '2024-01-05'
+      |           + INTERVAL 6 HOUR * CAST(floor(epoch(datetime - TIMESTAMP '2024-01-05') / 21600.0) AS BIGINT) AS bin_ts,
+      |         avg(value) AS value, count(value) AS n
+      |  FROM compc
+      |  WHERE datetime >= TIMESTAMP '2024-01-05' AND datetime < TIMESTAMP '2024-01-28'
+      |  GROUP BY 1
+      |)
+      |SELECT epoch_us(b.bin_ts) AS bin_us, round(a.value, 4) AS value,
+      |       coalesce(a.n, 0) AS n, CAST(21600 AS BIGINT) AS period_seconds
+      |FROM bins b LEFT JOIN aggs a USING (bin_ts)
+      |ORDER BY bin_us""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_daily_update_e2e", dailyUpdateE2e, Some(dailyUpdateE2eSql), headline = true),
+    QueryDef("q_corrected_read_e2e", correctedReadE2e, Some(correctedReadE2eSql), headline = true),
     QueryDef("q_asof_snapshot", asOfSnapshot, Some(asOfSnapshotSql)),
     QueryDef("q_corrected_asof", correctedAsOf, Some(correctedAsOfSql)),
     QueryDef("q_compound_closure", compoundClosure, Some(compoundClosureSql)),

@@ -1481,6 +1481,73 @@ object TextMlQueries {
     QueryDef("q_ivf_pq_ann", ivfPqAnn, Some(ivfPqAnnSql)),
     QueryDef("q_ivf_pq_ann_serve", ivfPqAnnServe, Some(ivfPqAnnSql)),
     QueryDef("q_multimodal_features", multimodalFeatures, Some(multimodalFeaturesSql)),
-    QueryDef("q_frame_sample", frameSample, Some(frameSampleSql))
+    QueryDef("q_frame_sample", frameSample, Some(frameSampleSql)),
+    QueryDef("q_ivf_serve_scaled", ivfServeScaled, None),
+    QueryDef("q_ivf_pq_serve_scaled", ivfPqServeScaled, None)
   )
+
+  // ---- rule-geometry serve twins (rows-only) ------------------------
+
+  /** q_ivf_ann_serve at CORPUS-DERIVED geometry instead of the
+    * 16-list literal its oracle freezes: nCentroids/nProbe from
+    * [[Similarity.ruleGeometry]] (sqrt-n lists, 10 % probe) and a
+    * ~constant ~200-query workload (`vec_id % max(1, n/200) = 0`) —
+    * the exact configuration the scaled rehearsals measure, registered
+    * so the sf1/sf10 artifacts carry these rows DIRECTLY instead of
+    * excluding the frozen-geometry twins with a pointer at
+    * BENCH_SF10_SCALED.json. No SQL oracle: the geometry depends on
+    * the corpus count, which SQL literals can't follow — the driver's
+    * rows/schema check plus the frozen-geometry twin's full hash
+    * oracle (same code path, ivfTopKIndexed) cover it.
+    */
+  private def ivfServeScaled(s: SparkSession, d: String): DataFrame = {
+    val emb = TestTables.embeddings(s, d)
+    val nVecs = emb.count()
+    val (nc, np) = Similarity.ruleGeometry(nVecs)
+    val queryMod = math.max(1L, nVecs / 200L)
+    val dir = graft.TempRoots.newDir("graft-ivfservescaled").toString
+    Similarity
+      .buildIvfIndex(emb, "vec_id", "embedding", nCentroids = nc)
+      .write
+      .mode("overwrite")
+      .parquet(dir)
+    val out = Similarity
+      .ivfTopKIndexed(
+        emb, "vec_id", "embedding",
+        queryPred = col("vec_id") % queryMod === 0,
+        index = s.read.parquet(dir),
+        k = 5, nCentroids = nc, nProbe = np
+      )
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+      .localCheckpoint(true)
+    rmTree(dir)
+    out
+  }
+
+  /** q_ivf_pq_ann_serve at rule geometry — see [[ivfServeScaled]]. */
+  private def ivfPqServeScaled(s: SparkSession, d: String): DataFrame = {
+    val emb = TestTables.embeddings(s, d)
+    val nVecs = emb.count()
+    val (nc, np) = Similarity.ruleGeometry(nVecs)
+    val queryMod = math.max(1L, nVecs / 200L)
+    val dir = graft.TempRoots.newDir("graft-ivfpqservescaled").toString
+    graft.ml.ProductQuantize
+      .buildIvfPqIndex(emb, "vec_id", "embedding", m = PqM, k = PqK, pqSeed = PqSeed, nCentroids = nc)
+      .write
+      .mode("overwrite")
+      .parquet(dir)
+    val out = graft.ml.ProductQuantize
+      .ivfPqTopKIndexed(
+        emb, "vec_id", "embedding",
+        queryPred = col("vec_id") % queryMod === 0,
+        index = s.read.parquet(dir),
+        kNN = 5, m = PqM, k = PqK, pqSeed = PqSeed, nCentroids = nc, nProbe = np
+      )
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("adc"), 4).as("adc"))
+      .orderBy(col("query_id"), col("rank"))
+      .localCheckpoint(true)
+    rmTree(dir)
+    out
+  }
 }

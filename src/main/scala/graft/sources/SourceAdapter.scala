@@ -117,18 +117,39 @@ object FileTransport extends Transport {
       // FileNotFoundException, which Spark WARN-logs with the full
       // calling-thread stack and swallows (FileStreamSink.scala:58,
       // Spark 4.1.2). Benign, but the stack pollutes log captures — it
-      // masqueraded as a "bench transient" for three rounds. A glob
-      // confined to the final path segment is equivalent to listing the
-      // parent directory with `pathGlobFilter`, which stats a real
-      // directory and probes silently.
+      // masqueraded as a "bench transient" for three rounds.
+      //
+      // A glob confined to the final path segment is expanded HERE to
+      // its direct children and the explicit file list passed to
+      // load(): hasMetadata then stats only real paths (silent probe),
+      // the literal glob's discovery scope is preserved exactly — no
+      // descent into nested subdirectories the way a
+      // load(dir)+pathGlobFilter listing would, no partition-column
+      // inference surprises — and an empty match stays LOUD (the
+      // round-11 pathGlobFilter rewrite returned silently-empty under
+      // a user-supplied schema where the literal glob had failed).
       def hasGlob(s: String) = s.exists(c => c == '*' || c == '?' || c == '[' || c == '{')
       val slash = locator.lastIndexOf('/')
       val (dir, leaf) =
         if (slash > 0) (locator.substring(0, slash), locator.substring(slash + 1))
         else ("", locator)
-      if (slash > 0 && hasGlob(leaf) && !hasGlob(dir) && !options.contains("pathGlobFilter"))
-        reader.option("pathGlobFilter", leaf).load(dir)
-      else reader.load(locator)
+      if (slash > 0 && hasGlob(leaf) && !hasGlob(dir)) {
+        val dirPath = java.nio.file.Paths.get(dir)
+        val matcher = dirPath.getFileSystem.getPathMatcher(s"glob:$leaf")
+        val listing = java.nio.file.Files.list(dirPath) // missing dir throws, like the literal glob
+        val matched =
+          try {
+            import scala.jdk.CollectionConverters._
+            listing.iterator().asScala
+              .filter(p => matcher.matches(p.getFileName))
+              .map(_.toString)
+              .toArray
+              .sorted
+          } finally listing.close()
+        if (matched.isEmpty)
+          throw new java.io.FileNotFoundException(s"no files match glob $locator")
+        reader.load(matched.toIndexedSeq: _*)
+      } else reader.load(locator)
     }
   }
 }

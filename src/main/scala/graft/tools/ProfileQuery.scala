@@ -11,6 +11,7 @@ object ProfileQuery {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    graft.TempRoots.initJvmScratch()
     val spark = SparkSession
       .builder()
       .master("local[32]")
@@ -19,6 +20,7 @@ object ProfileQuery {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.warehouse.dir", graft.TempRoots.warehouseDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()

@@ -259,6 +259,19 @@ class MlSpec extends SparkSpec {
           .collect()
       }
       assert(e.getMessage.contains("geometry mismatch"))
+      // the reverse disagreement: an explicit multiAssigned=true
+      // against a replicas=1 stamp must throw, not silently become a
+      // no-op (the stamp can't know about externally-added assignments)
+      if (r == 1) {
+        val e2 = intercept[IllegalArgumentException] {
+          Similarity
+            .ivfTopKIndexed(emb, "vec_id", "embedding", pred,
+              spark.read.parquet(path), k = 5, nCentroids = 40, nProbe = 6,
+              codebook = Some(cb), multiAssigned = true)
+            .collect()
+        }
+        assert(e2.getMessage.contains("replicas=1"))
+      }
     }
   }
 

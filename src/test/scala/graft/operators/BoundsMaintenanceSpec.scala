@@ -67,6 +67,21 @@ class BoundsMaintenanceSpec extends SparkSpec {
     assert(out(4) == ((5L, ts("2024-05-01 00:00:00"), ts("2024-05-01 00:00:00"))))
   }
 
+  test("refreshBasicBounds: accepts the daily table's native date column (UTC midnight cast)") {
+    val dailyNative = Seq(
+      (1L, java.sql.Date.valueOf("2023-12-01")),
+      (5L, java.sql.Date.valueOf("2024-05-01"))
+    ).toDF("timeseries_id", "date")
+    val out = BoundsMaintenance
+      .refreshBasicBounds(catalog, batch, dailyNative)
+      .orderBy("timeseries_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2), r.getTimestamp(3)))
+    // identical to the datetime-column variant above
+    assert(out(0) == ((1L, ts("2023-12-01 00:00:00"), ts("2024-02-01 00:00:00"))))
+    assert(out(4) == ((5L, ts("2024-05-01 00:00:00"), ts("2024-05-01 00:00:00"))))
+  }
+
   test("plan: the batch aggregate broadcasts; the catalog never shuffles") {
     val out = BoundsMaintenance.mergeInsertBounds(catalog, batch, lit(ts("2024-07-01 00:00:00")))
     out.collect()

@@ -73,4 +73,25 @@ class TransportSpec extends SparkSpec {
     assert(out.length == 1 && out(0).getAs[Double]("value") == 7.25)
     assert(recording.calls.toList == List(("jdbc", url)))
   }
+
+  test("glob locators keep the literal glob's scope: direct children only, empty match loud") {
+    val dir = graft.TempRoots.newDir("transport-glob").toString
+    def put(rel: String): Unit = {
+      val p = java.nio.file.Paths.get(s"$dir/$rel")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, "a,b\n1,2\n".getBytes("UTF-8"))
+    }
+    put("one.csv")
+    put("two.csv")
+    put("nested/three.csv") // matches *.csv by leaf name but is NOT a direct child
+    val out = FileTransport.rows(
+      spark, s"$dir/*.csv", "csv", Map("header" -> "true", "inferSchema" -> "true"))
+    assert(out.count() == 2, "a trailing-segment glob must not descend into subdirectories")
+    // empty match fails loudly even under a user-supplied schema (the
+    // silent-empty case the round-11 pathGlobFilter rewrite introduced)
+    val ex = intercept[java.io.FileNotFoundException] {
+      FileTransport.rows(spark, s"$dir/*.xml", "csv", Map("schema" -> "a INT, b INT"))
+    }
+    assert(ex.getMessage.contains("*.xml"))
+  }
 }
