@@ -50,7 +50,10 @@ class DeterminismSpec extends SparkSpec {
     "q_epoch_shuffle",     // seeded hash permutation + per-shard rank windows (round 7)
     "q_temperature_mix",   // sqrt-weight apportionment + hash-rank fill (round 7)
     "q_qualifier_ranks",   // composite-stream flatMapGroups kernel (round 11)
-    "q_bounds_maintenance" // null-safe extrema merge + broadcast catalog join (round 11)
+    "q_bounds_maintenance", // null-safe extrema merge + broadcast catalog join (round 11)
+    "q_corrected_read_e2e", // compound resolve + correction fold + resample composition (round 12)
+    "q_ivf_serve_scaled",  // count-derived geometry + quantized-margin rank over probe join (round 12)
+    "q_ivf_pq_serve_scaled" // count-derived geometry + ADC rank over probe join (round 12)
   )
 
   private def rows(name: String): Seq[String] =
