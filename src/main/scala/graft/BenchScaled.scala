@@ -61,7 +61,7 @@ object BenchScaled {
     Geometry(
       nDocs = nDocs,
       nVecs = nVecs,
-      nPlanes = math.max(8, log2ceil(nVecs)),
+      nPlanes = Similarity.rulePlanes(nVecs),
       nCentroids = nCentroids,
       probeLevels = probes,
       nBands = nBands,

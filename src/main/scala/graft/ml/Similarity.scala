@@ -384,6 +384,15 @@ object Similarity {
     (nCentroids, math.max(4, math.ceil(0.10 * nCentroids).toInt))
   }
 
+  /** The LSH-bucket half of the same rule: nPlanes = max(8, ceil(log2
+    * nVecs)), so the 2^nPlanes bucket space tracks the corpus and
+    * expected bucket occupancy — with it candidate pairs per bucket —
+    * stays O(1) as n grows (a FROZEN plane count gives candidates ~
+    * n²/2^planes, §scale-rehearsal notes).
+    */
+  def rulePlanes(nVecs: Long): Int =
+    math.max(8, math.ceil(math.log(nVecs.toDouble.max(2)) / math.log(2)).toInt)
+
   def buildIvfIndex(
       emb: DataFrame,
       idCol: String,

@@ -1483,7 +1483,8 @@ object TextMlQueries {
     QueryDef("q_multimodal_features", multimodalFeatures, Some(multimodalFeaturesSql)),
     QueryDef("q_frame_sample", frameSample, Some(frameSampleSql)),
     QueryDef("q_ivf_serve_scaled", ivfServeScaled, None),
-    QueryDef("q_ivf_pq_serve_scaled", ivfPqServeScaled, None)
+    QueryDef("q_ivf_pq_serve_scaled", ivfPqServeScaled, None),
+    QueryDef("q_ann_lsh_scaled", annLshScaled, None)
   )
 
   // ---- rule-geometry serve twins (rows-only) ------------------------
@@ -1523,6 +1524,28 @@ object TextMlQueries {
       .localCheckpoint(true)
     rmTree(dir)
     out
+  }
+
+  /** q_ann_lsh at rule geometry — see [[ivfServeScaled]]: nPlanes from
+    * [[Similarity.rulePlanes]] (2^planes buckets track the corpus, so
+    * per-bucket candidate pairs stay O(1)) instead of the 12-plane
+    * oracle literal, constant ~200-query workload. Retires the last
+    * frozen-geometry ANN row whose scale story lived only in
+    * BENCH_SF10_SCALED.json.
+    */
+  private def annLshScaled(s: SparkSession, d: String): DataFrame = {
+    val emb = TestTables.embeddings(s, d)
+    val nVecs = emb.count()
+    val queryMod = math.max(1L, nVecs / 200L)
+    Similarity
+      .annTopK(
+        emb, "vec_id", "embedding",
+        queryPred = col("vec_id") % queryMod === 0,
+        k = 5,
+        nPlanes = Similarity.rulePlanes(nVecs)
+      )
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
   }
 
   /** q_ivf_pq_ann_serve at rule geometry — see [[ivfServeScaled]]. */

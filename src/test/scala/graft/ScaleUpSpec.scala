@@ -37,4 +37,10 @@ class ScaleUpSpec extends AnyFunSuite {
     assert(graft.ml.Similarity.ruleGeometry(2000L) == ((45, 5)))
     assert(graft.ml.Similarity.ruleGeometry(200000L) == ((448, 45)))
   }
+
+  test("rulePlanes: bucket space tracks the corpus, floor 8") {
+    assert(graft.ml.Similarity.rulePlanes(100L) == 8)
+    assert(graft.ml.Similarity.rulePlanes(2000L) == 11)
+    assert(graft.ml.Similarity.rulePlanes(200000L) == 18)
+  }
 }
