@@ -390,8 +390,14 @@ object Similarity {
     * stays O(1) as n grows (a FROZEN plane count gives candidates ~
     * n²/2^planes, §scale-rehearsal notes).
     */
-  def rulePlanes(nVecs: Long): Int =
-    math.max(8, math.ceil(math.log(nVecs.toDouble.max(2)) / math.log(2)).toInt)
+  def rulePlanes(nVecs: Long): Int = {
+    // integer-exact ceil(log2 n) via bit length — the float form
+    // (ceil(log(n)/log(2))) can land a ulp high at exact powers of
+    // two, and the DuckDB oracle restates this same bit-length
+    // arithmetic, so both engines agree at every n
+    val n = math.max(2L, nVecs)
+    math.max(8, 64 - java.lang.Long.numberOfLeadingZeros(n - 1))
+  }
 
   def buildIvfIndex(
       emb: DataFrame,

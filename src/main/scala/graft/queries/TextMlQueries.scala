@@ -1482,9 +1482,9 @@ object TextMlQueries {
     QueryDef("q_ivf_pq_ann_serve", ivfPqAnnServe, Some(ivfPqAnnSql)),
     QueryDef("q_multimodal_features", multimodalFeatures, Some(multimodalFeaturesSql)),
     QueryDef("q_frame_sample", frameSample, Some(frameSampleSql)),
-    QueryDef("q_ivf_serve_scaled", ivfServeScaled, None),
-    QueryDef("q_ivf_pq_serve_scaled", ivfPqServeScaled, None),
-    QueryDef("q_ann_lsh_scaled", annLshScaled, None)
+    QueryDef("q_ivf_serve_scaled", ivfServeScaled, Some(ivfServeScaledSql)),
+    QueryDef("q_ivf_pq_serve_scaled", ivfPqServeScaled, Some(ivfPqServeScaledSql)),
+    QueryDef("q_ann_lsh_scaled", annLshScaled, Some(annLshScaledSql))
   )
 
   // ---- rule-geometry serve twins (rows-only) ------------------------
@@ -1496,10 +1496,14 @@ object TextMlQueries {
     * the exact configuration the scaled rehearsals measure, registered
     * so the sf1/sf10 artifacts carry these rows DIRECTLY instead of
     * excluding the frozen-geometry twins with a pointer at
-    * BENCH_SF10_SCALED.json. No SQL oracle: the geometry depends on
-    * the corpus count, which SQL literals can't follow — the driver's
-    * rows/schema check plus the frozen-geometry twin's full hash
-    * oracle (same code path, ivfTopKIndexed) cover it.
+    * BENCH_SF10_SCALED.json. Full hash oracle despite the
+    * corpus-derived geometry: [[Similarity.hyperplanes]] is
+    * element-stable in the plane count (component (i,j) depends only
+    * on (i,j,seed)), so [[ivfServeScaledSql]] inlines the first
+    * [[DynMaxCentroids]] centroids as literals and SLICES to the
+    * nCentroids it derives from `count(*)` in SQL — the oracle follows
+    * the rule at any corpus size up to the inlined budget and error()s
+    * loudly beyond it.
     */
   private def ivfServeScaled(s: SparkSession, d: String): DataFrame = {
     val emb = TestTables.embeddings(s, d)
@@ -1572,5 +1576,189 @@ object TextMlQueries {
       .localCheckpoint(true)
     rmTree(dir)
     out
+  }
+
+  // ---- dynamic-geometry oracles for the rule-geometry twins ---------
+  //
+  // The twins derive nCentroids/nProbe/nPlanes from the corpus count at
+  // runtime, which a static SQL string can follow because every
+  // generated constant family is element-stable in its count parameter:
+  // hyperplanes(n, dim, seed)(i)(j) depends only on (i, j, seed), so
+  // plane/centroid number i is the SAME array whether the engine asked
+  // for 9 planes or 32. The oracle inlines the first DynMax* constants
+  // as literals, computes the rule geometry from count(*) in SQL
+  // (integer-exact: bit-length for ceil-log2, and the same IEEE-double
+  // ceil(sqrt)/ceil(0.1*nc) ops the Scala rule performs), slices the
+  // literal list to the derived size, and error()s loudly if the corpus
+  // ever outgrows the inlined budget instead of silently truncating.
+
+  /** Inlined-literal budget: 64 centroids covers any corpus up to
+    * 64² = 4096 vectors under the √n rule (gate corpora are 500,
+    * sf0.1 is 2000); 32 planes covers 2³² vectors under the log2 rule.
+    */
+  private val DynMaxCentroids = 64
+  private val DynMaxPlanes = 32
+
+  /** Corpus-derived geometry CTE mirroring [[Similarity.ruleGeometry]]
+    * (√n lists, 10 % probe) + the `n/200` query-workload modulus the
+    * twins use. `geom` is one row; downstream CTEs cross-join it.
+    */
+  private val dynGeomCte =
+    s"""g AS (
+       |  SELECT count(*) AS n, greatest(16, CAST(ceil(sqrt(count(*))) AS INT)) AS nc0
+       |  FROM embeddings
+       |), geom AS (
+       |  SELECT CASE WHEN nc0 > $DynMaxCentroids
+       |              THEN error('rule-geometry oracle: corpus needs more than $DynMaxCentroids inlined centroids')
+       |              ELSE nc0 END AS ncent,
+       |         greatest(4, CAST(ceil(CAST(0.10 AS DOUBLE) * nc0) AS INT)) AS nprobe,
+       |         greatest(1, n // 200) AS qmod
+       |  FROM g
+       |)""".stripMargin
+
+  /** The first [[DynMaxCentroids]] coarse centroids as (score, id)
+    * struct literals over a normalized-vector column `nv` — the
+    * element-stable prefix every rule-derived codebook is a slice of.
+    */
+  private lazy val dynCentroidStructs: String =
+    Similarity
+      .normalizedCentroids(DynMaxCentroids, 64, 7L)
+      .zipWithIndex
+      .map { case (c, i) => s"{'s': list_dot_product(nv, ${sqlList(c)}), 'c': $i}" }
+      .mkString(",\n           ")
+
+  /** Shared IVF coarse-assignment CTE chain at rule geometry: ranked
+    * centroid prefix sliced to the derived ncent, corpus = argmax list,
+    * queries = top-nprobe lists of every `vec_id % qmod = 0` vector.
+    */
+  private lazy val dynIvfCtes =
+    s"""$dynGeomCte, nv0 AS (
+       |  SELECT vec_id,
+       |         list_transform(
+       |           CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[]),
+       |           x -> x / sqrt(list_dot_product(CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[]), CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[])))
+       |         ) AS nv
+       |  FROM embeddings
+       |), rankedc AS (
+       |  SELECT vec_id, nv,
+       |         list_reverse_sort(list_slice([$dynCentroidStructs], 1, ncent)) AS rc
+       |  FROM nv0, geom
+       |)""".stripMargin
+
+  /** Full-value oracle for [[ivfServeScaled]] — q_ivf_ann's proven
+    * probe/score/quantized-rank SQL with the 16-list literal geometry
+    * replaced by the count(*)-derived rule. Beyond closing the
+    * `no_oracle` gap, this hash-pins the geometry arithmetic itself:
+    * a silent drift in [[Similarity.ruleGeometry]] now breaks the hash.
+    */
+  private lazy val ivfServeScaledSql =
+    s"""WITH $dynIvfCtes, corpus AS (
+       |  SELECT vec_id AS neighbor_id, nv AS v, CAST((rc[1]).c AS INT) AS cluster FROM rankedc
+       |), q AS (
+       |  SELECT r.vec_id AS query_id, r.nv AS qv,
+       |         CAST(unnest(list_transform(list_slice(r.rc, 1, geom.nprobe), x -> x.c)) AS INT) AS cluster
+       |  FROM rankedc r, geom WHERE r.vec_id % geom.qmod = 0
+       |), scored AS (
+       |  SELECT query_id, neighbor_id, list_dot_product(qv, v) AS cos
+       |  FROM q JOIN corpus USING (cluster)
+       |  WHERE neighbor_id <> query_id
+       |), r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY round(cos, 4) DESC, neighbor_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
+       |FROM r WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** Full-value oracle for [[ivfPqServeScaled]] — q_ivf_pq_ann's ADC
+    * scoring (identical PQ codebook literals: the PQ geometry is fixed
+    * by (m, k, pqSeed), only the coarse lists follow the corpus rule).
+    */
+  private lazy val ivfPqServeScaledSql = {
+    val sts = (0 until PqM).map(j => s"${pqStSql(j)}.c AS code$j").mkString(",\n         ")
+    val adc = (0 until PqM)
+      .map { j =>
+        val cbLit = s"[${pqCb(j).map(sqlList).mkString(", ")}]"
+        s"list_dot_product(list_slice(q.qv, ${j * PqSubDim + 1}, ${(j + 1) * PqSubDim}), ($cbLit)[c.code$j + 1])"
+      }
+      .mkString("\n         + ")
+    s"""WITH $dynIvfCtes, subs AS (
+       |  SELECT vec_id, nv,
+       |         ${(0 until PqM).map(j => s"list_slice(nv, ${j * PqSubDim + 1}, ${(j + 1) * PqSubDim}) AS sub$j").mkString(",\n         ")}
+       |  FROM nv0
+       |), enc AS (
+       |  SELECT vec_id,
+       |         $sts
+       |  FROM subs
+       |), corpus AS (
+       |  SELECT r.vec_id AS neighbor_id, CAST((r.rc[1]).c AS INT) AS cluster,
+       |         e.* EXCLUDE (vec_id)
+       |  FROM rankedc r JOIN enc e USING (vec_id)
+       |), q AS (
+       |  SELECT r.vec_id AS query_id, r.nv AS qv,
+       |         CAST(unnest(list_transform(list_slice(r.rc, 1, geom.nprobe), x -> x.c)) AS INT) AS cluster
+       |  FROM rankedc r, geom WHERE r.vec_id % geom.qmod = 0
+       |), scored AS (
+       |  SELECT q.query_id, c.neighbor_id,
+       |         $adc AS adc
+       |  FROM q JOIN corpus c USING (cluster)
+       |  WHERE c.neighbor_id <> q.query_id
+       |), r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY round(adc, 4) DESC, neighbor_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, rank, neighbor_id, round(adc, 4) AS adc
+       |FROM r WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Full-value oracle for [[annLshScaled]] — q_ann_lsh's proven
+    * bucket/multiprobe/score SQL with the plane count derived from
+    * count(*): nPlanes = max(8, bit_length(n−1)) — the integer-exact
+    * form of ceil(log2 n) [[Similarity.rulePlanes]] computes — via
+    * DuckDB's binary format; bucket bits and the 1-bit multiprobe set
+    * are gated per-plane on `i < npl` so the same 32 inlined plane
+    * literals serve any derived plane count.
+    */
+  private lazy val annLshScaledSql = {
+    val planes = Similarity.hyperplanes(DynMaxPlanes, 64)
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      s"CASE WHEN $i < npl AND list_dot_product(v, ${sqlList(p)}) >= 0 THEN ${1L << i} ELSE 0 END"
+    }
+    s"""WITH g AS (
+       |  SELECT count(*) AS n, length(format('{:b}', count(*) - 1)) AS bl FROM embeddings
+       |), geom AS (
+       |  SELECT CASE WHEN bl > $DynMaxPlanes
+       |              THEN error('rule-geometry oracle: corpus needs more than $DynMaxPlanes inlined planes')
+       |              ELSE greatest(8, bl) END AS npl,
+       |         greatest(1, n // 200) AS qmod
+       |  FROM g
+       |), e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS FLOAT)::DOUBLE) AS v FROM embeddings
+       |), b AS (
+       |  SELECT vec_id, CAST(${bits.mkString("\n  + ")} AS BIGINT) AS bucket FROM e, geom
+       |), qprobe AS (
+       |  SELECT b.vec_id AS query_id,
+       |         unnest(list_concat([b.bucket],
+       |                list_transform(range(geom.npl), i -> xor(b.bucket, (1::BIGINT << i))))) AS bucket
+       |  FROM b, geom WHERE b.vec_id % geom.qmod = 0
+       |), cand AS (
+       |  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+       |  FROM qprobe q JOIN b c USING (bucket)
+       |  WHERE c.vec_id <> q.query_id
+       |), scored AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |         list_dot_product(qe.v, ne.v)
+       |           / sqrt(list_dot_product(qe.v, qe.v) * list_dot_product(ne.v, ne.v)) AS cos
+       |  FROM cand
+       |  JOIN e qe ON qe.vec_id = cand.query_id
+       |  JOIN e ne ON ne.vec_id = cand.neighbor_id
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY round(cos, 4) DESC, neighbor_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
   }
 }
