@@ -18,6 +18,14 @@ import org.apache.spark.sql.SparkSession
   *   - `BENCH_LOCAL.json` in the working directory: per-query
   *     min/median/max/runs, pretty-printed — the structured per-query
   *     numbers live here.
+  *
+  * Scale-rehearsal protocol (standing, round 13): the sf10 refresh
+  * runs this bench over BOTH ScaleUp text legs — `caesar`
+  * (duplicate-density dedup workload) and `perm` (constant-density
+  * engine-scaling measurement) — and BENCH_SF10.json carries the
+  * pair-family rows under both plus a calibration-normalized headline
+  * (subtotal ÷ cpu_calibration single-thread) beside the raw ratio.
+  * See ScaleUp's scaladoc for the rationale.
   */
 object Bench {
   private def fmt(d: Double): String = f"$d%.3f"

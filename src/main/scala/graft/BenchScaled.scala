@@ -22,9 +22,12 @@ import org.apache.spark.sql.functions._
   *   - IVF coarse lists: nCentroids = max(16, ceil(sqrt nVecs))
   *     (list length ~ sqrt n, probe cost per query ~ nProbe*sqrt n —
   *     sublinear per query at any scale)
-  *   - IVF probe count:  measured as a recall curve at 5%/10%/20% of
-  *     the lists; the reported scaled timing uses the smallest probe
-  *     level reaching recall@5 >= 0.8 against sampled brute truth
+  *   - IVF probe count:  Similarity.ruleGeometry's 10 % of lists —
+  *     the SAME single source as the registered q_ivf_serve_scaled
+  *     twins; a recall curve at 5%/10%/20% is still measured as the
+  *     acceptance criterion and the level it would choose ships in
+  *     the artifact next to the rule's, so the two cannot silently
+  *     diverge
   *   - SimHash/dHash bands: 7x8-bit (Hamming budget 6) while a band
   *     bucket space of 2^8 covers the corpus; past ~50k docs, 5 bands
   *     of 12/11 bits (budget 4) — the pigeonhole-max band width at
@@ -47,8 +50,6 @@ object BenchScaled {
       nBands: Int,
       maxHamming: Int
   )
-
-  private def log2ceil(n: Long): Int = math.ceil(math.log(n.toDouble.max(2)) / math.log(2)).toInt
 
   def geometry(nDocs: Long, nVecs: Long): Geometry = {
     // single source for the IVF rule: Similarity.ruleGeometry (also
@@ -485,7 +486,11 @@ object BenchScaled {
     out("metric") = jstr("scaled_geometry_rehearsal")
     out("rule") = jstr(
       "nPlanes=max(8,ceil(log2 nVecs)); nCentroids=max(16,ceil(sqrt nVecs)); " +
-        "nProbe=smallest of {5%,10%,20% of lists} with recall@5>=0.8, fitted codebook, corpus multi-assignment R=3; " +
+        "nProbe=Similarity.ruleGeometry's 10% of lists — single-sourced with the registered " +
+        "q_ivf_serve_scaled twins; the {5%,10%,20%} recall@5 curve is REPORTED as the acceptance " +
+        "measurement and ivf_probe_curve_choice records the level it would pick, so a divergence " +
+        "between the rule and the curve is visible in-artifact instead of silently re-sizing the " +
+        "timed rows; fitted codebook, corpus multi-assignment R=3; " +
         "bands=7x8bit(<=50k docs) else 5x12/11bit; screen Hamming budget 4 at both SFs"
     )
     out("ann_criterion") = jstr(
@@ -522,14 +527,24 @@ object BenchScaled {
         TestTables.embeddings(spark, dir), "vec_id", "embedding", g.nCentroids)
       out(s"${leg}_codebook_fit_sec") = fmt((System.nanoTime() - tFit0) / 1e9)
 
-      // recall curve first: it selects the probe level the timed IVF
-      // rows use, and doubles as the acceptance measurement
+      // the timed IVF rows run at the RULE's probe count (10 % of
+      // lists — Similarity.ruleGeometry, the same single source the
+      // registered twins use); the recall curve is the acceptance
+      // measurement, and the level it WOULD pick ships next to the
+      // rule's so the two can never silently diverge
+      val ruleProbe = Similarity.ruleGeometry(nVecs)._2
       val curve = ivfRecallCurve(spark, dir, g, codebook)
       out(s"${leg}_ivf_recall_curve") = curve
         .map { case (p, r, s0) => s"""{"n_probe": $p, "recall_at_5": ${fmt(r)}, "sec": ${fmt(s0)}}""" }
         .mkString("[", ", ", "]")
-      val chosenProbe = curve.find(_._2 >= 0.8).map(_._1).getOrElse(curve.last._1)
-      out(s"${leg}_ivf_probe_used") = chosenProbe.toString
+      val curveChoice = curve.find(_._2 >= 0.8).map(_._1).getOrElse(curve.last._1)
+      out(s"${leg}_ivf_probe_used") = ruleProbe.toString
+      out(s"${leg}_ivf_probe_curve_choice") = curveChoice.toString
+      if (curveChoice != ruleProbe)
+        out(s"${leg}_ivf_probe_note") = jstr(
+          s"rule probe $ruleProbe differs from the smallest recall@5>=0.8 curve level $curveChoice; " +
+            "timed rows use the rule — read the curve row for the recall the rule delivers"
+        )
       val (pr, nTruthPairs) = blockedPairRecall(spark, dir, g)
       out(s"${leg}_blocked_pair_recall") = s"""{"recall": ${fmt(pr)}, "n_truth_pairs": $nTruthPairs}"""
       val br = bandScreenRecall(spark, dir, g)
@@ -571,7 +586,7 @@ object BenchScaled {
       // q_semdedup_incr base 2.78 s -> 0.57 s on identical code).
       val reps = sys.env.getOrElse("SPARK_GRAFT_SCALED_REPS", "2").toInt.max(1)
       val times = scala.collection.mutable.LinkedHashMap[String, (Double, Long)]()
-      scaledQueries(spark, dir, g, chosenProbe, codebook, annQueryMod, ivfIndex, ivfPqIndex)
+      scaledQueries(spark, dir, g, ruleProbe, codebook, annQueryMod, ivfIndex, ivfPqIndex)
         .foreach {
         case (name, run) =>
           Bench.resetSession(spark)

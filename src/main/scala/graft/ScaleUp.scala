@@ -47,6 +47,17 @@ import org.apache.spark.sql.functions._
   *     bigger" from "the engine scaled superlinearly" (VERDICT r11
   *     item 3).
   *
+  * STANDING PROTOCOL for the sf10 rehearsal (round 13, from VERDICT
+  * r12 item 6): every sf10 refresh runs BOTH legs — `caesar` (the
+  * duplicate-density workload: planted exact replicas stress the
+  * dedup/pair family's output path) AND `perm` (the constant-density
+  * workload: the engine-scaling measurement) — and `BENCH_SF10.json`
+  * reports the pair-family rows under both, so the >30x pair-row tail
+  * never has to be re-attributed. Headlines additionally quote the
+  * calibration-normalized ratio (subtotal ÷ cpu_calibration
+  * single-thread seconds, VERDICT r12 item 3) next to the raw one, so
+  * a host-speed swing between sessions is self-explaining.
+  *
   * Usage: runMain graft.ScaleUp <srcSfDir> <outDir> <factor> [caesar|perm]
   */
 object ScaleUp {

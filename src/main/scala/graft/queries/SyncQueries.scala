@@ -78,6 +78,152 @@ object SyncQueries {
       |FROM (SELECT *, CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v FROM events)
       |ORDER BY event_id""".stripMargin
 
+  // ---- spline self-interpolation ------------------------------------
+
+  /** Drives the REAL `Imputation.splineFill` (flatMapGroups +
+    * SplineKernel's tridiagonal solve — `R/imputeMissing.R:1104-1169`)
+    * over a fixture whose knot GEOMETRY is fixed: the first 13 rows of
+    * every series with positions 5 and 9 nulled, giving two interior
+    * single-row gaps whose ±20-row context window always covers all 13
+    * rows — so every series fits the same 11 knots at positions
+    * [1,2,3,4,6,7,8,10,11,12,13] and only the VALUES are data-driven.
+    * With fixed positions the natural-spline system matrix is a
+    * constant, and the fill is a linear map of the knot values — which
+    * is what lets the oracle restate the full solve in SQL (see
+    * [[splineOracleInverse]]).
+    */
+  private def splineFillQ(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val base = TestTables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 13)
+      .withColumn("v", when(col("rn").isin(5, 9), lit(null).cast("double")).otherwise(col("value")))
+    Imputation
+      .splineFill(base, "user_id", "ts", "v")
+      .select(
+        col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        round(col("filled"), 4).as("filled"),
+        col("imputed")
+      )
+      .orderBy(col("user_id"), col("ts_us"))
+  }
+
+  /** 1-based knot positions of the fixture (13 rows minus the nulled
+    * positions 5 and 9) — the fixed geometry both the engine's fit and
+    * the oracle's restated solve run on.
+    */
+  private val SplineKnotPos: Array[Int] = (1 to 13).filterNot(p => p == 5 || p == 9).toArray
+
+  /** Inverse of the natural-cubic tridiagonal system matrix for the
+    * fixed knot geometry, computed by a plain Gauss–Jordan — an
+    * INDEPENDENT restatement of the solve (SplineKernel uses the
+    * Thomas algorithm), so the oracle's literals do not come from the
+    * code under test. Row j gives m(j+1) = Σ_i inv(j)(i) · rhs(i)
+    * with m(0) = m(n−1) = 0 (natural end condition).
+    */
+  private lazy val splineOracleInverse: Array[Array[Double]] = {
+    val pos = SplineKnotPos.map(_.toDouble)
+    val n = pos.length
+    val h = Array.tabulate(n - 1)(i => pos(i + 1) - pos(i))
+    val a = Array.tabulate(n - 2, n - 2) { (i, j) =>
+      if (j == i) (h(i) + h(i + 1)) / 3.0
+      else if (j == i - 1) h(i) / 6.0
+      else if (j == i + 1) h(i + 1) / 6.0
+      else 0.0
+    }
+    // Gauss–Jordan with partial pivoting against the identity
+    val m = n - 2
+    val aug = Array.tabulate(m)(i => a(i) ++ Array.tabulate(m)(j => if (i == j) 1.0 else 0.0))
+    var r = 0
+    while (r < m) {
+      val p = (r until m).maxBy(k => math.abs(aug(k)(r)))
+      val t = aug(r); aug(r) = aug(p); aug(p) = t
+      val d = aug(r)(r)
+      var c = 0
+      while (c < 2 * m) { aug(r)(c) /= d; c += 1 }
+      var k = 0
+      while (k < m) {
+        if (k != r) {
+          val f = aug(k)(r)
+          c = 0
+          while (c < 2 * m) { aug(k)(c) -= f * aug(r)(c); c += 1 }
+        }
+        k += 1
+      }
+      r += 1
+    }
+    aug.map(_.drop(m))
+  }
+
+  /** Oracle: the same 13-row fixture, the natural-spline solve
+    * restated from first principles — rhs from second differences of
+    * the knot values, m = A⁻¹·rhs with the INDEPENDENTLY inverted
+    * constant matrix inlined as literals, and the cubic evaluated on
+    * the gap's segment. Agreement of the two derivations (Thomas in
+    * the engine, Gauss–Jordan literals here) pins the kernel.
+    */
+  private lazy val splineFillSql = {
+    val pos = SplineKnotPos
+    val n = pos.length
+    val h = Array.tabulate(n - 1)(i => (pos(i + 1) - pos(i)).toDouble)
+    // knot values k1..k11 out of the ordered 13-value array
+    val kDefs = pos.zipWithIndex
+      .map { case (p, i) => s"ys13[$p] AS k${i + 1}" }
+      .mkString(",\n         ")
+    // rhs_i = (y_{i+2}-y_{i+1})/h_{i+1} - (y_{i+1}-y_i)/h_i   (0-based y)
+    val rhsDefs = (0 until n - 2)
+      .map(i => s"(k${i + 3} - k${i + 2}) / ${h(i + 1)} - (k${i + 2} - k${i + 1}) / ${h(i)} AS rhs$i")
+      .mkString(",\n         ")
+    val mDefs = (0 until n - 2)
+      .map { j =>
+        val terms = (0 until n - 2).map(i => s"(${splineOracleInverse(j)(i)}) * rhs$i").mkString(" + ")
+        s"$terms AS m${j + 1}"
+      }
+      .mkString(",\n         ")
+    // cubic at gap position x on segment seg (0-based knots), dx = x - pos(seg)
+    def fillExpr(x: Int): String = {
+      var seg = 0
+      while (seg < n - 2 && x > pos(seg + 1)) seg += 1
+      val dx = (x - pos(seg)).toDouble
+      val hs = h(seg)
+      def mRef(i: Int) = if (i == 0 || i == n - 1) "0.0" else s"m$i"
+      val b = s"((k${seg + 2} - k${seg + 1}) / $hs - $hs * (2.0 * ${mRef(seg)} + ${mRef(seg + 1)}) / 6.0)"
+      s"(k${seg + 1} + $b * $dx + (${mRef(seg)} / 2.0) * ${dx * dx} + ((${mRef(seg + 1)} - ${mRef(seg)}) / (6.0 * $hs)) * ${dx * dx * dx})"
+    }
+    s"""WITH r AS (
+       |  SELECT user_id, ts, value, row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+       |  FROM events
+       |), b AS (
+       |  SELECT user_id, ts, rn, CASE WHEN rn IN (5, 9) THEN NULL ELSE value END AS v
+       |  FROM r WHERE rn <= 13
+       |), agg AS (
+       |  SELECT user_id, array_agg(v ORDER BY rn) AS ys13 FROM b GROUP BY user_id
+       |), knots AS (
+       |  SELECT user_id,
+       |         $kDefs
+       |  FROM agg
+       |), rhs AS (
+       |  SELECT *,
+       |         $rhsDefs
+       |  FROM knots
+       |), msol AS (
+       |  SELECT *,
+       |         $mDefs
+       |  FROM rhs
+       |), fills AS (
+       |  SELECT user_id, ${fillExpr(5)} AS fill5, ${fillExpr(9)} AS fill9 FROM msol
+       |)
+       |SELECT b.user_id, epoch_us(b.ts) AS ts_us,
+       |       round(CASE WHEN b.rn = 5 THEN f.fill5
+       |                  WHEN b.rn = 9 THEN f.fill9
+       |                  ELSE b.v END, 4) AS filled,
+       |       (b.rn IN (5, 9)) AS imputed
+       |FROM b JOIN fills f USING (user_id)
+       |ORDER BY user_id, ts_us""".stripMargin
+  }
+
   // ---- JSON source_fx_args-style parsing ---------------------------
 
   private def jsonExtract(s: SparkSession, d: String): DataFrame =
@@ -576,6 +722,7 @@ object SyncQueries {
     QueryDef("q_segment_adjust", segmentAdjust, Some(segmentAdjustSql)),
     QueryDef("q_qualifier_ranks", qualifierRanks, Some(qualifierRanksSql)),
     QueryDef("q_locf", locf, Some(locfSql)),
+    QueryDef("q_spline_fill", splineFillQ, Some(splineFillSql)),
     QueryDef("q_json_extract", jsonExtract, Some(jsonExtractSql)),
     QueryDef("q_sync_diff", syncDiff, Some(syncDiffSql), headline = true),
     QueryDef("q_discrete_sync", discreteSync, Some(discreteSyncSql))

@@ -129,11 +129,18 @@ object FileTransport extends Transport {
       // round-11 pathGlobFilter rewrite returned silently-empty under
       // a user-supplied schema where the literal glob had failed).
       def hasGlob(s: String) = s.exists(c => c == '*' || c == '?' || c == '[' || c == '{')
+      // The expansion lists via java.nio, which only speaks the local
+      // filesystem: a scheme-qualified locator (hdfs://, s3a://,
+      // file:) falls through to Spark's own glob handling, and a
+      // caller-supplied pathGlobFilter means the caller owns file
+      // selection — expanding under it would compose two filters.
+      val hasScheme = locator.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:.*")
+      val callerFilters = options.contains("pathGlobFilter")
       val slash = locator.lastIndexOf('/')
       val (dir, leaf) =
         if (slash > 0) (locator.substring(0, slash), locator.substring(slash + 1))
         else ("", locator)
-      if (slash > 0 && hasGlob(leaf) && !hasGlob(dir)) {
+      if (slash > 0 && !hasScheme && !callerFilters && hasGlob(leaf) && !hasGlob(dir)) {
         val dirPath = java.nio.file.Paths.get(dir)
         val matcher = dirPath.getFileSystem.getPathMatcher(s"glob:$leaf")
         val listing = java.nio.file.Files.list(dirPath) // missing dir throws, like the literal glob

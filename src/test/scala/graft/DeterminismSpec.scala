@@ -54,7 +54,8 @@ class DeterminismSpec extends SparkSpec {
     "q_corrected_read_e2e", // compound resolve + correction fold + resample composition (round 12)
     "q_ivf_serve_scaled",  // count-derived geometry + quantized-margin rank over probe join (round 12)
     "q_ivf_pq_serve_scaled", // count-derived geometry + ADC rank over probe join (round 12)
-    "q_ann_lsh_scaled"     // count-derived plane count + multiprobe bucket join (round 12)
+    "q_ann_lsh_scaled",    // count-derived plane count + multiprobe bucket join (round 12)
+    "q_spline_fill"        // per-series tridiagonal-solve kernel over a window fixture (round 13)
   )
 
   private def rows(name: String): Seq[String] =

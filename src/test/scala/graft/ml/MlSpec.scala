@@ -530,4 +530,33 @@ class MlSpec extends SparkSpec {
     assert(out(3L) == (("localhost", true)), "single-label host passes through unchanged")
     assert(out(4L) == (("", true)), "no URL -> empty domain, kept")
   }
+
+  test("generated constant families are prefix-stable in their count parameter " +
+    "(the assumption the dynamic-geometry oracles slice literals on)") {
+    // the scaled twins' oracles inline hyperplanes(32)/normalizedCentroids(64)
+    // and slice to the count the rule derives — element (i,j) must not
+    // depend on how many rows were asked for, at any seed
+    for (seed <- Seq(7L, 42L, 11L)) {
+      val full = Similarity.hyperplanes(32, 64, seed)
+      for (k <- Seq(8, 9, 12, 23, 31)) {
+        val pre = Similarity.hyperplanes(k, 64, seed)
+        assert((0 until k).forall(i => pre(i).sameElements(full(i))), s"planes k=$k seed=$seed")
+      }
+      val fullC = Similarity.normalizedCentroids(64, 64, seed)
+      for (k <- Seq(16, 23, 45, 63)) {
+        val pre = Similarity.normalizedCentroids(k, 64, seed)
+        assert((0 until k).forall(i => pre(i).sameElements(fullC(i))), s"centroids k=$k seed=$seed")
+      }
+    }
+  }
+
+  test("rulePlanes bit-length form equals mathematical ceil(log2 n), powers of two included") {
+    def mathCeilLog2(n: Long): Int = {
+      var p = 0; var v = 1L
+      while (v < n) { v *= 2; p += 1 }
+      p
+    }
+    for (n <- Seq(2L, 3L, 255L, 256L, 257L, 500L, 1023L, 1024L, 1025L, 1L << 20, (1L << 20) + 1))
+      assert(Similarity.rulePlanes(n) == math.max(8, mathCeilLog2(n)), s"n=$n")
+  }
 }

@@ -123,4 +123,58 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("NestedLoop"), s"the join-back must stay equi:\n$p")
     assert(p.contains("HashAggregate"), s"the weight sum must map-side combine:\n$p")
   }
+
+  // ---- round-12/13 additions, named (VERDICT r12 item 4) ------------
+
+  test("corrected-read e2e pushes event_type to the events scan and prunes to the 2 read columns") {
+    val p = plan("q_corrected_read_e2e")
+    assert(
+      p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type"),
+      s"the member-series filter must reach the parquet scan:\n$p"
+    )
+    assert(!p.contains("props"), s"unused event columns must be pruned from the scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"the compound member join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"nothing in the e2e slice is big enough to sort-merge:\n$p")
+  }
+
+  test("spline fill is one key shuffle into the per-series group kernel") {
+    val p = plan("q_spline_fill")
+    assert(p.contains("MapGroups"), s"the fit must run per series inside flatMapGroups:\n$p")
+    val keyShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(
+      keyShuffles <= 2, // window rank + groupByKey land on the same key; no other shuffle allowed
+      s"spline fill must shuffle only by series key (found $keyShuffles hash exchanges):\n$p"
+    )
+  }
+
+  test("LSH-ANN at rule geometry joins candidates on bucket — never a nested-loop or cartesian") {
+    val p = plan("q_ann_lsh_scaled")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("IVF serve probe (the scaled twins' stage) broadcasts the query batch against stored lists") {
+    // the registered twins return a localCheckpoint (their plan is an
+    // RDD scan), so assert on the probe composition they both run:
+    // buildIvfIndex -> parquet -> ivfTopKIndexed
+    import org.apache.spark.sql.functions.col
+    val emb = graft.tables.TestTables.embeddings(spark, sf)
+    val n = emb.count()
+    val (nc, np) = graft.ml.Similarity.ruleGeometry(n)
+    val dir = graft.TempRoots.newDir("graft-planaudit-ivf").toString
+    graft.ml.Similarity
+      .buildIvfIndex(emb, "vec_id", "embedding", nCentroids = nc)
+      .write.mode("overwrite").parquet(dir)
+    val p = graft.ml.Similarity
+      .ivfTopKIndexed(
+        emb, "vec_id", "embedding",
+        queryPred = col("vec_id") % math.max(1L, n / 200L) === 0,
+        index = spark.read.parquet(dir), k = 5, nCentroids = nc, nProbe = np
+      )
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"the probe join must broadcast the query batch:\n$p")
+    assert(
+      !p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the stored lists must never reshuffle for a probe batch:\n$p"
+    )
+  }
 }
