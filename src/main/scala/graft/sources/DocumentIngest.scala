@@ -46,7 +46,12 @@ object DocumentIngest {
       .withColumn("__rn", row_number().over(w))
       .join(broadcast(types), Seq("doc_type"), "left")
       .join(
-        existing.select(col("file_hash")).withColumn("__exists", lit(true)),
+        // distinct: the store dedups on file_hash by invariant, but a
+        // duplicated hash here must mark existence once, not fan the
+        // incoming row out per store copy (surfaced at sf0.1, where
+        // the fixture's existing set carries repeated dup_* hashes —
+        // every fanned copy landed as an extra reject row)
+        existing.select(col("file_hash")).distinct().withColumn("__exists", lit(true)),
         Seq("file_hash"),
         "left"
       )

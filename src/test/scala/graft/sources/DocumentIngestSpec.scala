@@ -36,4 +36,25 @@ class DocumentIngestSpec extends SparkSpec {
     ))
     assert(out.geomLinks.select("geom_id").as[Long].collect().toList == List(100L))
   }
+
+  test("a duplicated hash in the existing store marks existence once — no reject fan-out") {
+    // regression (round 13, surfaced at sf0.1): the __exists join ran
+    // without distinct, so every store copy of a hash fanned the
+    // matching incoming row into an extra reject row
+    import spark.implicits._
+    val knownTypes = Seq("report").toDF("doc_type")
+    val knownGeoms = Seq(100L).toDF("geom_id")
+    val incoming = Seq(
+      ("dup doc", "report", "stored contents".getBytes("UTF-8"), Seq("g"), Seq.empty[Long]),
+      ("bad type dup", "thesis", "stored contents2".getBytes("UTF-8"), Seq("g"), Seq.empty[Long])
+    ).toDF("name", "doc_type", "payload", "share_with", "geom_ids")
+    val existing = Seq("stored contents", "stored contents", "stored contents2", "stored contents2")
+      .toDF("body")
+      .select(graft.functions.PortableHash.md5num56(encode(col("body"), "UTF-8")).as("file_hash"))
+    val out = DocumentIngest.ingest(incoming, knownTypes, existing, knownGeoms)
+    val rejects = out.rejects.collect().map(r => (r.getString(0), r.getString(1))).toList.sorted
+    assert(rejects == List("bad type dup" -> "unknown_type", "dup doc" -> "duplicate_content"),
+      s"each incoming row must reject exactly once: $rejects")
+    assert(out.accepted.count() == 0)
+  }
 }

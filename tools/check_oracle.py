@@ -78,6 +78,20 @@ def main(sf_dir, out_dir, only):
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     n_bad = 0
+    # A dumped query with no oracle SQL entry is INVISIBLE to this gate
+    # (and lands as err:"no_oracle" in the driver artifact). Surface the
+    # set loudly: as of round 13 every registered query has an oracle,
+    # so any name here is a regression.
+    import os
+    dumped = {
+        d for d in os.listdir(out_dir)
+        if os.path.isdir(os.path.join(out_dir, d))
+    }
+    unoracled = sorted(dumped - set(oracles))
+    if unoracled and not only:
+        print(f"WARN {len(unoracled)} dumped queries have NO oracle entry "
+              f"(driver will record err:no_oracle): {', '.join(unoracled)}")
+        n_bad += len(unoracled)
     for name, sql in sorted(oracles.items()):
         if only and name not in only:
             continue
