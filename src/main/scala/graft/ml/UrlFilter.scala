@@ -57,6 +57,11 @@ object UrlFilter {
     df.select(
       col(idCol),
       registeredDomain(hostOf(col(textCol))).as("domain")
-    ).join(broadcast(blocklist.withColumn("blocked", lit(true))), Seq("domain"), "left")
-      .select(col(idCol), col("domain"), col("blocked").isNull.as("kept"))
+    ).join(
+      // distinct: a repeated blocklist entry must not duplicate every
+      // matching corpus row (membership join, not a fact join)
+      broadcast(blocklist.select(col("domain")).distinct().withColumn("blocked", lit(true))),
+      Seq("domain"),
+      "left"
+    ).select(col(idCol), col("domain"), col("blocked").isNull.as("kept"))
 }

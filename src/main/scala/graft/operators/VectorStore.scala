@@ -35,8 +35,12 @@ object VectorStore {
       .withColumn("geom_type", Spatial.wktGeomType(col("wkt")))
       .join(broadcast(known), Seq("layer_name"), "left")
     val withExisting = typed.join(
+      // distinct: existence is a fact, not a count — a repeated triple
+      // in the store must not fan the incoming row out per store copy
+      // (the DocumentIngest round-13 fan-out class)
       existing
         .select(col("layer_name"), col("feature_name"), col("geom_type"))
+        .distinct()
         .withColumn("__exists", lit(true)),
       Seq("layer_name", "feature_name", "geom_type"),
       "left"

@@ -531,6 +531,14 @@ class MlSpec extends SparkSpec {
     assert(out(4L) == (("", true)), "no URL -> empty domain, kept")
   }
 
+  test("UrlFilter: a repeated blocklist entry flags each doc once — no row fan-out") {
+    import spark.implicits._
+    val df = Seq((1L, "spam at http://tracker.spam.example/pixel now")).toDF("doc_id", "text")
+    val bl = Seq("spam.example", "spam.example", "spam.example").toDF("domain")
+    val rows = UrlFilter.filterByBlocklist(df, "doc_id", "text", bl).collect()
+    assert(rows.length == 1 && !rows(0).getBoolean(2), rows.mkString("; "))
+  }
+
   test("generated constant families are prefix-stable in their count parameter " +
     "(the assumption the dynamic-geometry oracles slice literals on)") {
     // the scaled twins' oracles inline hyperplanes(32)/normalizedCentroids(64)

@@ -48,4 +48,20 @@ class VectorStoreSpec extends SparkSpec {
       "Broken" -> "open_ring"
     ))
   }
+
+  test("a repeated feature triple in the existing store rejects the incoming row once") {
+    // the DocumentIngest round-13 fan-out class: membership joins must
+    // distinct their store side
+    import spark.implicits._
+    val layers = Seq("basins").toDF("layer_name")
+    val existing = Seq(
+      ("basins", "Yukon", "POLYGON"),
+      ("basins", "Yukon", "POLYGON")
+    ).toDF("layer_name", "feature_name", "geom_type")
+    val incoming = Seq(("basins", "Yukon", "POLYGON ((0 60, 4 60, 4 64, 0 64, 0 60))"))
+      .toDF("layer_name", "feature_name", "wkt")
+    val out = VectorStore.ingest(incoming, layers, existing)
+    val rej = out.rejects.collect().map(r => (r.getString(1), r.getString(2))).toList
+    assert(rej == List("Yukon" -> "duplicate_feature"), s"exactly one reject row: $rej")
+  }
 }
