@@ -41,7 +41,12 @@ object AuditAsOf {
     val logged = log
       .filter(col("action_ts") > t)
       .select((idCol +: payloadCols :+ "created").map(col) :+ unix_micros(col("action_ts")).as("ord_us"): _*)
-    val w = Window.partitionBy(col(idCol)).orderBy(col("ord_us"))
+    // payload tiebreak after ord_us: two capture batches stamped with
+    // the same microsecond would otherwise leave the rn=1 pick
+    // scan-order-dependent (retry-unstable on a real cluster)
+    val w = Window
+      .partitionBy(col(idCol))
+      .orderBy(col("ord_us") +: payloadCols.map(col) :+ col("created"): _*)
     cur
       .unionByName(logged)
       .withColumn("rn", row_number().over(w))

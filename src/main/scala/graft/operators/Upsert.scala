@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Bulk upsert with the reference's `dbAppendTableRLS` conflict modes
@@ -26,6 +25,16 @@ object Upsert {
   /** @param orderCol when updates contain several rows per key, the
     *                 row with the highest orderCol wins (deterministic
     *                 batch semantics)
+    *
+    * The conflict pick is a TOTAL rule — max over the struct of
+    * (orderCol, every remaining column) — never `dropDuplicates(keys)`
+    * or a partial-order window: a scan-order-dependent winner means a
+    * retried task on a real cluster can emit a different row than the
+    * lost attempt (retry-unstable output). max(struct) keeps the
+    * map-side partial aggregation dropDuplicates had, so the cost at
+    * scale is one combine-enabled shuffle, no per-key sort. Update
+    * columns must be orderable (no MapType) — true of every store
+    * schema here.
     */
   def apply(
       target: DataFrame,
@@ -34,12 +43,18 @@ object Upsert {
       mode: ConflictMode,
       orderCol: Option[String] = None
   ): DataFrame = {
-    val deduped0 = orderCol match {
-      case Some(oc) =>
-        val w = Window.partitionBy(keys.map(col): _*).orderBy(col(oc).desc)
-        updates.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
-      case None => updates.dropDuplicates(keys)
+    val restNames = updates.columns.filterNot(keys.contains)
+    val pickNames = orderCol match {
+      case Some(oc) => oc +: restNames.filterNot(_ == oc).toSeq
+      case None     => restNames.toSeq
     }
+    val deduped0 =
+      if (pickNames.isEmpty) updates.dropDuplicates(keys) // key-only frame: rows within a key are identical
+      else
+        updates
+          .groupBy(keys.map(col): _*)
+          .agg(max(struct(pickNames.map(col): _*)).as("__p"))
+          .select(keys.map(col) ++ pickNames.map(n => col(s"__p.$n").as(n)): _*)
     // stage onto the target's column set (orderCol and any extras drop)
     val deduped = deduped0.select(target.columns.map(col): _*)
     mode match {

@@ -65,9 +65,20 @@ object ImportProfiles {
     * new codes get ids above max(existing) in source_code order —
     * `R/import_mappings.R:108-119`. */
   def upsertSources(existing: DataFrame, batch: DataFrame): DataFrame = {
+    // total per-code rule (max over the payload struct — same rule as
+    // Upsert) rather than dropDuplicates("source_code"): a key-subset
+    // dropDuplicates keeps a scan-order-dependent row, so a retried
+    // task could emit a different (name, description) than the lost
+    // attempt
     val incoming = batch
       .select(col("source_code"), col("source_name"), col("source_description"))
-      .dropDuplicates("source_code")
+      .groupBy(col("source_code"))
+      .agg(max(struct(col("source_name"), col("source_description"))).as("__p"))
+      .select(
+        col("source_code"),
+        col("__p.source_name").as("source_name"),
+        col("__p.source_description").as("source_description")
+      )
     val known = incoming
       .join(existing.select(col("import_source_id"), col("source_code")), Seq("source_code"))
     val fresh = SeqIds.assignIdsAbove(

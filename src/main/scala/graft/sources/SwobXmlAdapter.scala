@@ -36,7 +36,13 @@ class SwobXmlAdapter(transport: Transport) extends SourceAdapter {
         regexp_extract(col("el"), "value=\"([^\"]*)\"", 1).cast("double").as("value")
       )
       .filter(col("parameter") === element)
-      .dropDuplicates("datetime", "parameter") // fixture repeats elements
+      // fixture repeats elements: resolve per (datetime, parameter) by
+      // max(value) — a TOTAL rule (same pick rule as Upsert), so a
+      // retried task can never emit a different survivor than the lost
+      // attempt (dropDuplicates on a key subset keeps a
+      // scan-order-dependent row)
+      .groupBy(col("datetime"), col("parameter"))
+      .agg(max(col("value")).as("value"))
       .filter(col("datetime") >= lit(startTs))
       .select(col("datetime"), col("value"))
     SourceAdapter.normalize(parsed)

@@ -70,4 +70,23 @@ class AuditCaptureSpec extends SparkSpec {
     // exactly the original three rows; row 4 did not exist at T
     assert(snapshot == List((1L, 10.0, "A"), (2L, 20.0, "A"), (3L, 30.0, "B")))
   }
+
+  test("snapshotAt breaks identical-microsecond log ties by payload, not scan order") {
+    import spark.implicits._
+    val current = Seq((1L, 99.0, "Z", ts("2023-01-01 00:00:00")))
+      .toDF("row_id", "value", "grade", "created")
+    // two post-asOf log rows for the same id at the SAME action_ts:
+    // the payload-ascending row (5.0, "A") must win deterministically
+    val log = Seq(
+      (1L, 7.0, "B", ts("2023-01-01 00:00:00"), ts("2023-02-01 00:00:00")),
+      (1L, 5.0, "A", ts("2023-01-01 00:00:00"), ts("2023-02-01 00:00:00"))
+    ).toDF("row_id", "value", "grade", "created", "action_ts")
+    val snap = AuditAsOf
+      .snapshotAt(current, log, "row_id", Seq("value", "grade"), "2023-01-15 00:00:00")
+      .select("row_id", "value", "grade")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+      .toList
+    assert(snap == List((1L, 5.0, "A")))
+  }
 }

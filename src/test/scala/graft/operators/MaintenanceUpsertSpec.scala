@@ -19,6 +19,28 @@ class MaintenanceUpsertSpec extends SparkSpec {
     assert(update == Map(1L -> 10.0, 2L -> 98.0, 3L -> 30.0))
   }
 
+  test("Upsert resolves conflicting duplicate keys by a total order (retry-stable)") {
+    import spark.implicits._
+    val target = Seq((1L, "z", 1.0)).toDF("id", "k", "value")
+    // no orderCol: max over the payload struct — ("c", 30.0) beats ("a", 99.0)
+    val noOrd = Upsert(
+      target,
+      Seq((3L, "c", 30.0), (3L, "a", 99.0)).toDF("id", "k", "value"),
+      Seq("id"),
+      Upsert.DoUpdate
+    ).collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(noOrd(3L) == ("c", 30.0))
+    // tied orderCol: tie broken by the remaining columns, never scan order
+    val tied = Upsert(
+      target,
+      Seq((3L, "a", 99.0, 7L), (3L, "c", 30.0, 7L)).toDF("id", "k", "value", "seq"),
+      Seq("id"),
+      Upsert.DoUpdate,
+      orderCol = Some("seq")
+    ).collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(tied(3L) == ("c", 30.0))
+  }
+
   test("compact rewrites many small files into few, preserving rows") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"

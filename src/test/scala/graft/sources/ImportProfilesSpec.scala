@@ -80,6 +80,19 @@ class ImportProfilesSpec extends SparkSpec {
     assert(byCode("eccc_legacy").getAs[String]("source_name") == "ECCC legacy") // untouched
   }
 
+  test("upsertSources: duplicate batch codes resolve by payload order, not scan order") {
+    val out = ImportProfiles.upsertSources(
+      sources0,
+      Seq(
+        ("newcode", "zzz later name", "dz"),
+        ("newcode", "aaa first name", "da")
+      ).toDF("source_code", "source_name", "source_description")
+    ).filter(col("source_code") === "newcode").collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("source_name") == "zzz later name")
+    assert(out(0).getAs[String]("source_description") == "dz")
+  }
+
   test("resolveTargets: candidate pick, numeric passthrough, 0->NA, label lookup, errors") {
     val batch = Seq(
       ("Zinc", "numeric", "dissolved", "", "", ""),

@@ -45,4 +45,26 @@ class SwobXmlSpec extends SparkSpec {
       .collect()
     assert(later.length == 1)
   }
+
+  test("repeated element with differing values resolves by max, not scan order") {
+    val dir = java.nio.file.Files.createTempDirectory("swob").toString
+    val xml =
+      """<?xml version="1.0"?>
+        |<om:ObservationCollection xmlns:om="http://www.opengis.net/om/1.0" xmlns:gml="http://www.opengis.net/gml">
+        |  <om:samplingTime><gml:TimeInstant>
+        |    <gml:timePosition>2026-03-15T00:00:00.000Z</gml:timePosition>
+        |  </gml:TimeInstant></om:samplingTime>
+        |  <elements>
+        |    <element name="air_temp" uom="°C" value="2.5" />
+        |    <element name="air_temp" uom="°C" value="1.5" />
+        |  </elements>
+        |</om:ObservationCollection>""".stripMargin
+    java.nio.file.Files.writeString(java.nio.file.Path.of(s"$dir/swob-x.xml"), xml)
+    val cfg = SeriesConfig(5L, "downloadSwobMinute", Map("path" -> s"$dir/*.xml", "element" -> "air_temp"))
+    val rows = SwobXmlAdapter
+      .fetch(spark, cfg, java.sql.Timestamp.valueOf("2026-03-15 00:00:00"))
+      .collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Double]("value") == 2.5)
+  }
 }
