@@ -640,8 +640,23 @@ object Similarity {
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     VectorOps.register(emb.sparkSession)
-    // dim <= 0: infer from the data (one-row metadata read, not a scan)
-    val d = if (dim > 0) dim else emb.select(size(col(vecCol))).first().getInt(0)
+    // dim <= 0: infer from the data (one-row metadata read, not a scan).
+    // Empty corpus -> no rows to infer from AND no possible neighbors:
+    // return the empty result with the contract schema instead of
+    // crashing the serve path on first().
+    val inferred =
+      if (dim > 0) Some(dim)
+      else emb.select(size(col(vecCol))).limit(1).collect().headOption.map(_.getInt(0))
+    val d = inferred.getOrElse {
+      return emb
+        .select(
+          col(idCol).as("query_id"),
+          lit(1).as("rank"),
+          col(idCol).as("neighbor_id"),
+          lit(0.0).as("cos")
+        )
+        .limit(0)
+    }
     val planes = hyperplanes(nPlanes, d, seed)
     val withBucket = emb.select(
       col(idCol),

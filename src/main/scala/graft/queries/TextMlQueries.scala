@@ -339,7 +339,9 @@ object TextMlQueries {
       .select(col("doc_id"), PortableHash.md5num56(norm).as("fingerprint"))
       .localCheckpoint(false)
     val maxRow = fp.agg(max(col("doc_id"))).head()
-    require(!maxRow.isNullAt(0), "stream dedup: documents table is empty")
+    // empty corpus: nothing to stream — the dedup of nothing is the
+    // empty result, not an error (fresh deployment / all-filtered batch)
+    if (maxRow.isNullAt(0)) return fp.limit(0)
     val midVal = maxRow.getLong(0) / 2
     val base = graft.TempRoots.newDir("graft-streamdedup").toString
     val src = s"$base/src"; val cp = s"$base/cp"; val sink = s"$base/sink"

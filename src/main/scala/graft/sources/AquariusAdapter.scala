@@ -30,19 +30,35 @@ class AquariusAdapter(transport: Transport) extends SourceAdapter {
     */
   override def fetch(spark: SparkSession, cfg: SeriesConfig, startTs: java.sql.Timestamp): DataFrame = {
     val raw = transport.rows(spark, cfg.args("file"), "json", Map("multiLine" -> "true"))
-    val hasCol = (n: String) => raw.columns.contains(n)
-
-    val points = raw
-      .select(explode(col("Points")).as("p"))
-      .select(
-        parseAqTs(col("p.Timestamp")).as("datetime"),
-        col("p.Value.Numeric").cast("double").as("value")
+    // a present-but-EMPTY array infers as a non-struct element type
+    // (schema inference has no element to look at), so field access on
+    // it is an analysis error; an empty poll window is a legitimate
+    // response shape, not a malformed one — treat same as absent
+    val hasStructArray = (n: String) =>
+      raw.schema.fields.exists(f =>
+        f.name == n && (f.dataType match {
+          case org.apache.spark.sql.types.ArrayType(_: org.apache.spark.sql.types.StructType, _) => true
+          case _ => false
+        })
       )
-      .filter(col("value").isNotNull)
-      .dropDuplicates("datetime", "value")
+
+    val points =
+      if (!hasStructArray("Points"))
+        spark
+          .range(0)
+          .select(col("id").cast("timestamp").as("datetime"), col("id").cast("double").as("value"))
+      else
+        raw
+          .select(explode(col("Points")).as("p"))
+          .select(
+            parseAqTs(col("p.Timestamp")).as("datetime"),
+            col("p.Value.Numeric").cast("double").as("value")
+          )
+          .filter(col("value").isNotNull)
+          .dropDuplicates("datetime", "value")
 
     def segs(arrayCol: String, codeField: String, outCol: String): Option[DataFrame] =
-      if (!hasCol(arrayCol)) None
+      if (!hasStructArray(arrayCol)) None
       else
         Some(
           raw
