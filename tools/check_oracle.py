@@ -22,7 +22,8 @@ import threading
 import duckdb
 import pyarrow.parquet as pq
 
-ORACLE_TIMEOUT_S = 60
+import os
+ORACLE_TIMEOUT_S = int(os.environ.get("ORACLE_TIMEOUT_S", "60"))
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -72,9 +73,15 @@ def type_diffs(out_dir, name, duck_arrow):
 
 def main(sf_dir, out_dir, only):
     con = duckdb.connect()
+    import os.path
     for t in TABLES:
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # testdata ships single .parquet FILES; ScaleUp corpora are
+        # Spark-written DIRECTORIES of part files — accept both so the
+        # gate also runs at rehearsal SFs (/tmp/sf1, /tmp/sf10)
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path += "/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     n_bad = 0
