@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{SimHash64, VecDot, VectorOps}
+import graft.functions.{SimHash64, UnicodeTokens, VecDot, VectorOps}
 
 /** Session extension wiring — `SparkSession.builder()
   * .withExtensions(new GraftExtensions)` (or
@@ -25,6 +25,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier(VectorOps.DotName),
         new ExpressionInfo(classOf[VecDot].getName, VectorOps.DotName),
         (children: Seq[Expression]) => VecDot(children(0), children(1))
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier(UnicodeTokens.FunctionName),
+        new ExpressionInfo(classOf[UnicodeTokens].getName, UnicodeTokens.FunctionName),
+        (children: Seq[Expression]) => UnicodeTokens(children.head)
       )
     )
   }

@@ -48,23 +48,22 @@ object PipelineQueries {
   }
 
   private val corpusSelectSql = {
-    val en = TextStats.StopwordProfiles.toMap.apply("en").map(w => s"'$w'").mkString(", ")
-    val scores = TextStats.StopwordProfiles.map { case (lang, words) =>
-      s"len(list_intersect(toks, [${words.map(w => s"'$w'").mkString(", ")}])) AS s_$lang"
+    val scores = TextStats.StopwordProfiles.map { case (lang, _) =>
+      s"${TextStats.langScoreSqlExpr(lang)} AS s_$lang"
     }.mkString(",\n         ")
     val langs = TextStats.StopwordProfiles.map(_._1)
     val best = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
     val cases = langs.map(l => s"WHEN s_$l = best AND best > 0 THEN '$l'").mkString(" ")
     s"""WITH tok AS (
        |  SELECT doc_id, lang, text,
-       |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+       |         ${TextStats.tokensSqlExpr("text")} AS toks
        |  FROM documents
        |), m AS (
        |  SELECT doc_id, lang,
        |         ${PortableHash.md5num56Sql("array_to_string(toks, ' ')")} AS fingerprint,
        |         least(1.0, len(toks) / 50.0) * 0.4
-       |           + least(1.0, len(list_intersect(toks, [$en])) / 5.0) * 0.3
-       |           + (1.0 - least(1.0, ((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE
+       |           + least(1.0, ${TextStats.bestStopHitsSqlExpr()} / 5.0) * 0.3
+       |           + (1.0 - least(1.0, ((length(text) - length(regexp_replace(text, '${TextStats.PunctClass}', '', 'g')))::DOUBLE
        |                                / greatest(length(text), 1)) * 10.0)) * 0.3 AS quality_score,
        |         $scores
        |  FROM tok

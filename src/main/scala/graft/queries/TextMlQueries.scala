@@ -17,11 +17,23 @@ object TextMlQueries {
   //      Dedup.shingles exactly) -------------------------------------
 
   private[queries] val tokCte =
-    """tok AS (
-      |  SELECT doc_id, lang, text,
-      |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
-      |  FROM documents
-      |)""".stripMargin
+    s"""tok AS (
+       |  SELECT doc_id, lang, text,
+       |         ${TextStats.tokensSqlExpr("text")} AS toks
+       |  FROM documents
+       |)""".stripMargin
+
+  /** [[tokCte]] over the fixture-augmented corpus (`docs_ml`) — used by
+    * the queries that must exercise non-Latin text; prepend
+    * [[docsMlCte]] first.
+    */
+  private[queries] val docsMlCte = graft.tables.MultilingualFixtures.docsMlCteSql
+  private[queries] val tokCteMl =
+    s"""tok AS (
+       |  SELECT doc_id, lang, text,
+       |         ${TextStats.tokensSqlExpr("text")} AS toks
+       |  FROM docs_ml
+       |)""".stripMargin
 
   private[queries] val shCte =
     """sh AS (
@@ -53,7 +65,7 @@ object TextMlQueries {
 
   private def tokenStats(s: SparkSession, d: String): DataFrame = {
     val toks = TextStats.tokens(col("text"))
-    TestTables.documents(s, d)
+    TestTables.documentsMl(s, d)
       .select(
         col("doc_id"),
         size(toks).as("n_tokens"),
@@ -68,7 +80,7 @@ object TextMlQueries {
 
   private val tokenStatsSql = {
     val pat = TextStats.BpeishPattern.replace("'", "''")
-    s"""WITH $tokCte
+    s"""WITH $docsMlCte, $tokCteMl
        |SELECT doc_id, len(toks) AS n_tokens,
        |       len(regexp_extract_all(lower(text), '$pat')) AS n_bpe,
        |       round(CASE WHEN len(toks) > 0
@@ -93,13 +105,12 @@ object TextMlQueries {
       .orderBy(col("doc_id"))
 
   private val qualityScoreSql = {
-    val en = TextStats.StopwordProfiles.toMap.apply("en").map(w => s"'$w'").mkString(", ")
     s"""WITH $tokCte,
        |m AS (
        |  SELECT doc_id, len(toks) AS n_tokens,
-       |         (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE
+       |         (length(text) - length(regexp_replace(text, '${TextStats.PunctClass}', '', 'g')))::DOUBLE
        |           / greatest(length(text), 1) AS punct_ratio,
-       |         len(list_intersect(toks, [$en])) AS stop_hits
+       |         ${TextStats.bestStopHitsSqlExpr()} AS stop_hits
        |  FROM tok
        |)
        |SELECT doc_id, n_tokens, round(punct_ratio, 6) AS punct_ratio, stop_hits,
@@ -117,7 +128,7 @@ object TextMlQueries {
 
   private def langId(s: SparkSession, d: String): DataFrame = {
     val toks = TextStats.tokens(col("text"))
-    TestTables.documents(s, d)
+    TestTables.documentsMl(s, d)
       .select(
         col("doc_id"),
         col("lang"),
@@ -128,13 +139,13 @@ object TextMlQueries {
   }
 
   private val langIdSql = {
-    val scores = TextStats.StopwordProfiles.map { case (lang, words) =>
-      s"len(list_intersect(toks, [${words.map(w => s"'$w'").mkString(", ")}])) AS s_$lang"
+    val scores = TextStats.StopwordProfiles.map { case (lang, _) =>
+      s"${TextStats.langScoreSqlExpr(lang)} AS s_$lang"
     }.mkString(",\n       ")
     val langs = TextStats.StopwordProfiles.map(_._1)
     val best = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
     val cases = langs.map(l => s"WHEN s_$l = best AND best > 0 THEN '$l'").mkString("\n         ")
-    s"""WITH $tokCte,
+    s"""WITH $docsMlCte, $tokCteMl,
        |scored AS (
        |  SELECT doc_id, lang,
        |       $scores
@@ -198,9 +209,8 @@ object TextMlQueries {
     * shared by the per-doc decision table and the funnel report.
     */
   private lazy val decisionCtes = {
-    val en = TextStats.StopwordProfiles.toMap.apply("en").map(w => s"'$w'").mkString(", ")
-    val scores = TextStats.StopwordProfiles.map { case (lang, words) =>
-      s"len(list_intersect(toks, [${words.map(w => s"'$w'").mkString(", ")}])) AS s_$lang"
+    val scores = TextStats.StopwordProfiles.map { case (lang, _) =>
+      s"${TextStats.langScoreSqlExpr(lang)} AS s_$lang"
     }.mkString(",\n       ")
     val langs = TextStats.StopwordProfiles.map(_._1)
     val best = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
@@ -209,9 +219,9 @@ object TextMlQueries {
        |m AS (
        |  SELECT doc_id, lang,
        |       len(toks) AS n_tokens,
-       |       (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE
+       |       (length(text) - length(regexp_replace(text, '${TextStats.PunctClass}', '', 'g')))::DOUBLE
        |         / greatest(length(text), 1) AS punct_ratio,
-       |       len(list_intersect(toks, [$en])) AS stop_hits,
+       |       ${TextStats.bestStopHitsSqlExpr()} AS stop_hits,
        |       $scores,
        |       round(CASE WHEN len(toks) > 0
        |                  THEN 1.0 - len(list_distinct(toks))::DOUBLE / len(toks)
@@ -421,7 +431,7 @@ object TextMlQueries {
   private def ngramJaccard(s: SparkSession, d: String): DataFrame = {
     // one materialization of the shingle projection for the signature,
     // candidate and verification paths (see Dedup.minHashNearDups)
-    val sh = Dedup.shingles(TestTables.documents(s, d), "doc_id", "text", 3).localCheckpoint(false)
+    val sh = Dedup.shingles(TestTables.documentsMl(s, d), "doc_id", "text", 3).localCheckpoint(false)
     // the REGISTERED form runs fully guarded (df cap + LSH candidate
     // restriction) — the scale path; the exhaustive unguarded join is
     // kept as the spec-only recall baseline (MlSpec)
@@ -450,7 +460,7 @@ object TextMlQueries {
   // from the intersection join (sizes stay uncapped, as in
   // Dedup.jaccardPairs)
   private lazy val ngramJaccardSql =
-    s"""WITH $tokCte, $shCte,
+    s"""WITH $docsMlCte, $tokCteMl, $shCte,
        |$minHashCandCtes,
        |rare AS (
        |  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= $JaccardMaxDf

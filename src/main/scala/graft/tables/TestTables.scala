@@ -47,6 +47,12 @@ object TestTables {
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  /** `documents` plus the planted multilingual fixture docs — the
+    * corpus the Unicode-sensitive text queries run on (mirrors the
+    * oracle's `docs_ml` CTE; see [[MultilingualFixtures]]).
+    */
+  def documentsMl(s: SparkSession, d: String): DataFrame =
+    documents(s, d).unionByName(MultilingualFixtures.df(s))
   /** The vector ops (`vec_dot`, IVF/PQ codebooks) are Array[Float]-
     * typed. Like `events.ts`, the physical element type is the
     * driver's choice per regeneration — normalize a double-typed

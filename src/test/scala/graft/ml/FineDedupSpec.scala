@@ -208,7 +208,11 @@ class FineDedupSpec extends SparkSpec {
       minDocs: Int
   ): Seq[(Long, Int, Int, Int)] = {
     val toks = docs.map { case (id, t) =>
-      id -> t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+      id -> t.toLowerCase
+        .replaceAll(s"([${TextStats.CjkCharClass}])", " $1 ")
+        .split(TextStats.TokenSplitClass)
+        .filter(_.nonEmpty)
+        .toSeq
     }
     val grams = for {
       (id, ts) <- toks
