@@ -292,6 +292,20 @@ object Bench {
     }
   }
 
+  /** The previous round's single-thread calibration — lets
+    * [[roundOverRound]] quote a host-speed-normalized delta beside the
+    * raw one, so a slow-host close run no longer reads as a 30 %
+    * regression (rounds 11–13 each re-litigated exactly this).
+    */
+  private lazy val prevCalib: Option[Double] = {
+    val p = java.nio.file.Paths.get("BENCH_PREV.json")
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      """"single_thread_sec": ([0-9.]+)""".r.findFirstMatchIn(txt).map(_.group(1).toDouble)
+    }
+  }
+
   private def roundOverRound(
       results: Seq[(String, (Double, Double, Double, Seq[Double]))],
       sfDir: String
@@ -302,9 +316,21 @@ object Bench {
     val prev = common.map(c => prevMedians(c._1)).sum
     val now = common.map(_._2._1).sum
     val pct = (now - prev) / prev * 100.0
+    // host-speed-normalized companion: scale this run's subtotal by the
+    // calibration ratio before comparing (both runs' splitmix64
+    // single-thread times measure the HOST, not the code)
+    val normalized = for {
+      pc <- prevCalib
+      (t1, _) <- calibration
+      if t1 > 0 && pc > 0
+    } yield {
+      val scaled = now * (pc / t1)
+      val npct = (scaled - prev) / prev * 100.0
+      f"; normalized $npct%+.1f%% (calib ${fmt(pc)} -> ${fmt(t1)} s single-thread)"
+    }
     Some(
       s"vs BENCH_PREV.json on ${common.size} common queries: " +
-        f"${fmt(prev)} -> ${fmt(now)} s ($pct%+.1f%%)"
+        f"${fmt(prev)} -> ${fmt(now)} s (raw $pct%+.1f%%)" + normalized.getOrElse("")
     )
   }
 

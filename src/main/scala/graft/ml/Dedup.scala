@@ -976,7 +976,15 @@ object Dedup {
     val normalized = emb
       .select(cols: _*)
       .withColumn("norm", sqrt(VectorOps.dot(col("v"), col("v"))))
-      .withColumn("nv", transform(col("v"), x => x / col("norm")))
+      // zero-norm/NULL vectors can't be assigned a direction-based
+      // cluster — drop rather than crash (same contract as
+      // Similarity.normalizedVecs)
+      .filter(col("norm") > 0)
+      // divide by NULL (not 0) when the norm is degenerate: the filter
+      // above drops these rows, but codegen subexpression elimination
+      // can evaluate the projected division before the conjunction
+      // short-circuits, and ANSI x/0 throws where x/NULL is NULL
+      .withColumn("nv", transform(col("v"), x => x / when(col("norm") > 0, col("norm"))))
       .drop("v", "norm")
     if (centroids.length > Similarity.ExprCodebookMax) {
       // large codebook: slim join-kernel assignment (codegen'd dots,

@@ -79,7 +79,9 @@ object Multimodal {
     prepared.mapPartitions { it =>
       it.flatMap { r =>
         val bytes = r.getAs[Array[Byte]](1)
-        val nFrames = (bytes.length + frameBytes - 1) / frameBytes
+        // a NULL payload has no frames — skip the row (the real codecs
+        // return None here; the stub paths must not NPE on it either)
+        val nFrames = if (bytes == null) 0 else (bytes.length + frameBytes - 1) / frameBytes
         (0 until nFrames).iterator
           .filter(_ % everyNth == 0)
           .map { i =>
@@ -111,9 +113,12 @@ object Multimodal {
     )
     val prepared = df.select(col(idCol).cast(LongType), col(binCol).cast(BinaryType))
     prepared.mapPartitions { it =>
-      it.map { r =>
+      // NULL payloads are dropped: there is nothing to resize, and the
+      // output contract is non-nullable fixed-size media
+      it.flatMap { r =>
         val bytes = r.getAs[Array[Byte]](1)
-        Row(r.getLong(0), java.util.Arrays.copyOf(bytes, targetBytes))
+        if (bytes == null) None
+        else Some(Row(r.getLong(0), java.util.Arrays.copyOf(bytes, targetBytes)))
       }
     }(Encoders.row(schema))
   }
@@ -210,9 +215,15 @@ object Multimodal {
     )
     val prepared = df.select(col(idCol).cast(LongType), col(binCol).cast(BinaryType))
     prepared.mapPartitions { it =>
-      it.map { r =>
-        val f = decoder.decode(r.getAs[Array[Byte]](1))
-        Row(r.getLong(0), f.nBytes, f.headByte, f.checksum)
+      // NULL payloads are dropped: the feature row is non-nullable and
+      // a missing payload has no decodable content
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        if (bytes == null) None
+        else {
+          val f = decoder.decode(bytes)
+          Some(Row(r.getLong(0), f.nBytes, f.headByte, f.checksum))
+        }
       }
     }(Encoders.row(schema))
   }

@@ -23,15 +23,24 @@ object Similarity {
     * entry points below use the codegen'd `vec_dot` native expression
     * instead (same sequential summation → bit-identical results).
     */
-  def cosine(a: Column, b: Column): Column =
-    hofDot(a, b) / sqrt(hofDot(a, a) * hofDot(b, b))
+  def cosine(a: Column, b: Column): Column = {
+    val denom = sqrt(hofDot(a, a) * hofDot(b, b))
+    when(denom > 0, hofDot(a, b) / denom)
+  }
 
   private def hofDot(x: Column, y: Column): Column =
     aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
 
-  /** Native-expression cosine (requires VectorOps.register on the session). */
-  private def nativeCosine(a: Column, b: Column): Column =
-    VectorOps.dot(a, b) / sqrt(VectorOps.dot(a, a) * VectorOps.dot(b, b))
+  /** Native-expression cosine (requires VectorOps.register on the
+    * session). Zero-norm and NULL vectors have no direction, so their
+    * cosine is NULL (matches DuckDB's x/0 = NULL) instead of an ANSI
+    * divide-by-zero crash — a 100 TB corpus WILL contain failed-embedder
+    * zero vectors, and one of them must not kill the stage.
+    */
+  private def nativeCosine(a: Column, b: Column): Column = {
+    val denom = sqrt(VectorOps.dot(a, a) * VectorOps.dot(b, b))
+    when(denom > 0, VectorOps.dot(a, b) / denom)
+  }
 
   private def toDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
@@ -592,7 +601,16 @@ object Similarity {
     emb
       .select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
       .withColumn("norm", sqrt(VectorOps.dot(col("v"), col("v"))))
-      .withColumn("nv", transform(col("v"), x => x / col("norm")))
+      // zero-norm/NULL vectors have no direction: they can't be placed
+      // in cosine geometry, so they leave the index rather than crash
+      // the normalize (ANSI x/0) — failed-embedder rows are a real
+      // input class at corpus scale
+      .filter(col("norm") > 0)
+      // divide by NULL (not 0) when the norm is degenerate: the filter
+      // above drops these rows, but codegen subexpression elimination
+      // can evaluate the projected division before the conjunction
+      // short-circuits, and ANSI x/0 throws where x/NULL is NULL
+      .withColumn("nv", transform(col("v"), x => x / when(col("norm") > 0, col("norm"))))
       .select("id", "nv")
 
   /** Deterministic pseudo-random hyperplanes: component (i, j) is a

@@ -23,7 +23,7 @@ object PipelineQueries {
   private def corpusSelect(s: SparkSession, d: String): DataFrame = {
     val toks = TextStats.tokens(col("text"))
     val metrics = TextStats.qualityMetrics(TestTables.documents(s, d), "text")
-      .withColumn("fingerprint", PortableHash.md5num56(array_join(toks, " ")))
+      .withColumn("fingerprint", PortableHash.md5num56(coalesce(array_join(toks, " "), lit("")))) // NULL text = empty token stream
       .withColumn("predicted", TextStats.predictedLang(toks))
     val w = Window.partitionBy(col("fingerprint"))
     val flagged = metrics
@@ -60,7 +60,7 @@ object PipelineQueries {
        |  FROM documents
        |), m AS (
        |  SELECT doc_id, lang,
-       |         ${PortableHash.md5num56Sql("array_to_string(toks, ' ')")} AS fingerprint,
+       |         ${PortableHash.md5num56Sql("coalesce(array_to_string(toks, ' '), '')")} AS fingerprint,
        |         least(1.0, len(toks) / 50.0) * 0.4
        |           + least(1.0, ${TextStats.bestStopHitsSqlExpr()} / 5.0) * 0.3
        |           + (1.0 - least(1.0, ((length(text) - length(regexp_replace(text, '${TextStats.PunctClass}', '', 'g')))::DOUBLE

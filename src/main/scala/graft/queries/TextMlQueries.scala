@@ -309,7 +309,11 @@ object TextMlQueries {
 
   private def fingerprint(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val norm = array_join(TextStats.tokens(col("text")), " ")
+    // coalesce: a NULL-text document fingerprints as the empty token
+    // stream (same class as empty text) instead of a NULL key — NULL
+    // would group all no-content docs via null-partition accident in
+    // batch and CRASH the streaming twin's non-nullable state key
+    val norm = coalesce(array_join(TextStats.tokens(col("text")), " "), lit(""))
     val w = Window.partitionBy(col("fingerprint"))
     TestTables.documents(s, d)
       .select(col("doc_id"), PortableHash.md5num56(norm).as("fingerprint"))
@@ -321,7 +325,7 @@ object TextMlQueries {
   private val fingerprintSql =
     s"""WITH $tokCte,
        |fp AS (
-       |  SELECT doc_id, ${PortableHash.md5num56Sql("array_to_string(toks, ' ')")} AS fingerprint
+       |  SELECT doc_id, ${PortableHash.md5num56Sql("coalesce(array_to_string(toks, ' '), '')")} AS fingerprint
        |  FROM tok
        |)
        |SELECT doc_id, fingerprint,
@@ -343,7 +347,7 @@ object TextMlQueries {
     * batch QUALIFY the oracle states.
     */
   private def streamDedup(s: SparkSession, d: String): DataFrame = {
-    val norm = array_join(TextStats.tokens(col("text")), " ")
+    val norm = coalesce(array_join(TextStats.tokens(col("text")), " "), lit(""))
     val fp = TestTables
       .documents(s, d)
       .select(col("doc_id"), PortableHash.md5num56(norm).as("fingerprint"))
@@ -412,7 +416,7 @@ object TextMlQueries {
   private lazy val streamDedupSql =
     s"""WITH $tokCte,
        |fp AS (
-       |  SELECT doc_id, ${PortableHash.md5num56Sql("array_to_string(toks, ' ')")} AS fingerprint
+       |  SELECT doc_id, ${PortableHash.md5num56Sql("coalesce(array_to_string(toks, ' '), '')")} AS fingerprint
        |  FROM tok
        |)
        |SELECT doc_id, fingerprint
