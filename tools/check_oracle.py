@@ -22,7 +22,7 @@ import threading
 import duckdb
 import pyarrow.parquet as pq
 
-import os
+import os  # single top-level import (used for env, path tests, dir listing)
 ORACLE_TIMEOUT_S = int(os.environ.get("ORACLE_TIMEOUT_S", "60"))
 
 TABLES = [
@@ -73,11 +73,12 @@ def type_diffs(out_dir, name, duck_arrow):
 
 def main(sf_dir, out_dir, only):
     con = duckdb.connect()
-    import os.path
     for t in TABLES:
         # testdata ships single .parquet FILES; ScaleUp corpora are
         # Spark-written DIRECTORIES of part files — accept both so the
-        # gate also runs at rehearsal SFs (/tmp/sf1, /tmp/sf10)
+        # gate also runs at rehearsal SFs (/tmp/sf1, /tmp/sf10).
+        # Flat directories only: a hive-partitioned subdir layout would
+        # need a recursive glob — no current corpus writes one
         path = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(path):
             path += "/*.parquet"
@@ -89,7 +90,6 @@ def main(sf_dir, out_dir, only):
     # (and lands as err:"no_oracle" in the driver artifact). Surface the
     # set loudly: as of round 13 every registered query has an oracle,
     # so any name here is a regression.
-    import os
     dumped = {
         d for d in os.listdir(out_dir)
         if os.path.isdir(os.path.join(out_dir, d))
