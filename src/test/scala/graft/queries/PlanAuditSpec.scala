@@ -16,6 +16,20 @@ class PlanAuditSpec extends SparkSpec {
   private def plan(name: String): String =
     Registry.byName(name).run(spark, sf).queryExecution.executedPlan.toString
 
+  test("the native tokenizer projection stays inside whole-stage codegen (token stats is scan-side)") {
+    val df = Registry.byName("q_token_stats").run(spark, sf)
+    df.collect() // finalize the AQE plan — codegen spans only show on the executed final plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("unicode_tokens"), s"q_token_stats must use the native tokenizer:\n$p")
+    // the tokenize+count projection compiles into a whole-stage-codegen
+    // span — the `*(n)` prefix in the final plan (UnicodeTokens has
+    // doGenCode; a CodegenFallback expression would break the span and
+    // evaluate interpreted per row, losing the * on its Project)
+    val codegenTokenProject =
+      p.linesIterator.exists(l => l.contains("unicode_tokens") && l.contains(") Project"))
+    assert(codegenTokenProject, s"the tokenizer projection lost codegen:\n$p")
+  }
+
   test("no CartesianProduct anywhere in the whole registry") {
     for (q <- Registry.all.map(_.name)) {
       val p = plan(q)
