@@ -26,6 +26,15 @@ import org.apache.spark.sql.SparkSession
   * pair-family rows under both plus a calibration-normalized headline
   * (subtotal ÷ cpu_calibration single-thread) beside the raw ratio.
   * See ScaleUp's scaladoc for the rationale.
+  *
+  * Close-of-round protocol (standing, round 14): the builder runs this
+  * bench LAST — after the round's final code change — and commits the
+  * resulting BENCH_LOCAL.json plus a copy as BENCH_PREV.json (next
+  * round's comparison basis). The driver's post-commit end-of-round
+  * run measures a DIFFERENT session; its raw delta vs the committed
+  * basis is expected to differ by host drift, which the artifact
+  * self-explains: `round_over_round` quotes the raw AND the
+  * calibration-normalized delta side by side.
   */
 object Bench {
   private def fmt(d: Double): String = f"$d%.3f"
@@ -196,8 +205,23 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    // Between executions (after the clock stops), drop the run's
+    // leftover persistent RDDs: iterative queries (connected
+    // components' per-round localCheckpoints) otherwise accumulate
+    // blocks PER REP — resetSession only runs between queries — and
+    // warmup + 3 reps of q_dedup_clusters at sf10 OOM'd a 96 GB heap
+    // exactly this way (round 14). unpersist(blocking=false) is the
+    // same non-GC hygiene resetSession uses (round 8: forced GC costs
+    // more than the debris).
+    def freeRepDebris(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     once() // warm-up: plan cache + codegen + file listing, untimed
-    val ts = (1 to reps.max(1)).map(_ => once())
+    freeRepDebris()
+    val ts = (1 to reps.max(1)).map { _ =>
+      val t = once()
+      freeRepDebris()
+      t
+    }
     (median(ts), ts.min, ts.max, ts)
   }
 
