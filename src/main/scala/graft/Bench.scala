@@ -213,8 +213,17 @@ object Bench {
     // exactly this way (round 14). unpersist(blocking=false) is the
     // same non-GC hygiene resetSession uses (round 8: forced GC costs
     // more than the debris).
+    // Scope the unpersist to blocks CREATED during the rep: a blanket
+    // sweep would also strip any localCheckpointed frame a query
+    // memoized across calls (truncated lineage = unrecoverable →
+    // crash on rep 2). All registered queries rebuild per call today,
+    // but the instrument shouldn't depend on that.
+    val preexisting = spark.sparkContext.getPersistentRDDs.keySet
     def freeRepDebris(): Unit =
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.sparkContext.getPersistentRDDs.foreach {
+        case (id, rdd) if !preexisting.contains(id) => rdd.unpersist(blocking = false)
+        case _                                      => ()
+      }
     once() // warm-up: plan cache + codegen + file listing, untimed
     freeRepDebris()
     val ts = (1 to reps.max(1)).map { _ =>
@@ -326,7 +335,12 @@ object Bench {
     if (!java.nio.file.Files.exists(p)) None
     else {
       val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-      """"single_thread_sec": ([0-9.]+)""".r.findFirstMatchIn(txt).map(_.group(1).toDouble)
+      // anchor to the cpu_calibration object: a bare key match could
+      // pick up an earlier occurrence inside a note string and
+      // silently mis-normalize the round-over-round delta
+      """"cpu_calibration":\s*\{\s*"single_thread_sec":\s*([0-9.]+)""".r
+        .findFirstMatchIn(txt)
+        .map(_.group(1).toDouble)
     }
   }
 
@@ -350,7 +364,16 @@ object Bench {
     } yield {
       val scaled = now * (pc / t1)
       val npct = (scaled - prev) / prev * 100.0
-      f"; normalized $npct%+.1f%% (calib ${fmt(pc)} -> ${fmt(t1)} s single-thread)"
+      // basis-quality gate (r14 lesson: a calib-0.747 close run was
+      // committed as the basis against a 0.587 predecessor and r15
+      // would have read a spurious -40% win): flag any close run whose
+      // host speed is >10% off the basis as unfit to BECOME the basis.
+      val gate =
+        if (math.abs(t1 - pc) / pc > 0.10)
+          f"; BASIS-QUALITY: calibration ${fmt(t1)} vs basis ${fmt(pc)} (${(t1 - pc) / pc * 100}%+.0f%%)" +
+            " — re-run in a window within 10% before committing this run as BENCH_PREV"
+        else ""
+      f"; normalized $npct%+.1f%% (calib ${fmt(pc)} -> ${fmt(t1)} s single-thread)" + gate
     }
     Some(
       s"vs BENCH_PREV.json on ${common.size} common queries: " +

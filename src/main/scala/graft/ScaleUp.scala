@@ -152,6 +152,14 @@ object ScaleUp {
     )
     wr(replicas(k => shifted(events, Map("event_id" -> eSpan, "user_id" -> uSpan), k)), "events", factor)
 
+    // the planted multilingual fixture ids live at MinId+; a replica
+    // shift reaching them would silently duplicate keys in the
+    // token/langID/near-dup families (max shifted id is dSpan*factor-1)
+    require(
+      dSpan * factor.toLong <= graft.tables.MultilingualFixtures.MinId,
+      s"doc_id shift span $dSpan x factor $factor reaches the multilingual fixture id range " +
+        s"(>= ${graft.tables.MultilingualFixtures.MinId}) — raise MinId before scaling this far"
+    )
     val alphabet = "abcdefghijklmnopqrstuvwxyz"
     wr(
       replicas { k =>

@@ -98,6 +98,15 @@ object UnicodeTokens {
   /** One-pass kernel. Lowercases with UTF8String.toLowerCase (the same
     * kernel `lower()` uses, so casing matches the regex form exactly),
     * then walks the UTF-8 bytes decoding code points.
+    *
+    * The decoder validates continuation bytes (10xxxxxx) and
+    * substitutes U+FFFD consuming ONE byte on any malformed sequence —
+    * the same observable tokenization as the regex twin's String
+    * decode. Today toLowerCase's non-ASCII path already round-trips
+    * through String (substituting malformed bytes) before the walk,
+    * so validation is defense-in-depth: the walk must not depend on
+    * that lowercase implementation detail (MultilingualSpec pins
+    * native ≡ regex on malformed inputs either way).
     */
   def tokenize(input: UTF8String): ArrayData = {
     val b = input.toLowerCase.getBytes
@@ -110,15 +119,21 @@ object UnicodeTokens {
       var cp = b0
       var len = 1
       if (b0 >= 0x80) {
-        if ((b0 & 0xe0) == 0xc0 && i + 1 < n) {
+        // every continuation byte must match 10xxxxxx: a lead byte
+        // followed by ASCII (e.g. 0xC3 'a') is a malformed SEQUENCE,
+        // and consuming the 'a' as its payload would silently diverge
+        // from the regex twin, whose String decode substitutes U+FFFD
+        // for the bad lead and then decodes the 'a' normally
+        def cont(k: Int): Boolean = (b(i + k) & 0xc0) == 0x80
+        if ((b0 & 0xe0) == 0xc0 && i + 1 < n && cont(1)) {
           cp = ((b0 & 0x1f) << 6) | (b(i + 1) & 0x3f); len = 2
-        } else if ((b0 & 0xf0) == 0xe0 && i + 2 < n) {
+        } else if ((b0 & 0xf0) == 0xe0 && i + 2 < n && cont(1) && cont(2)) {
           cp = ((b0 & 0x0f) << 12) | ((b(i + 1) & 0x3f) << 6) | (b(i + 2) & 0x3f); len = 3
-        } else if ((b0 & 0xf8) == 0xf0 && i + 3 < n) {
+        } else if ((b0 & 0xf8) == 0xf0 && i + 3 < n && cont(1) && cont(2) && cont(3)) {
           cp = ((b0 & 0x07) << 18) | ((b(i + 1) & 0x3f) << 12) |
             ((b(i + 2) & 0x3f) << 6) | (b(i + 3) & 0x3f); len = 4
         } else {
-          cp = 0xfffd // malformed byte: treat as non-token separator
+          cp = 0xfffd // malformed byte: substitute, consume ONE byte
         }
       }
       val isTok = ((1 << Character.getType(cp)) & TokenMask) != 0

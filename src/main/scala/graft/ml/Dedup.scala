@@ -975,17 +975,15 @@ object Dedup {
       transform(col(vecCol), x => x.cast("double")).as("v")
     val normalized = emb
       .select(cols: _*)
-      .withColumn("norm", sqrt(VectorOps.dot(col("v"), col("v"))))
       // zero-norm/NULL vectors can't be assigned a direction-based
       // cluster — drop rather than crash (same contract as
-      // Similarity.normalizedVecs)
-      .filter(col("norm") > 0)
-      // divide by NULL (not 0) when the norm is degenerate: the filter
-      // above drops these rows, but codegen subexpression elimination
-      // can evaluate the projected division before the conjunction
-      // short-circuits, and ANSI x/0 throws where x/NULL is NULL
-      .withColumn("nv", transform(col("v"), x => x / when(col("norm") > 0, col("norm"))))
-      .drop("v", "norm")
+      // Similarity.normalizedVecs). The scale is the fused NULL-safe
+      // VecScaleInv kernel: one per-row guard, one codegen'd divide
+      // per element — no per-element when-branch (the r14 form cost
+      // the cosine/IVF bench family 20–86 %).
+      .filter(VectorOps.dot(col("v"), col("v")) > 0)
+      .withColumn("nv", VectorOps.scaleInv(col("v"), sqrt(VectorOps.dot(col("v"), col("v")))))
+      .drop("v")
     if (centroids.length > Similarity.ExprCodebookMax) {
       // large codebook: slim join-kernel assignment (codegen'd dots,
       // vectors never shuffle) — see Similarity.assignPairs

@@ -36,11 +36,16 @@ object Similarity {
     * cosine is NULL (matches DuckDB's x/0 = NULL) instead of an ANSI
     * divide-by-zero crash — a 100 TB corpus WILL contain failed-embedder
     * zero vectors, and one of them must not kill the stage.
+    *
+    * The fused [[graft.functions.VecCosine]] kernel accumulates
+    * xy/xx/yy in ONE array pass. Its predecessor,
+    * `when(sqrt(dot(a,a)*dot(b,b)) > 0, dot(a,b)/denom)`, inlined the
+    * denominator twice and codegen CSE does not merge conditional
+    * branch values — five walks per compared pair, which cost the
+    * cosine/IVF bench family 20–86 % in round 14.
     */
-  private def nativeCosine(a: Column, b: Column): Column = {
-    val denom = sqrt(VectorOps.dot(a, a) * VectorOps.dot(b, b))
-    when(denom > 0, VectorOps.dot(a, b) / denom)
-  }
+  private def nativeCosine(a: Column, b: Column): Column =
+    VectorOps.cosine(a, b)
 
   private def toDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
@@ -600,17 +605,16 @@ object Similarity {
   private[ml] def normalizedVecs(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
     emb
       .select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
-      .withColumn("norm", sqrt(VectorOps.dot(col("v"), col("v"))))
       // zero-norm/NULL vectors have no direction: they can't be placed
       // in cosine geometry, so they leave the index rather than crash
       // the normalize (ANSI x/0) — failed-embedder rows are a real
-      // input class at corpus scale
-      .filter(col("norm") > 0)
-      // divide by NULL (not 0) when the norm is degenerate: the filter
-      // above drops these rows, but codegen subexpression elimination
-      // can evaluate the projected division before the conjunction
-      // short-circuits, and ANSI x/0 throws where x/NULL is NULL
-      .withColumn("nv", transform(col("v"), x => x / when(col("norm") > 0, col("norm"))))
+      // input class at corpus scale. The filter predicate recomputes
+      // only the cheap norm dot (one walk); the scale itself is the
+      // fused VecScaleInv kernel, which is NULL-safe on a degenerate
+      // norm by construction (no per-element when-guard, no division:
+      // one reciprocal per row, one multiply per element).
+      .filter(VectorOps.dot(col("v"), col("v")) > 0)
+      .withColumn("nv", VectorOps.scaleInv(col("v"), sqrt(VectorOps.dot(col("v"), col("v")))))
       .select("id", "nv")
 
   /** Deterministic pseudo-random hyperplanes: component (i, j) is a

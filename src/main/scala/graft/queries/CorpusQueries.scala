@@ -1704,6 +1704,7 @@ object CorpusQueries {
        |), n AS (
        |  SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
        |  FROM e
+       |  WHERE list_dot_product(v, v) > 0
        |), asg AS (
        |  SELECT vec_id, nv,
        |         CAST((list_max([${structs.mkString(",\n           ")}])).c AS INT) AS cluster

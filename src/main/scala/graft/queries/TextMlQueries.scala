@@ -716,6 +716,7 @@ object TextMlQueries {
       |  SELECT vec_id, label,
       |         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
       |  FROM e
+      |  WHERE list_dot_product(v, v) > 0
       |)
       |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
       |       round(list_dot_product(a.nv, b.nv), 4) AS cos,
@@ -757,6 +758,7 @@ object TextMlQueries {
        |  SELECT vec_id,
        |         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
        |  FROM e
+       |  WHERE list_dot_product(v, v) > 0
        |), nb AS (
        |  SELECT vec_id, nv,
        |         CAST(${bits.mkString("\n  + ")} AS BIGINT) AS bucket
@@ -848,6 +850,7 @@ object TextMlQueries {
        |           x -> x / sqrt(list_inner_product(CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[]), CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[])))
        |         ) AS nv
        |  FROM embeddings
+       |  WHERE list_dot_product(CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[]), CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[])) > 0
        |)
        |SELECT vec_id,
        |       CAST((list_max([${structs.mkString(",\n         ")}])).c AS INT) AS cluster
@@ -964,6 +967,7 @@ object TextMlQueries {
        |           x -> x / sqrt(list_dot_product(CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[]), CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[])))
        |         ) AS nv
        |  FROM embeddings
+       |  WHERE list_dot_product(CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[]), CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[])) > 0
        |), rankedc AS (
        |  SELECT vec_id, nv, list_reverse_sort([${structs.mkString(",\n         ")}]) AS rc FROM nv0
        |), corpus AS (
@@ -1063,6 +1067,7 @@ object TextMlQueries {
        |           x -> x / sqrt(list_dot_product(CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[]), CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[])))
        |         ) AS nv
        |  FROM embeddings
+       |  WHERE list_dot_product(CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[]), CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[])) > 0
        |), rankedc AS (
        |  SELECT vec_id, nv, list_reverse_sort([${structs.mkString(",\n         ")}]) AS rc FROM nv0
        |), corpus AS (
@@ -1148,6 +1153,7 @@ object TextMlQueries {
       |           x -> x / sqrt(list_dot_product(CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[]), CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[])))
       |         ) AS nv
       |  FROM embeddings
+      |  WHERE list_dot_product(CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[]), CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[])) > 0
       |)""".stripMargin
 
   private def pqSubsCte: String = {
@@ -1655,6 +1661,7 @@ object TextMlQueries {
        |           x -> x / sqrt(list_dot_product(CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[]), CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[])))
        |         ) AS nv
        |  FROM embeddings
+       |  WHERE list_dot_product(CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[]), CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[])) > 0
        |), rankedc AS (
        |  SELECT vec_id, nv,
        |         list_reverse_sort(list_slice([$dynCentroidStructs], 1, ncent)) AS rc

@@ -18,10 +18,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * tokenization inputs where java.util.regex/`toLowerCase` and
   * DuckDB's RE2/utf8proc could disagree.
   *
-  * doc_ids start at 900001, far above any driver-generated id at every
-  * SF, so fixture rows never collide and never join to other tables.
+  * doc_ids start at [[MinId]] = 10^12 + 1. Driver-generated doc_ids
+  * top out in the thousands, and the ScaleUp rehearsal tool shifts
+  * replica ids by k*(max+1) — at sf0.1's ~5000-doc span the fixture
+  * range stays clear up to a ~2*10^8 scale factor (ScaleUp asserts
+  * this invariant per run), so fixture rows never collide with corpus
+  * rows and never join to other tables.
   */
 object MultilingualFixtures {
+
+  /** Lowest fixture doc_id; every driver/ScaleUp-generated id must
+    * stay strictly below this (asserted by ScaleUp per run).
+    */
+  val MinId: Long = 1000000000001L
 
   /** (doc_id, text, lang, source). The ru and zh entries are planted
     * near-duplicate pairs: each pair differs in exactly the final
@@ -29,15 +38,15 @@ object MultilingualFixtures {
     * ~0.9 and MinHash+LSH banding must surface them.
     */
   val rows: Seq[(Long, String, String, String)] = Seq(
-    (900001L, "я читаю книгу и он смотрит на реку а это было что надо с утра до вечера и мы идем домой вместе сегодня", "ru", "fixture"),
-    (900002L, "я читаю книгу и он смотрит на реку а это было что надо с утра до вечера и мы идем домой вместе завтра", "ru", "fixture"),
-    (900003L, "我的朋友是好人他有一本书我们在北京看了天安门和长城", "zh", "fixture"),
-    (900004L, "我的朋友是好人他有一本书我们在北京看了天安门和长山", "zh", "fixture"),
-    (900005L, "これは日本語のテキストです私は東京に行きたいと思います", "ja", "fixture"),
-    (900006L, "هذا كتاب جميل من المكتبة في المدينة على الطاولة كان لا يريد أن يذهب إلى السوق", "ar", "fixture"),
-    (900007L, "यह एक अच्छी किताब है और मेरे घर में है तो हम उसे पढ़ते हैं पर आज नहीं", "hi", "fixture"),
-    (900008L, "이 책은 좋은 책 입니다 그리고 우리는 서울 에서 읽습니다 하지만 오늘 은 비가 옵니다", "ko", "fixture"),
-    (900009L, "the quick программист and the данные pipeline run fast for it is that good", "en", "fixture")
+    (MinId + 0, "я читаю книгу и он смотрит на реку а это было что надо с утра до вечера и мы идем домой вместе сегодня", "ru", "fixture"),
+    (MinId + 1, "я читаю книгу и он смотрит на реку а это было что надо с утра до вечера и мы идем домой вместе завтра", "ru", "fixture"),
+    (MinId + 2, "我的朋友是好人他有一本书我们在北京看了天安门和长城", "zh", "fixture"),
+    (MinId + 3, "我的朋友是好人他有一本书我们在北京看了天安门和长山", "zh", "fixture"),
+    (MinId + 4, "これは日本語のテキストです私は東京に行きたいと思います", "ja", "fixture"),
+    (MinId + 5, "هذا كتاب جميل من المكتبة في المدينة على الطاولة كان لا يريد أن يذهب إلى السوق", "ar", "fixture"),
+    (MinId + 6, "यह एक अच्छी किताब है और मेरे घर में है तो हम उसे पढ़ते हैं पर आज नहीं", "hi", "fixture"),
+    (MinId + 7, "이 책은 좋은 책 입니다 그리고 우리는 서울 에서 읽습니다 하지만 오늘 은 비가 옵니다", "ko", "fixture"),
+    (MinId + 8, "the quick программист and the данные pipeline run fast for it is that good", "en", "fixture")
   )
 
   /** `n_chars` as DuckDB's `length()` counts it: code points. */

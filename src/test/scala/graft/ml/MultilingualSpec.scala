@@ -110,10 +110,10 @@ class MultilingualSpec extends SparkSpec {
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)))
       .toSet
-    assert(pairs.contains((900001L, 900002L)), s"Russian pair missing from $pairs")
-    assert(pairs.contains((900003L, 900004L)), s"CJK char-shingle pair missing from $pairs")
+    assert(pairs.contains((MultilingualFixtures.MinId, MultilingualFixtures.MinId + 1)), s"Russian pair missing from $pairs")
+    assert(pairs.contains((MultilingualFixtures.MinId + 2, MultilingualFixtures.MinId + 3)), s"CJK char-shingle pair missing from $pairs")
     // the unrelated-language docs must NOT pair with anything
-    assert(pairs.flatMap(p => Seq(p._1, p._2)).forall(id => id <= 900004L))
+    assert(pairs.flatMap(p => Seq(p._1, p._2)).forall(id => id <= MultilingualFixtures.MinId + 3))
   }
 
   test("native UnicodeTokens ≡ regex twin on fixtures + random multilingual text") {
@@ -149,13 +149,84 @@ class MultilingualSpec extends SparkSpec {
 
   test("CJK near-dups shingle at character level (18+ shared 3-grams)") {
     val sh = Dedup
-      .shingles(MultilingualFixtures.df(spark).filter(col("doc_id").isin(900003L, 900004L)), "doc_id", "text", 3)
+      .shingles(MultilingualFixtures.df(spark).filter(col("doc_id").isin(MultilingualFixtures.MinId + 2, MultilingualFixtures.MinId + 3)), "doc_id", "text", 3)
       .collect()
       .map(r => (r.getLong(0), r.getString(1)))
-    val a = sh.filter(_._1 == 900003L).map(_._2).toSet
-    val b = sh.filter(_._1 == 900004L).map(_._2).toSet
+    val a = sh.filter(_._1 == MultilingualFixtures.MinId + 2).map(_._2).toSet
+    val b = sh.filter(_._1 == MultilingualFixtures.MinId + 3).map(_._2).toSet
     assert(a.size >= 20 && (a intersect b).size >= 18)
     // shingles are single chars joined by spaces, e.g. "我 的 朋"
     assert(a.forall(s => s.split(" ").forall(_.length == 1)))
+  }
+
+  test("native ≡ regex on supplementary-plane code points (emoji, Gothic, Deseret, CJK Ext-B)") {
+    import spark.implicits._
+    // The 4-byte UTF-8 decode (UnicodeTokens.tokenize) is the only
+    // hand-rolled path the BMP net above never exercises; a real crawl
+    // is full of astral text. Java-side native ≡ regex only — the
+    // DuckDB oracle stays BMP by design.
+    val rng = new scala.util.Random(20260817L)
+    val astral = Seq(
+      0x1f600 to 0x1f64f, // emoji (So — separators)
+      0x10330 to 0x1034a, // Gothic (Lo — letters)
+      0x10400 to 0x1044f, // Deseret (Lu/Ll — cased letters)
+      0x20000 to 0x2005f, // CJK Ext-B (Lo — outside the char-fallback ranges)
+      0x1d400 to 0x1d44f, // math alphanumerics (L*)
+      0x104a0 to 0x104a9  // Osmanya digits (Nd)
+    ).flatMap(r => r.map(cp => new String(Character.toChars(cp))))
+    val bmp = "abc АБВ 我的 123 .,! \t"
+    val texts = (0 until 300).map { _ =>
+      (0 until (1 + rng.nextInt(40))).map { _ =>
+        if (rng.nextBoolean()) astral(rng.nextInt(astral.length))
+        else bmp(rng.nextInt(bmp.length)).toString
+      }.mkString
+    }
+    val diff = texts
+      .toDF("text")
+      .select(
+        TextStats.tokens(col("text")).as("native"),
+        TextStats.tokensRegex(col("text")).as("regex"),
+        col("text")
+      )
+      .filter(not(col("native") <=> col("regex")))
+      .collect()
+    assert(diff.isEmpty, s"astral native/regex divergence on: ${diff.take(3).mkString(" | ")}")
+  }
+
+  test("native ≡ regex on malformed UTF-8 (invalid continuations, truncation, stray bytes)") {
+    import spark.implicits._
+    // A bogus lead byte followed by ASCII must NOT consume the ASCII
+    // as its continuation payload (the regex twin's String decode
+    // substitutes U+FFFD for the bad lead and keeps the 'a'). Binary
+    // cast to string preserves raw bytes, so the kernels see exactly
+    // these sequences.
+    val cases: Seq[Array[Byte]] = Seq(
+      Array(0xc3, 0x61),                         // 2-byte lead + ASCII 'a'
+      Array(0x61, 0xc3),                         // truncated lead at end
+      Array(0xe4, 0x61, 0x62),                   // 3-byte lead + ASCII
+      Array(0xe4, 0xb8, 0x61),                   // 3-byte lead + 1 cont + ASCII
+      Array(0xf0, 0x9f, 0x98, 0x61),             // 4-byte lead + 2 cont + ASCII
+      Array(0x80, 0x61, 0x62, 0x63),             // bare continuation byte
+      Array(0xfe, 0xff, 0x61),                   // invalid lead bytes
+      Array(0xed, 0xa0, 0x80, 0x62),             // CESU-8 surrogate
+      Array(0xc0, 0xaf, 0x63),                   // overlong encoding
+      Array(0x61, 0xc3, 0xa9, 0x62, 0xc3, 0x28)  // valid é then bad pair
+    ).map(_.map(_.toByte))
+    val rng = new scala.util.Random(20260818L)
+    val pool = (0x20 to 0x7e).map(_.toByte) ++ Seq(0x80, 0xbf, 0xc3, 0xe4, 0xf0, 0xfe, 0x09).map(_.toByte)
+    val fuzz = (0 until 300).map { _ =>
+      Array.fill(1 + rng.nextInt(30))(pool(rng.nextInt(pool.length)))
+    }
+    val diff = (cases ++ fuzz)
+      .toDF("raw")
+      .select(col("raw").cast("string").as("text"))
+      .select(
+        TextStats.tokens(col("text")).as("native"),
+        TextStats.tokensRegex(col("text")).as("regex"),
+        col("text")
+      )
+      .filter(not(col("native") <=> col("regex")))
+      .collect()
+    assert(diff.isEmpty, s"malformed-UTF8 native/regex divergence on: ${diff.take(3).mkString(" | ")}")
   }
 }
