@@ -46,6 +46,14 @@ import org.apache.spark.sql.functions._
   *     constant-density leg that separates "output got quadratically
   *     bigger" from "the engine scaled superlinearly" (VERDICT r11
   *     item 3).
+  *   - `perm-ml`: `perm` plus a deterministic MULTILINGUAL slice
+  *     (VERDICT r14 item 5): 20% of docs (by xxhash64(doc_id) mod 20)
+  *     transliterate letter-for-letter into a non-Latin script — 10%
+  *     CJK, 5% Cyrillic, 5% Arabic. Char counts are preserved 1:1,
+  *     but the CJK slice's token count becomes ~ its character count
+  *     (char-fallback) and its shingle volume grows accordingly — the
+  *     real cost profile of a mixed-language crawl, which the ASCII
+  *     corpora never measured.
   *
   * STANDING PROTOCOL for the sf10 rehearsal (round 13, from VERDICT
   * r12 item 6): every sf10 refresh runs BOTH legs — `caesar` (the
@@ -58,7 +66,7 @@ import org.apache.spark.sql.functions._
   * single-thread seconds, VERDICT r12 item 3) next to the raw one, so
   * a host-speed swing between sessions is self-explaining.
   *
-  * Usage: runMain graft.ScaleUp <srcSfDir> <outDir> <factor> [caesar|perm]
+  * Usage: runMain graft.ScaleUp <srcSfDir> <outDir> <factor> [caesar|perm|perm-ml]
   */
 object ScaleUp {
 
@@ -76,12 +84,24 @@ object ScaleUp {
     z ^ (z >>> 31)
   }
 
-  /** Replica k's lowercase-alphabet image under the chosen mode. */
+  /** 26-letter script alphabets for the `perm-ml` transliteration
+    * slice — each a distinct single BMP code point per Latin letter
+    * (char count preserved 1:1). The CJK set is entirely in the Han
+    * main block, so the tokenizer's char-fallback applies.
+    */
+  private[graft] val CjkAlphabet = "的一是不了人我在有他这中大来上国个到说们为子和你地出"
+  private[graft] val CyrAlphabet = "абвгдежзиклмнопрстуфхцчшщэ"
+  private[graft] val ArAlphabet = "ابتثجحخدذرزسشصضطظعغفقكلمنه"
+
+  /** Replica k's lowercase-alphabet image under the chosen mode
+    * (`perm-ml` = `perm` + the multilingual transliteration slice,
+    * applied separately in the documents writer).
+    */
   private[graft] def replicaAlphabet(mode: String, k: Int): String = {
     val alphabet = "abcdefghijklmnopqrstuvwxyz"
     mode match {
       case "caesar" => alphabet.drop(k % 26) + alphabet.take(k % 26)
-      case "perm" =>
+      case "perm" | "perm-ml" =>
         if (k == 0) alphabet
         else {
           val a = alphabet.toCharArray
@@ -93,12 +113,12 @@ object ScaleUp {
           }
           new String(a)
         }
-      case other => throw new IllegalArgumentException(s"unknown text mode '$other' (caesar|perm)")
+      case other => throw new IllegalArgumentException(s"unknown text mode '$other' (caesar|perm|perm-ml)")
     }
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 3 || args.length == 4, "usage: ScaleUp <srcSfDir> <outDir> <factor> [caesar|perm]")
+    require(args.length == 3 || args.length == 4, "usage: ScaleUp <srcSfDir> <outDir> <factor> [caesar|perm|perm-ml]")
     val (src, out, factor) = (args(0), args(1), args(2).toInt)
     val textMode = if (args.length == 4) args(3) else "caesar"
     replicaAlphabet(textMode, 1) // validate the mode before any work
@@ -166,11 +186,31 @@ object ScaleUp {
         // map BOTH cases: tokenizers lowercase first, so an
         // unmapped uppercase letter would leak cross-replica overlap
         val img = replicaAlphabet(textMode, k)
-        shifted(documents, Map("doc_id" -> dSpan), k)
+        val base = shifted(documents, Map("doc_id" -> dSpan), k)
           .withColumn(
             "text",
             translate(col("text"), alphabet + alphabet.toUpperCase, img + img.toUpperCase)
           )
+        if (textMode == "perm-ml") {
+          // deterministic multilingual slice: 20% of docs transliterate
+          // letter-for-letter into a non-Latin script (10% CJK — whose
+          // char-fallback makes token count ~ character count — 5%
+          // Cyrillic, 5% Arabic). Each Latin letter maps to ONE BMP
+          // char, so n_chars stays exact and token boundaries are
+          // preserved for the alphabetic scripts; the CJK slice is the
+          // one whose token/shingle volume legitimately explodes —
+          // that cost is what the sf1 refresh exists to measure.
+          val sel = pmod(xxhash64(col("doc_id")), lit(20))
+          def xlit(target: String) =
+            translate(col("text"), alphabet + alphabet.toUpperCase, target + target)
+          base.withColumn(
+            "text",
+            when(sel < 2, xlit(CjkAlphabet))
+              .when(sel === 2, xlit(CyrAlphabet))
+              .when(sel === 3, xlit(ArAlphabet))
+              .otherwise(col("text"))
+          )
+        } else base
       },
       "documents",
       factor
