@@ -454,6 +454,18 @@ object Bench {
         "spark.cleaner.periodicGC.interval",
         sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "5min")
       )
+      // local-mode heartbeats are pure liability: executor and driver
+      // share one JVM, so a heartbeat "timeout" can only mean the
+      // process was busy (full-GC pause / 32-way CPU saturation at
+      // rehearsal scale), never a lost node — yet HeartbeatReceiver
+      // removes the sole executor and the session is dead from there
+      // (RpcEndpointNotFoundException storms). This killed the r14
+      // sf10 re-measure leg mid-q_dedup_clusters and the first r15
+      // attempt (driver heartbeat starved 226 s > the 120 s default).
+      // Raise the tolerance to one hour — on a real cluster these
+      // stay at their defaults; this is bench-instrument hardening.
+      .config("spark.network.timeout", "3600s")
+      .config("spark.executor.heartbeatInterval", "60s")
       .config("spark.sql.warehouse.dir", TempRoots.warehouseDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

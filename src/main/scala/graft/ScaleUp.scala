@@ -215,6 +215,12 @@ object ScaleUp {
       "documents",
       factor
     )
+    // same invariant for the planted degenerate-embedding fixtures
+    require(
+      vSpan * factor.toLong <= graft.tables.EmbeddingFixtures.MinId,
+      s"vec_id shift span $vSpan x factor $factor reaches the embedding fixture id range " +
+        s"(>= ${graft.tables.EmbeddingFixtures.MinId}) — raise MinId before scaling this far"
+    )
     wr(
       replicas { k =>
         val n = 64

@@ -18,6 +18,11 @@ import org.apache.spark.sql.types._
   * sequential summation order, so results are bit-identical to the
   * HOF form and to DuckDB's `list_dot_product`). O(n^2) pair scoring
   * is exactly the hot path where this matters at scale.
+  *
+  * Contract: inputs must have no NULL elements — the loop reads
+  * primitive slots without per-element null checks, BECAUSE it runs
+  * per compared pair; the once-per-row [[VecNorm2]] seam filter is
+  * where NULL-element (and NaN/Inf/zero-norm) vectors are dropped.
   */
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -88,6 +93,10 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   * Summation order per accumulator is the same sequential order as
   * [[VecDot]] and DuckDB's `list_dot_product`, so results are
   * bit-identical to the three-dot formulation.
+  *
+  * Same no-NULL-element input contract as [[VecDot]]: degenerate
+  * vectors are dropped once per row at the [[VecNorm2]] seam, not
+  * re-checked in the per-pair loop.
   */
 case class VecCosine(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -155,6 +164,96 @@ case class VecCosine(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "vec_cosine"
+}
+
+/** Native Catalyst expression: the squared L2 norm of an
+  * `array<double>` column IF it admits cosine geometry, else NULL.
+  * Returns `Σ x²` only when that sum is finite and strictly positive;
+  * NULL for the zero vector (no direction), for any NaN/±Inf
+  * component (Σ x² becomes NaN/+Inf), and for a vector containing a
+  * NULL element. One expression IS the degenerate-embedding contract,
+  * so callers filter with a single `isNotNull` — no multi-conjunct
+  * predicate for pushdown to duplicate, and the same walk that
+  * validates also produces the normalization denominator.
+  *
+  * The NULL-element case matters for cross-engine parity: DuckDB's
+  * `list_dot_product` hard-ERRORS on NULL elements ("can not contain
+  * NULL values") while [[VecDot]]'s primitive `getDouble` would read
+  * an undefined slot — so both engines must drop such rows BEFORE any
+  * dot. The oracle twin is
+  * `list_dot_product(list_transform(v, x -> coalesce(x, 'NaN')), …)`
+  * filtered with `n2 > 0 AND isfinite(n2)` (see Similarity.norm2Sql):
+  * coalescing NULL→NaN is crash-proof under any filter/projection
+  * fusion order, and NaN fails `isfinite` there exactly as it fails
+  * `xx < +Inf` here. The element null-check below is emitted only
+  * when the array type says `containsNull` — normalized outputs with
+  * non-null elements pay nothing.
+  */
+case class VecNorm2(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private def containsNull: Boolean = child.dataType match {
+    case ArrayType(_, n) => n
+    case _               => true
+  }
+
+  override def dataType: DataType = DoubleType
+
+  // NULL on degenerate vectors, not just on NULL input
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"vec_norm2 requires array<double>, got $other")
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var xx = 0.0
+    var i = 0
+    while (i < n) {
+      if (containsNull && v.isNullAt(i)) return null
+      val x = v.getDouble(i)
+      xx += x * x
+      i += 1
+    }
+    if (xx > 0 && xx < Double.PositiveInfinity) java.lang.Double.valueOf(xx) else null
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      a => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val xx = ctx.freshName("xx")
+        val x = ctx.freshName("x")
+        val bad = ctx.freshName("bad")
+        val nullCheck =
+          if (containsNull) s"if ($a.isNullAt($i)) { $bad = true; break; }" else ""
+        s"""
+           |int $n = $a.numElements();
+           |double $xx = 0.0;
+           |boolean $bad = false;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $nullCheck
+           |  double $x = $a.getDouble($i);
+           |  $xx += $x * $x;
+           |}
+           |if ($bad || !($xx > 0 && $xx < Double.POSITIVE_INFINITY)) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $xx; }
+         """.stripMargin
+      }
+    )
+
+  override protected def withNewChildInternal(newChild: Expression): VecNorm2 =
+    copy(child = newChild)
+
+  override def prettyName: String = "vec_norm2"
 }
 
 /** Native Catalyst expression: `v[i] / s` elementwise — the L2
@@ -260,6 +359,7 @@ object VectorOps {
   val DotName = "vec_dot"
   val CosineName = "vec_cosine"
   val ScaleInvName = "vec_scale_inv"
+  val Norm2Name = "vec_norm2"
 
   /** Register in the session's function registry (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -267,6 +367,7 @@ object VectorOps {
     reg.createOrReplaceTempFunction(DotName, exprs => VecDot(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(CosineName, exprs => VecCosine(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(ScaleInvName, exprs => VecScaleInv(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(Norm2Name, exprs => VecNorm2(exprs(0)), "built-in")
   }
 
   /** Column API (requires `register` on the session first). */
@@ -280,4 +381,12 @@ object VectorOps {
   /** Elementwise `v / s`; NULL when `s` is not positive. */
   def scaleInv(v: Column, s: Column): Column =
     org.apache.spark.sql.functions.call_function(ScaleInvName, v, s)
+
+  /** Finite-positive squared norm, or NULL for any vector that cannot
+    * enter cosine geometry (zero-norm, NaN/Inf component, NULL
+    * element). `norm2(v).isNotNull` IS the degenerate-embedding
+    * filter.
+    */
+  def norm2(v: Column): Column =
+    org.apache.spark.sql.functions.call_function(Norm2Name, v)
 }

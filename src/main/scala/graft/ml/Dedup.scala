@@ -975,14 +975,16 @@ object Dedup {
       transform(col(vecCol), x => x.cast("double")).as("v")
     val normalized = emb
       .select(cols: _*)
-      // zero-norm/NULL vectors can't be assigned a direction-based
-      // cluster — drop rather than crash (same contract as
-      // Similarity.normalizedVecs). The scale is the fused NULL-safe
+      // degenerate vectors (zero-norm, NaN/Inf component, NULL
+      // element) can't be assigned a direction-based cluster — drop
+      // rather than crash or NaN-poison the argmax (same contract as
+      // Similarity.normalizedVecs; the whole predicate is the one
+      // fused VecNorm2 kernel). The scale is the fused NULL-safe
       // VecScaleInv kernel: one per-row guard, one codegen'd divide
       // per element — no per-element when-branch (the r14 form cost
       // the cosine/IVF bench family 20–86 %).
-      .filter(VectorOps.dot(col("v"), col("v")) > 0)
-      .withColumn("nv", VectorOps.scaleInv(col("v"), sqrt(VectorOps.dot(col("v"), col("v")))))
+      .filter(VectorOps.norm2(col("v")).isNotNull)
+      .withColumn("nv", VectorOps.scaleInv(col("v"), sqrt(VectorOps.norm2(col("v")))))
       .drop("v")
     if (centroids.length > Similarity.ExprCodebookMax) {
       // large codebook: slim join-kernel assignment (codegen'd dots,

@@ -63,8 +63,17 @@ object Similarity {
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     VectorOps.register(emb.sparkSession)
-    val corpus = emb.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("v"))
-    val queries = emb.filter(queryPred).select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("q"))
+    // degenerate vectors (zero-norm/NaN/Inf/NULL-element) can neither
+    // query nor serve: without the drop they'd rank NULL-cos in Spark
+    // but NaN-cos-FIRST in a DuckDB mirror — same contract as
+    // normalizedVecs, one scan-side kernel walk per row
+    val corpus = emb
+      .select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("v"))
+      .filter(VectorOps.norm2(col("v")).isNotNull)
+    val queries = emb
+      .filter(queryPred)
+      .select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("q"))
+      .filter(VectorOps.norm2(col("q")).isNotNull)
     val scored = corpus
       .join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", nativeCosine(col("q"), col("v")))
@@ -178,6 +187,7 @@ object Similarity {
       sampleN: Int = 20000,
       seed: Long = 7L
   ): Array[Array[Double]] = {
+    VectorOps.register(emb.sparkSession)
     val n = emb.count()
     val stride = math.max(1L, n / math.max(1, sampleN))
     // Sort the collected sample by id on the driver: collect() order
@@ -186,6 +196,11 @@ object Similarity {
     val rows = emb
       .filter(col(idCol) % stride === 0)
       .select(col(idCol).cast("long").as("i"), toDouble(col(vecCol)).as("v"))
+      // a NULL-element sample row would NPE the driver-side unboxing
+      // below, and one NaN/Inf component would silently poison every
+      // re-centered centroid it touches — same drop contract as
+      // normalizedVecs, applied before the sample leaves the cluster
+      .filter(VectorOps.norm2(col("v")).isNotNull)
       .collect()
       .sortBy(_.getLong(0))
       .map(_.getSeq[Double](1).toArray)
@@ -605,17 +620,42 @@ object Similarity {
   private[ml] def normalizedVecs(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
     emb
       .select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
-      // zero-norm/NULL vectors have no direction: they can't be placed
-      // in cosine geometry, so they leave the index rather than crash
-      // the normalize (ANSI x/0) — failed-embedder rows are a real
-      // input class at corpus scale. The filter predicate recomputes
-      // only the cheap norm dot (one walk); the scale itself is the
-      // fused VecScaleInv kernel, which is NULL-safe on a degenerate
-      // norm by construction (no per-element when-guard, no division:
-      // one reciprocal per row, one multiply per element).
-      .filter(VectorOps.dot(col("v"), col("v")) > 0)
-      .withColumn("nv", VectorOps.scaleInv(col("v"), sqrt(VectorOps.dot(col("v"), col("v")))))
+      // Degenerate vectors have no direction: zero-norm, NaN/Inf
+      // component and NULL-element rows (all real failed-embedder
+      // classes at corpus scale) leave the index rather than crash the
+      // normalize or poison a ranking. The whole contract is the ONE
+      // fused VecNorm2 kernel — `norm2(v).isNotNull` — so predicate
+      // pushdown duplicates a single cheap walk, not a multi-conjunct
+      // norm recompute (the r14 lesson: codegen CSE does not merge
+      // conditionally-evaluated copies). The scale is the fused
+      // NULL-safe VecScaleInv kernel: one per-row guard, one codegen'd
+      // divide per element.
+      .filter(VectorOps.norm2(col("v")).isNotNull)
+      .withColumn("nv", VectorOps.scaleInv(col("v"), sqrt(VectorOps.norm2(col("v")))))
       .select("id", "nv")
+
+  /** DuckDB twin of [[graft.functions.VecNorm2]]'s input: the squared
+    * norm with NULL elements coalesced to NaN. Coalescing is
+    * load-bearing twice over — DuckDB's `list_dot_product` hard-errors
+    * on NULL elements (so the raw form could crash under any
+    * filter/projection fusion order), and NaN then fails `isfinite`
+    * exactly as it fails the kernel's `xx < +Inf`.
+    */
+  def norm2Sql(v: String): String = {
+    val safe = s"list_transform($v, x -> coalesce(x, 'NaN'::DOUBLE))"
+    s"list_dot_product($safe, $safe)"
+  }
+
+  /** DuckDB twin of the `norm2(v).isNotNull` degenerate-embedding
+    * filter: keep a row iff its squared norm is finite and positive.
+    * NULL vector → NULL norm (dropped), NULL element → NaN (dropped),
+    * NaN/Inf component → NaN/+Inf (dropped), zero vector → 0 (dropped)
+    * — the exact row set [[graft.functions.VecNorm2]] keeps.
+    */
+  def finiteNormWhere(v: String): String = {
+    val n2 = norm2Sql(v)
+    s"($n2 > 0 AND isfinite($n2))"
+  }
 
   /** Deterministic pseudo-random hyperplanes: component (i, j) is a
     * fixed rational derived from a splitmix-style integer mix of the
@@ -680,11 +720,16 @@ object Similarity {
         .limit(0)
     }
     val planes = hyperplanes(nPlanes, d, seed)
-    val withBucket = emb.select(
-      col(idCol),
-      toDouble(col(vecCol)).as("v"),
-      lshBucket(toDouble(col(vecCol)), planes, nativeDot = true).as("bucket")
-    )
+    // same degenerate-vector drop as cosineTopK/normalizedVecs: a NaN
+    // vector would otherwise bucket (sign bits defined) and then score
+    // NULL here but NaN-first in an unguarded mirror
+    val withBucket = emb
+      .select(
+        col(idCol),
+        toDouble(col(vecCol)).as("v"),
+        lshBucket(toDouble(col(vecCol)), planes, nativeDot = true).as("bucket")
+      )
+      .filter(VectorOps.norm2(col("v")).isNotNull)
     val corpus = withBucket.select(col(idCol).as("neighbor_id"), col("v"), col("bucket"))
     // multiprobe: query also probes buckets at Hamming distance 1
     val probes = (0 until (if (multiprobeBits >= 1) nPlanes else 0))

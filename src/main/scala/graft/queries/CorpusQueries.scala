@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.PortableHash
-import graft.ml.{Dedup, Dsir, FineDedup, KnLm, Sampling, TextStats}
+import graft.ml.{Dedup, Dsir, FineDedup, KnLm, Sampling, Similarity, TextStats}
 import graft.tables.TestTables
 
 /** Corpus-construction operators a large-scale training-data pipeline
@@ -1704,7 +1704,7 @@ object CorpusQueries {
        |), n AS (
        |  SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
        |  FROM e
-       |  WHERE list_dot_product(v, v) > 0
+       |  WHERE ${Similarity.finiteNormWhere("v")}
        |), asg AS (
        |  SELECT vec_id, nv,
        |         CAST((list_max([${structs.mkString(",\n           ")}])).c AS INT) AS cluster

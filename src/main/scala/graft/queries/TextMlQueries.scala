@@ -28,6 +28,7 @@ object TextMlQueries {
     * [[docsMlCte]] first.
     */
   private[queries] val docsMlCte = graft.tables.MultilingualFixtures.docsMlCteSql
+  private[queries] val embDegCte = graft.tables.EmbeddingFixtures.embDegCteSql
   private[queries] val tokCteMl =
     s"""tok AS (
        |  SELECT doc_id, lang, text,
@@ -658,7 +659,7 @@ object TextMlQueries {
   private def cosineTopK(s: SparkSession, d: String): DataFrame =
     Similarity
       .cosineTopK(
-        TestTables.embeddings(s, d),
+        TestTables.embeddingsDeg(s, d),
         "vec_id",
         "embedding",
         queryPred = col("vec_id") % 100 === 0,
@@ -668,8 +669,9 @@ object TextMlQueries {
       .orderBy(col("query_id"), col("rank"))
 
   private val cosineTopKSql =
-    """WITH e AS (
-      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS FLOAT)::DOUBLE) AS v FROM embeddings
+    s"""WITH $embDegCte, e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS FLOAT)::DOUBLE) AS v FROM emb_deg
+      |  WHERE ${Similarity.finiteNormWhere("CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[])")}
       |), q AS (
       |  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0
       |), scored AS (
@@ -686,13 +688,16 @@ object TextMlQueries {
       |WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
-  /** Embedding-cosine near-duplicate pairs at threshold 0.35 (the
-    * testdata has no true dups — this captures same-cluster near
-    * neighbors). Exact baseline; `nearDupPairsBlocked` is the LSH
-    * scale path (recall asserted in MlSpec).
+  /** Embedding-cosine near-duplicate pairs at threshold 0.35 over the
+    * degenerate-fixture corpus (the driver testdata has no true dups —
+    * the planted [[graft.tables.EmbeddingFixtures]] control pair IS
+    * one, and the five degenerate fixture classes must be dropped by
+    * both engines for the hash to stay green). Exact baseline;
+    * `nearDupPairsBlocked` is the LSH scale path (recall asserted in
+    * MlSpec).
     */
   private def embedNearDup(s: SparkSession, d: String): DataFrame = {
-    val e = TestTables.embeddings(s, d)
+    val e = TestTables.embeddingsDeg(s, d)
     val labels = e.select(col("vec_id"), col("label"))
     Similarity
       .nearDupPairs(e, "vec_id", "embedding", threshold = 0.35)
@@ -708,15 +713,15 @@ object TextMlQueries {
   }
 
   private val embedNearDupSql =
-    """WITH e AS (
+    s"""WITH $embDegCte, e AS (
       |  SELECT vec_id, label,
       |         list_transform(embedding, x -> CAST(x AS FLOAT)::DOUBLE) AS v
-      |  FROM embeddings
+      |  FROM emb_deg
       |), n AS (
       |  SELECT vec_id, label,
       |         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
       |  FROM e
-      |  WHERE list_dot_product(v, v) > 0
+      |  WHERE ${Similarity.finiteNormWhere("v")}
       |)
       |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
       |       round(list_dot_product(a.nv, b.nv), 4) AS cos,
@@ -758,7 +763,7 @@ object TextMlQueries {
        |  SELECT vec_id,
        |         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
        |  FROM e
-       |  WHERE list_dot_product(v, v) > 0
+       |  WHERE ${Similarity.finiteNormWhere("v")}
        |), nb AS (
        |  SELECT vec_id, nv,
        |         CAST(${bits.mkString("\n  + ")} AS BIGINT) AS bucket
@@ -834,7 +839,7 @@ object TextMlQueries {
     */
   private def ivfClusters(s: SparkSession, d: String): DataFrame =
     Similarity
-      .clusterAssignments(TestTables.embeddings(s, d), "vec_id", "embedding", nCentroids = 16, seed = 7L)
+      .clusterAssignments(TestTables.embeddingsDeg(s, d), "vec_id", "embedding", nCentroids = 16, seed = 7L)
       .orderBy(col("vec_id"))
 
   private lazy val ivfClustersSql = {
@@ -843,14 +848,14 @@ object TextMlQueries {
       val arr = c.mkString("[", ", ", "]")
       s"{'s': list_inner_product(nv, $arr), 'c': $i}"
     }
-    s"""WITH nv0 AS (
+    s"""WITH $embDegCte, nv0 AS (
        |  SELECT vec_id,
        |         list_transform(
        |           CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[]),
        |           x -> x / sqrt(list_inner_product(CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[]), CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[])))
        |         ) AS nv
-       |  FROM embeddings
-       |  WHERE list_dot_product(CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[]), CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[])) > 0
+       |  FROM emb_deg
+       |  WHERE ${Similarity.finiteNormWhere("CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[])")}
        |)
        |SELECT vec_id,
        |       CAST((list_max([${structs.mkString(",\n         ")}])).c AS INT) AS cluster
@@ -871,6 +876,7 @@ object TextMlQueries {
     val probes = (0 until 12).map(i => s"xor(bucket, ${1L << i})").mkString(", ")
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS FLOAT)::DOUBLE) AS v FROM embeddings
+       |  WHERE ${Similarity.finiteNormWhere("CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[])")}
        |), b AS (
        |  SELECT vec_id, CAST(${bits.mkString("\n  + ")} AS BIGINT) AS bucket FROM e
        |), qprobe AS (
@@ -967,7 +973,7 @@ object TextMlQueries {
        |           x -> x / sqrt(list_dot_product(CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[]), CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[])))
        |         ) AS nv
        |  FROM embeddings
-       |  WHERE list_dot_product(CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[]), CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[])) > 0
+       |  WHERE ${Similarity.finiteNormWhere("CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[])")}
        |), rankedc AS (
        |  SELECT vec_id, nv, list_reverse_sort([${structs.mkString(",\n         ")}]) AS rc FROM nv0
        |), corpus AS (
@@ -1046,6 +1052,7 @@ object TextMlQueries {
     }
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS FLOAT)::DOUBLE) AS v FROM embeddings
+       |  WHERE ${Similarity.finiteNormWhere("CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[])")}
        |), bq AS (
        |  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0
        |), bscored AS (
@@ -1067,7 +1074,7 @@ object TextMlQueries {
        |           x -> x / sqrt(list_dot_product(CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[]), CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[])))
        |         ) AS nv
        |  FROM embeddings
-       |  WHERE list_dot_product(CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[]), CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[])) > 0
+       |  WHERE ${Similarity.finiteNormWhere("CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[])")}
        |), rankedc AS (
        |  SELECT vec_id, nv, list_reverse_sort([${structs.mkString(",\n         ")}]) AS rc FROM nv0
        |), corpus AS (
@@ -1146,14 +1153,14 @@ object TextMlQueries {
   }
 
   private val pqNvCte =
-    """nv0 AS (
+    s"""nv0 AS (
       |  SELECT vec_id,
       |         list_transform(
       |           CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[]),
       |           x -> x / sqrt(list_dot_product(CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[]), CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[])))
       |         ) AS nv
       |  FROM embeddings
-      |  WHERE list_dot_product(CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[]), CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[])) > 0
+      |  WHERE ${Similarity.finiteNormWhere("CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[])")}
       |)""".stripMargin
 
   private def pqSubsCte: String = {
@@ -1661,7 +1668,7 @@ object TextMlQueries {
        |           x -> x / sqrt(list_dot_product(CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[]), CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[])))
        |         ) AS nv
        |  FROM embeddings
-       |  WHERE list_dot_product(CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[]), CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[])) > 0
+       |  WHERE ${Similarity.finiteNormWhere("CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[])")}
        |), rankedc AS (
        |  SELECT vec_id, nv,
        |         list_reverse_sort(list_slice([$dynCentroidStructs], 1, ncent)) AS rc
@@ -1758,6 +1765,7 @@ object TextMlQueries {
        |  FROM g
        |), e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS FLOAT)::DOUBLE) AS v FROM embeddings
+       |  WHERE ${Similarity.finiteNormWhere("CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[])")}
        |), b AS (
        |  SELECT vec_id, CAST(${bits.mkString("\n  + ")} AS BIGINT) AS bucket FROM e, geom
        |), qprobe AS (

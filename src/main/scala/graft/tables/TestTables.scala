@@ -69,4 +69,10 @@ object TestTables {
       case _ => raw
     }
   }
+  /** `embeddings` plus the planted degenerate-vector fixtures — the
+    * corpus the finite-norm-contract queries run on (mirrors the
+    * oracle's `emb_deg` CTE; see [[EmbeddingFixtures]]).
+    */
+  def embeddingsDeg(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).unionByName(EmbeddingFixtures.df(s))
 }

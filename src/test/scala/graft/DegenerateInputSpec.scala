@@ -16,7 +16,13 @@ import org.apache.spark.sql.functions._
   *  - NULL numeric values and NULL event types in the series table
   *    (single-point series per key as a side effect of limit(1));
   *  - zero-norm and NULL embeddings (cosine's division, IVF argmax
-  *    over NaN scores, dim inference from a row whose vector is NULL).
+  *    over NaN scores, dim inference from a row whose vector is NULL);
+  *  - (r15) NaN/Inf-component, NULL-element and truncated-dimension
+  *    embeddings — NaN orders above +Inf in BOTH engines so a bare
+  *    `norm > 0` guard keeps it, a NULL element hard-errors DuckDB's
+  *    list_dot_product, and a truncated vector probes min-length
+  *    kernels (the finite-norm contract: functions/VecNorm2 +
+  *    EmbeddingContractSpec).
   *
   * Same contract as EmptyCorpusSpec: every registered query must run
   * WITHOUT THROWING and produce a collectable result. Row counts are
@@ -48,7 +54,37 @@ class DegenerateInputSpec extends SparkSpec {
         one.withColumn("vec_id", lit(9000002L)).withColumn("embedding", lit(null).cast(embT)),
         one
           .withColumn("vec_id", lit(9000003L))
-          .withColumn("label", lit(null).cast(one.schema("label").dataType))
+          .withColumn("label", lit(null).cast(one.schema("label").dataType)),
+        // non-finite components: NaN orders ABOVE +Inf in both Spark
+        // SQL and DuckDB, so a bare `norm > 0` guard KEEPS these — the
+        // finite-norm contract (VecNorm2) must drop them before they
+        // NaN-poison a ranking or an IVF argmax
+        one
+          .withColumn("vec_id", lit(9000004L))
+          .withColumn(
+            "embedding",
+            expr("transform(embedding, (x, i) -> CASE WHEN i = 0 THEN float('NaN') ELSE CAST(x AS FLOAT) END)").cast(embT)
+          ),
+        one
+          .withColumn("vec_id", lit(9000005L))
+          .withColumn(
+            "embedding",
+            expr("transform(embedding, (x, i) -> CASE WHEN i = 0 THEN float('Infinity') ELSE CAST(x AS FLOAT) END)").cast(embT)
+          ),
+        // NULL element: DuckDB's list_dot_product hard-errors on these
+        // and a primitive-loop kernel would read an undefined slot —
+        // must be dropped at the geometry seam, never scored
+        one
+          .withColumn("vec_id", lit(9000006L))
+          .withColumn(
+            "embedding",
+            expr("transform(embedding, (x, i) -> CASE WHEN i = 1 THEN CAST(NULL AS FLOAT) ELSE CAST(x AS FLOAT) END)").cast(embT)
+          ),
+        // wrong dimension (truncated write): min-length kernels must
+        // not crash on it
+        one
+          .withColumn("vec_id", lit(9000007L))
+          .withColumn("embedding", expr("slice(embedding, 1, 3)").cast(embT))
       )
     case "events" =>
       Seq(
