@@ -30,6 +30,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(codegenTokenProject, s"the tokenizer projection lost codegen:\n$p")
   }
 
+  test("the finite-norm seam (vec_norm2 filter + normalize) stays inside whole-stage codegen") {
+    val df = Registry.byName("q_ivf_clusters").run(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("vec_norm2"), s"q_ivf_clusters must guard with the native VecNorm2 kernel:\n$p")
+    // the degenerate-vector filter evaluates the one-pass kernel inside
+    // a codegen span — a CodegenFallback there would re-interpret every
+    // scan row (the seam runs once per row at 100 TB, so losing the
+    // span matters even though pair scoring dominates)
+    val codegenNormFilter =
+      p.linesIterator.exists(l => l.contains("vec_norm2") && (l.contains(") Filter") || l.contains(") Project")))
+    assert(codegenNormFilter, s"the finite-norm seam lost codegen:\n$p")
+  }
+
   test("no CartesianProduct anywhere in the whole registry") {
     for (q <- Registry.all.map(_.name)) {
       val p = plan(q)
