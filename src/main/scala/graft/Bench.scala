@@ -43,6 +43,14 @@ object Bench {
     * BENCH_LOCAL.json sees them next to the numbers they qualify.
     */
   private val benchNotes: Map[String, String] = Map(
+    "_task_metrics" -> ("per-query cpu_s/run_s/gc_ms/tasks/input_mb/shuf_read_mb/shuf_write_mb/" +
+      "spill_mem_mb/spill_disk_mb are PER-REP MEANS of executor task metrics over the timed reps " +
+      "(warm-up excluded), captured by a SparkListener with the bus drained at the snapshot " +
+      "points (r15 verdict item 2). cpu_s is executor CPU actually consumed — the steal-" +
+      "resistant companion to the wall medians: r16 measured a +140% raw wall-clock window whose " +
+      "START calibration was healthy (0.524 vs basis 0.575), so wall medians alone cannot " +
+      "separate code cost from mid-run host stalls; compare cpu_s and shuffle bytes first, " +
+      "and check cpu_calibration vs cpu_calibration_end for window degradation"),
     "_round_over_round_caveat" -> ("the common-query subtotal vs the committed BENCH_PREV.json " +
       "ships INSIDE every artifact so no round-close narrative can omit it (round-10 finding). " +
       "Interpret through the bench-noise envelope: identical code measured 82.5 / 91.2 / 106.1 s " +
@@ -176,6 +184,54 @@ object Bench {
   }
 
   private var calibration: Option[(Double, Double)] = None
+  private var calibrationEnd: Option[(Double, Double)] = None
+
+  /** Accumulates executor task metrics across every task that ends
+    * while registered. Snapshot deltas around a query's timed reps
+    * give per-query totals of CPU time, GC time, shuffle/spill/input
+    * bytes — the noise adjudication rounds 13–15 argued from
+    * ruled-out alternatives becomes a measurement (r15 verdict item
+    * 2), and `cpu_ns` is the steal-resistant companion to wall-clock:
+    * ambient host contention inflates wall medians 2–3x on identical
+    * code (r16 measured +140% raw in a window whose START calibration
+    * was HEALTHY) while actual CPU consumed stays put.
+    */
+  final class TaskMetricsListener extends org.apache.spark.scheduler.SparkListener {
+    private val c =
+      new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+    private def add(k: String, v: Long): Unit =
+      c.computeIfAbsent(k, _ => new java.util.concurrent.atomic.AtomicLong).addAndGet(v)
+    override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        add("tasks", 1L)
+        add("run_ms", m.executorRunTime)
+        add("cpu_ns", m.executorCpuTime)
+        add("gc_ms", m.jvmGCTime)
+        add("shuf_read_b", m.shuffleReadMetrics.totalBytesRead)
+        add("shuf_write_b", m.shuffleWriteMetrics.bytesWritten)
+        add("spill_mem_b", m.memoryBytesSpilled)
+        add("spill_disk_b", m.diskBytesSpilled)
+        add("input_b", m.inputMetrics.bytesRead)
+      }
+    }
+    def snapshot: Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      c.asScala.map { case (k, v) => k -> v.get }.toMap
+    }
+  }
+
+  /** Task-end events are posted async on the listener bus; drain it so
+    * a snapshot delta attributes every task to the query that ran it.
+    * `listenerBus` is private[spark] — reflection, best-effort (a
+    * missed late task skews one query's bytes, never the timings).
+    */
+  private def drainListenerBus(spark: SparkSession): Unit =
+    try {
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+    } catch { case _: Throwable => Thread.sleep(50) }
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -196,7 +252,22 @@ object Bench {
       name: String,
       fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
       reps: Int
-  ): (Double, Double, Double, Seq[Double]) = {
+  ): (Double, Double, Double, Seq[Double]) =
+    timeQueryMetered(spark, sfDir, name, fn, reps, None)._1
+
+  /** [[timeQuery]] plus per-query task-metric totals over the TIMED
+    * reps (warm-up excluded): with a listener, snapshots are taken
+    * after the warm-up and after the last rep, bus drained at both
+    * points.
+    */
+  def timeQueryMetered(
+      spark: SparkSession,
+      sfDir: String,
+      name: String,
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+      reps: Int,
+      listener: Option[TaskMetricsListener]
+  ): ((Double, Double, Double, Seq[Double]), Map[String, Long]) = {
     def once(): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).count()
@@ -226,12 +297,19 @@ object Bench {
       }
     once() // warm-up: plan cache + codegen + file listing, untimed
     freeRepDebris()
+    val before = listener.map { l => drainListenerBus(spark); l.snapshot }
     val ts = (1 to reps.max(1)).map { _ =>
       val t = once()
       freeRepDebris()
       t
     }
-    (median(ts), ts.min, ts.max, ts)
+    val delta = (listener, before) match {
+      case (Some(l), Some(b)) =>
+        drainListenerBus(spark)
+        l.snapshot.map { case (k, v) => k -> (v - b.getOrElse(k, 0L)) }
+      case _ => Map.empty[String, Long]
+    }
+    ((median(ts), ts.min, ts.max, ts), delta)
   }
 
   /** Per-query hygiene: drop cached plans, leftover localCheckpoint
@@ -381,15 +459,35 @@ object Bench {
     )
   }
 
+  /** Per-rep means of a query's task-metric totals, rendered as extra
+    * JSON fields. cpu_s/run_s/gc_ms are executor task time (CPU time
+    * consumed / wall inside tasks / GC); byte counters are MB. All are
+    * means over the timed reps, so they compare across rep counts.
+    */
+  private def metricsJson(m: Map[String, Long], reps: Int): String = {
+    if (m.isEmpty) return ""
+    val r = reps.max(1).toDouble
+    def mb(k: String) = fmt(m.getOrElse(k, 0L) / r / 1048576.0)
+    s""", "cpu_s": ${fmt(m.getOrElse("cpu_ns", 0L) / r / 1e9)}""" +
+      s""", "run_s": ${fmt(m.getOrElse("run_ms", 0L) / r / 1e3)}""" +
+      s""", "gc_ms": ${(m.getOrElse("gc_ms", 0L) / r).round}""" +
+      s""", "tasks": ${(m.getOrElse("tasks", 0L) / r).round}""" +
+      s""", "input_mb": ${mb("input_b")}, "shuf_read_mb": ${mb("shuf_read_b")}""" +
+      s""", "shuf_write_mb": ${mb("shuf_write_b")}""" +
+      s""", "spill_mem_mb": ${mb("spill_mem_b")}, "spill_disk_mb": ${mb("spill_disk_b")}"""
+  }
+
   private def writeDetail(
       results: Seq[(String, (Double, Double, Double, Seq[Double]))],
       reps: Int,
-      sfDir: String
+      sfDir: String,
+      metricsByQuery: Map[String, Map[String, Long]] = Map.empty
   ): Unit = {
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val detail = results
       .map { case (k, (med, mn, mx, ts)) =>
-        s"""    "$k": {"median": ${fmt(med)}, "min": ${fmt(mn)}, "max": ${fmt(mx)}, "runs": [${ts.map(fmt).mkString(", ")}]}"""
+        val extra = metricsJson(metricsByQuery.getOrElse(k, Map.empty), reps)
+        s"""    "$k": {"median": ${fmt(med)}, "min": ${fmt(mn)}, "max": ${fmt(mx)}, "runs": [${ts.map(fmt).mkString(", ")}]$extra}"""
       }
       .mkString(",\n")
     val notes = benchNotes.toSeq.sorted
@@ -406,6 +504,14 @@ object Bench {
           "speed from code cost\"},\n"
       }
       .getOrElse("")
+    // same workload re-timed AFTER the last query: a window that
+    // degrades mid-run (r16 saw +140% raw with a HEALTHY start
+    // calibration) is visible only from the start/end pair
+    val calibEnd = calibrationEnd
+      .map { case (t1, tN) =>
+        s"""  "cpu_calibration_end": {"single_thread_sec": ${fmt(t1)}, "all_cores_sec": ${fmt(tN)}},\n"""
+      }
+      .getOrElse("")
     val json =
       s"""{
          |  "metric": "total_median_sec",
@@ -413,7 +519,7 @@ object Bench {
          |  "reps": $reps,
          |  "sf": "$sfDir",
          |  "n_queries": ${results.size},
-         |$ror$calib  "notes": {
+         |$ror$calib$calibEnd  "notes": {
          |$notes
          |  },
          |  "queries": {
@@ -492,11 +598,16 @@ object Bench {
     // run that dies (OOM/disk) three attempts in otherwise loses all
     // completed measurements each time
     val acc = scala.collection.mutable.ArrayBuffer.empty[(String, (Double, Double, Double, Seq[Double]))]
+    val metricsAcc = scala.collection.mutable.Map.empty[String, Map[String, Long]]
+    val meter = new TaskMetricsListener
+    spark.sparkContext.addSparkListener(meter)
     val results: Seq[(String, (Double, Double, Double, Seq[Double]))] = {
       queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         resetSession(spark)
-        acc += (name -> timeQuery(spark, sfDir, name, fn, reps))
-        try writeDetail(acc.toSeq, reps, sfDir)
+        val (timing, qMetrics) = timeQueryMetered(spark, sfDir, name, fn, reps, Some(meter))
+        acc += (name -> timing)
+        metricsAcc(name) = qMetrics
+        try writeDetail(acc.toSeq, reps, sfDir, metricsAcc.toMap)
         catch { case _: Throwable => () }
       }
       acc.toSeq
@@ -508,7 +619,8 @@ object Bench {
 
     val total = results.map(_._2._1).filter(_ >= 0).sum
 
-    writeDetail(results, reps, sfDir)
+    calibrationEnd = Some(cpuCalibration())
+    writeDetail(results, reps, sfDir, metricsAcc.toMap)
     spark.stop()
     // The driver's stdout-capture contract: ONE compact JSON line,
     // printed LAST (after spark.stop(), so no shutdown chatter can

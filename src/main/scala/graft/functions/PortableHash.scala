@@ -15,9 +15,12 @@ import org.apache.spark.sql.functions._
   */
 object PortableHash {
 
-  /** Spark side: conv(substr(md5(x),1,14), 16, 10)::long */
-  def md5num56(c: Column): Column =
-    conv(substring(md5(c), 1, 14), 16, 10).cast("long")
+  /** Spark side: conv(substr(md5(x),1,14), 16, 10)::long — computed
+    * natively by [[Md5Num]] (same md5, bits read off the digest bytes,
+    * no hex-string materialization or base-16 parse; bit-equality
+    * property-tested in Md5NumSpec).
+    */
+  def md5num56(c: Column): Column = Md5Num.of(c, 14)
 
   /** DuckDB-side fragment for oracle SQL (same value). */
   def md5num56Sql(inner: String): String =
@@ -27,8 +30,7 @@ object PortableHash {
     * `(a*h + b) mod p` stay exact in signed 64-bit on both engines
     * (a < 2^24, h < 2^28 -> product < 2^52).
     */
-  def md5num28(c: Column): Column =
-    conv(substring(md5(c), 1, 7), 16, 10).cast("long")
+  def md5num28(c: Column): Column = Md5Num.of(c, 7)
 
   def md5num28Sql(inner: String): String =
     s"('0x' || substr(md5($inner), 1, 7))::BIGINT"

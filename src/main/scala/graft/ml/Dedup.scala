@@ -39,20 +39,23 @@ object Dedup {
       case Xx64 => xxhash64(lit(perm), shingle)
     }
 
-  /** Distinct word n-gram shingles per doc: (idCol, shingle). */
-  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val toks = TextStats.tokens(col(textCol))
-    docs
-      .select(col(idCol), toks.as("toks"))
-      .select(
-        col(idCol),
-        explode(
-          expr(s"transform(sequence(1, greatest(size(toks) - ${n - 1}, 1)), i -> array_join(slice(toks, i, $n), ' '))")
-        ).as("shingle")
-      )
-      .filter(col("shingle") =!= "")
-      .distinct()
-  }
+  /** Distinct word n-gram shingles per doc: (idCol, shingle).
+    *
+    * One native projection (`distinct_shingles`, codegen) + explode:
+    * distinctness is a per-document property, established inside the
+    * row — no `.distinct()` Exchange over the shingle stream, which
+    * was the widest shuffle of every dedup pipeline (r16; the old HOF
+    * chain + cross-row distinct lives in the expression's scaladoc).
+    * Requires unique doc ids (every corpus table and caller has them);
+    * with duplicate ids the old form also deduped across copies.
+    */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(
+      col(idCol),
+      explode(
+        graft.functions.DistinctShingles.of(TextStats.tokens(col(textCol)), lit(n))
+      ).as("shingle")
+    )
 
   /** Exact pairwise n-gram Jaccard >= threshold. `candidates`
     * restricts the pair space (LSH output); `maxShingleDocFreq` drops
