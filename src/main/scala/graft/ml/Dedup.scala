@@ -31,6 +31,29 @@ object Dedup {
   /** xxhash64(seed=i) — Spark-native codegen path for production. */
   case object Xx64 extends HashFamily
 
+  /** Scale-adaptive input spreading for the heavy scan-side text
+    * kernels (tokenize / shingle / hash): when the upstream scan has
+    * fewer partitions than the cluster has cores (the gate corpus is
+    * ONE parquet file with ONE row group -> a 1-task scan), hash-
+    * repartition by the doc id so the projection runs at full width.
+    * At real scale the scan already has more partitions than cores and
+    * this is a NO-OP — no Exchange enters the plan (guide §2.5: fix
+    * input under-parallelism right after the read, and §2.4: the r16
+    * kernels removed the .distinct()/groupBy Exchanges that used to
+    * re-spread the stream as a side effect; this restores the width
+    * without re-shuffling the exploded stream). Keyed repartition (not
+    * round-robin) so a downstream groupBy(idCol) can reuse the
+    * partitioning, and no sort-before-repartition cost.
+    */
+  private[graft] def spread(df: DataFrame, key: Column): DataFrame =
+    if (df.isStreaming) df
+    else {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      // physical planning only — no job: these inputs are scans
+      val cur = df.queryExecution.toRdd.getNumPartitions
+      if (cur < target) df.repartition(key) else df
+    }
+
   private def permHash(family: HashFamily, perm: Int, shingle: Column): Column =
     family match {
       case PortableMd5 =>
@@ -50,7 +73,7 @@ object Dedup {
     * with duplicate ids the old form also deduped across copies.
     */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(
+    spread(docs, col(idCol)).select(
       col(idCol),
       explode(
         graft.functions.DistinctShingles.of(TextStats.tokens(col(textCol)), lit(n))
@@ -73,7 +96,6 @@ object Dedup {
     // aggregate — without it the tokenize/shingle projection (regex +
     // interpreted higher-order functions) is recomputed three times.
     val shM = sh.localCheckpoint(false)
-    val sizes = shM.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val filtered = maxShingleDocFreq match {
       case Some(maxDf) =>
         val rare = shM
@@ -91,7 +113,12 @@ object Dedup {
     // co-occur on a shingle without being a candidate PAIR). At 100 TB
     // this is the difference between scoring every co-shingle pair
     // under the df cap and scoring only what LSH already shortlisted.
-    val pairs = candidates match {
+    // The sizes aggregate gets the same restriction (r16): n_sh is
+    // only ever read through the inner join on pair endpoints, which
+    // are all candidate ids — so count only candidate docs' shingles
+    // instead of aggregating the whole corpus stream (uncapped counts,
+    // unchanged values for every surviving doc).
+    val (pairs, sizes) = candidates match {
       case Some(c0) =>
         // the candidate frame feeds three consumers (two id sets + the
         // pair filter): pin it once
@@ -103,13 +130,20 @@ object Dedup {
         val restricted = filtered.join(candIds, Seq(idCol), "left_semi")
         val a = restricted.select(col(idCol).as("d1"), col("shingle"))
         val b = restricted.select(col(idCol).as("d2"), col("shingle"))
-        a.join(b, Seq("shingle"))
+        val p = a
+          .join(b, Seq("shingle"))
           .filter(col("d1") < col("d2"))
           .join(c, Seq("d1", "d2"), "left_semi")
+        val sz = shM
+          .join(candIds, Seq(idCol), "left_semi")
+          .groupBy(col(idCol))
+          .agg(count(lit(1)).as("n_sh"))
+        (p, sz)
       case None =>
         val a = filtered.select(col(idCol).as("d1"), col("shingle"))
         val b = filtered.select(col(idCol).as("d2"), col("shingle"))
-        a.join(b, Seq("shingle")).filter(col("d1") < col("d2"))
+        val p = a.join(b, Seq("shingle")).filter(col("d1") < col("d2"))
+        (p, shM.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh")))
     }
     pairs
       .groupBy(col("d1"), col("d2"))
@@ -285,6 +319,34 @@ object Dedup {
         )
   }
 
+  /** [[minHashSignatures]] (PortableMd5 family) computed straight from
+    * the documents frame by the one-pass [[graft.functions.MinHashSig]]
+    * kernel — a pure scan-side projection, no explode and no
+    * groupBy(doc) Exchange carrying the shingle stream (r16; the
+    * signature is a per-document property). Output schema matches the
+    * aggregate form exactly: (idCol, mh0..mh{numPerm-1}), and a doc
+    * with zero shingles has NO row in either form (the kernel returns
+    * NULL, filtered here; the aggregate never saw a row for it).
+    */
+  def minHashSignaturesFused(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      numPerm: Int
+  ): DataFrame =
+    spread(docs, col(idCol))
+      .select(
+        col(idCol),
+        graft.functions.MinHashSig
+          .of(TextStats.tokens(col(textCol)), shingleN, numPerm)
+          .as("__mh")
+      )
+      .filter(col("__mh").isNotNull)
+      .select(
+        col(idCol) +: (0 until numPerm).map(i => col("__mh").getItem(i).as(s"mh$i")): _*
+      )
+
   /** LSH candidate pairs: signatures banded (bands × rowsPerBand =
     * numPerm); docs sharing any band bucket become candidates.
     */
@@ -296,8 +358,13 @@ object Dedup {
   ): DataFrame = {
     require(numPerm % bands == 0, "bands must divide numPerm")
     val r = numPerm / bands
+    // band key = the r signature values themselves (array<long>), not
+    // a concat_ws string: joining on 2 longs instead of building and
+    // hashing a ~20-char string per banded row (r16). Array equality
+    // is element-wise, so the candidate set is IDENTICAL to the
+    // string form (concat_ws was injective over digit groups anyway).
     val bandStructs = (0 until bands).map { b =>
-      val key = concat_ws("|", (0 until r).map(i => col(s"mh${b * r + i}")): _*)
+      val key = array((0 until r).map(i => col(s"mh${b * r + i}")): _*)
       struct(lit(b).as("band"), key.as("band_key"))
     }
     val banded = signatures
@@ -323,41 +390,42 @@ object Dedup {
       bands: Int,
       threshold: Double,
       family: HashFamily = Xx64
-  ): DataFrame = {
-    // one materialization: the shingle projection (regex tokenize +
-    // interpreted HOFs) feeds both the signature aggregate and the
-    // verification pair join
-    val sh = shingles(docs, idCol, textCol, shingleN).localCheckpoint(false)
-    val sig = minHashSignatures(sh, idCol, numPerm, family)
-    val cand = lshCandidates(sig, idCol, numPerm, bands)
-    jaccardPairs(sh, idCol, threshold, candidates = Some(cand))
+  ): DataFrame = family match {
+    case PortableMd5 =>
+      // signatures are a scan-side kernel projection (r16): the
+      // exploded shingle frame now feeds ONLY the verification join,
+      // so the outer localCheckpoint (a full extra write+read of the
+      // widest frame, on top of the one jaccardPairs takes) is gone
+      val sig = minHashSignaturesFused(docs, idCol, textCol, shingleN, numPerm)
+      val cand = lshCandidates(sig, idCol, numPerm, bands)
+      jaccardPairs(shingles(docs, idCol, textCol, shingleN), idCol, threshold, Some(cand))
+    case Xx64 =>
+      // one materialization: the shingle projection feeds both the
+      // signature aggregate and the verification pair join
+      val sh = shingles(docs, idCol, textCol, shingleN).localCheckpoint(false)
+      val sig = minHashSignatures(sh, idCol, numPerm, family)
+      val cand = lshCandidates(sig, idCol, numPerm, bands)
+      jaccardPairs(sh, idCol, threshold, candidates = Some(cand))
   }
 
   /** 56-bit SimHash over the doc's token multiset: bit j of the hash
     * is 1 when the sum of (+1/-1) votes from each token's hash bit j
     * is positive. Near-dup docs land within small Hamming distance.
     */
-  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // aggregate to (doc, token, count) BEFORE hashing: the md5 digest
-    // + hex conversion is the expensive projection, so run it once per
-    // distinct (doc, token) instead of once per token instance, and
-    // weight the bit votes by the count — algebraically identical
-    // (sum of per-instance +/-1 = +/-count), same simhash out.
-    val toksDf = docs
-      .select(col(idCol), explode(TextStats.tokens(col(textCol))).as("tok"))
-      .groupBy(col(idCol), col("tok"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("h", PortableHash.md5num56(col("tok")))
-    val bitVotes = (0 until 56).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, col("cnt")).otherwise(-col("cnt")))
-        .as(s"v$j")
-    }
-    val voted = toksDf.groupBy(col(idCol)).agg(bitVotes.head, bitVotes.tail: _*)
-    val hash = (0 until 56)
-      .map(j => when(col(s"v$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    voted.select(col(idCol), hash.as("simhash"))
-  }
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    // one-pass native kernel (r16): a doc's SimHash is a function of
+    // its own token multiset, so the old explode -> groupBy(doc, tok)
+    // -> groupBy(doc) pipeline paid two hash-aggregate Exchanges (and
+    // a ~112-expression aggregate tree per rep of Catalyst work) for
+    // a per-row property. Bit-identical by PortableSimHashSpec; the
+    // isNotNull filter keeps the old contract that a doc with zero
+    // tokens has NO simhash row (explode emitted nothing for it).
+    spread(docs, col(idCol))
+      .select(
+        col(idCol),
+        graft.functions.PortableSimHash.of(TextStats.tokens(col(textCol))).as("simhash")
+      )
+      .filter(col("simhash").isNotNull)
 
   /** Hamming distance between two 56-bit SimHashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -614,7 +682,11 @@ object Dedup {
       s"$nBands-band banding guarantees recall only to Hamming ${nBands - 1}"
     )
     requireGeometry(bandIndex, Seq("band", "ex_h"), nBands.toLong, "band")
-    val sims = simHash(incoming, idCol, textCol).localCheckpoint(false)
+    // no materialization: the simhash frame has exactly ONE consumer
+    // here (the banding explode), and since r16 it is a single-pass
+    // kernel projection — a localCheckpoint would be a pure extra
+    // write+read of every signature
+    val sims = simHash(incoming, idCol, textCol)
     val inc = bandRows(sims, idCol, nBands)
       .select(col(idCol).as("in_id"), col("simhash").as("in_h"), col("band"), col("bv"))
     val cand = inc

@@ -434,17 +434,18 @@ object TextMlQueries {
   private val JaccardMaxDf = 50
 
   private def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    // one materialization of the shingle projection for the signature,
-    // candidate and verification paths (see Dedup.minHashNearDups)
-    val sh = Dedup.shingles(TestTables.documentsMl(s, d), "doc_id", "text", 3).localCheckpoint(false)
+    val docs = TestTables.documentsMl(s, d)
     // the REGISTERED form runs fully guarded (df cap + LSH candidate
     // restriction) — the scale path; the exhaustive unguarded join is
-    // kept as the spec-only recall baseline (MlSpec)
-    val sig = Dedup.minHashSignatures(sh, "doc_id", MinHashPerms, Dedup.PortableMd5)
+    // kept as the spec-only recall baseline (MlSpec). Signatures are
+    // the one-pass MinHashSig kernel projection (r16), so the exploded
+    // shingle frame feeds ONLY the verification join (which pins it
+    // itself) — the outer localCheckpoint is gone.
+    val sig = Dedup.minHashSignaturesFused(docs, "doc_id", "text", 3, MinHashPerms)
     val cand = Dedup.lshCandidates(sig, "doc_id", MinHashPerms, MinHashBands)
     Dedup
       .jaccardPairs(
-        sh,
+        Dedup.shingles(docs, "doc_id", "text", 3),
         "doc_id",
         threshold = 0.6,
         candidates = Some(cand),
