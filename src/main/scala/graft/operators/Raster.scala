@@ -130,12 +130,72 @@ object Raster {
     */
   def zonalStats(cellsDf: DataFrame, zones: DataFrame, scale: Int = 4): DataFrame = {
     val m = math.pow(10, scale)
-    cellsDf
-      .join(
-        broadcast(zones),
-        col("x") >= col("x_min") && col("x") < col("x_max") &&
-          col("y") >= col("y_min") && col("y") < col("y_max")
+    val boxPred = col("x") >= col("x_min") && col("x") < col("x_max") &&
+      col("y") >= col("y_min") && col("y") < col("y_max")
+    // Grid-bucket equi-join instead of a pure-theta broadcast join
+    // (r16): the box predicate alone plans as BroadcastNestedLoopJoin,
+    // which evaluates the 4-comparison condition INTERPRETED for every
+    // (cell, zone) pair — n_cells x n_zones evals, the dominant CPU of
+    // the zonal row (~10 task-CPU-seconds at gate SF). Exploding each
+    // zone into the fixed-grid buckets its box intersects and
+    // equi-joining on the cell's bucket turns it into a codegen'd
+    // BroadcastHashJoin probing only zones that overlap the cell's
+    // bucket, with the SAME box predicate kept as the join residual —
+    // pair set provably identical (a passing pair's cell bucket always
+    // intersects the zone box; one bucket row per (zone row, bucket)
+    // means no duplicates). Bucket size is derived from the zone
+    // extents driver-side — zones are a broadcast-small dim BY
+    // CONTRACT (the collect is bounded the same way the broadcast is),
+    // and the doubling loop caps the exploded index at 4096 rows, so a
+    // continent-sized zone costs 4 bucket rows, never grid/B².
+    val ext = zones
+      .select(
+        col("zone_id"),
+        col("x_min").cast("long"),
+        col("x_max").cast("long"),
+        col("y_min").cast("long"),
+        col("y_max").cast("long")
       )
+      .collect()
+    // NULL extents behave like the old theta join: the predicate can
+    // never pass, so such zones contribute nothing either way
+    val nonEmpty =
+      ext.filter(r => !r.anyNull && r.getLong(2) > r.getLong(1) && r.getLong(4) > r.getLong(3))
+    if (nonEmpty.isEmpty)
+      // no zone can match any cell: keep the trivial (empty) plan
+      return cellsDf
+        .join(broadcast(zones), boxPred)
+        .groupBy(col("zone_id"))
+        .agg(
+          count(lit(1)).as("n_cells"),
+          sum(round(col("value") * m).cast("long")).as("sum_scaled"),
+          min(col("value")).as("min_val"),
+          max(col("value")).as("max_val")
+        )
+        .withColumn("mean_val", round(col("sum_scaled") / m / col("n_cells"), scale))
+
+    def fdiv(a: Long, b: Long): Long = Math.floorDiv(a, b)
+    def bucketRows(b: Long): Long =
+      nonEmpty.iterator.map { r =>
+        (fdiv(r.getLong(2) - 1, b) - fdiv(r.getLong(1), b) + 1) *
+          (fdiv(r.getLong(4) - 1, b) - fdiv(r.getLong(3), b) + 1)
+      }.sum
+    var b = nonEmpty.iterator
+      .map(r => math.max(1L, math.min(r.getLong(2) - r.getLong(1), r.getLong(4) - r.getLong(3))))
+      .min
+    while (bucketRows(b) > 4096) b *= 2
+
+    // floor-division bucket on BOTH sides (negative-coordinate safe)
+    def bCol(c: Column): Column = floor(c.cast("long").cast("double") / b).cast("long")
+    val zoneBuckets = zones
+      .filter(col("x_max") > col("x_min") && col("y_max") > col("y_min"))
+      .withColumn("__bx", explode(sequence(bCol(col("x_min")), bCol(col("x_max") - 1))))
+      .withColumn("__by", explode(sequence(bCol(col("y_min")), bCol(col("y_max") - 1))))
+    cellsDf
+      .withColumn("__bx", bCol(col("x")))
+      .withColumn("__by", bCol(col("y")))
+      .join(broadcast(zoneBuckets), Seq("__bx", "__by"))
+      .filter(boxPred)
       .groupBy(col("zone_id"))
       .agg(
         count(lit(1)).as("n_cells"),
