@@ -40,7 +40,12 @@ object KnLm {
     * positions).
     */
   def docBigrams(docs: DataFrame, idCol: String, toksCol: Column): DataFrame =
-    docs
+    // scale-adaptive width for the tokenize+explode projection: the
+    // gate corpus scans as ONE task (single row group), and the bigram
+    // counts' groupBy only re-spreads AFTER the serial explode has
+    // paid the tokenizer cost; a no-op at real scale (Dedup.spread)
+    Dedup
+      .spread(docs, col(idCol))
       .select(col(idCol), toksCol.as("toks"))
       .filter(size(col("toks")) >= 2)
       .select(
