@@ -338,8 +338,13 @@ object Dedup {
     spread(docs, col(idCol))
       .select(
         col(idCol),
-        graft.functions.MinHashSig
-          .of(TextStats.tokens(col(textCol)), shingleN, numPerm)
+        // opt_barrier: stops pushdown duplicating the whole kernel
+        // into a pre-spread Filter, and keeps the k getItem
+        // extractions from ever collapsing onto k kernel copies
+        // (guide §4.4, same as simHash above; plan-asserted in
+        // MinHashSigSpec)
+        graft.functions.OptimizerBarrier
+          .of(graft.functions.MinHashSig.of(TextStats.tokens(col(textCol)), shingleN, numPerm))
           .as("__mh")
       )
       .filter(col("__mh").isNotNull)
@@ -423,7 +428,15 @@ object Dedup {
     spread(docs, col(idCol))
       .select(
         col(idCol),
-        graft.functions.PortableSimHash.of(TextStats.tokens(col(textCol))).as("simhash")
+        // opt_barrier: without it, predicate pushdown substitutes the
+        // alias into the isNotNull filter and the simhash kernel runs
+        // TWICE — once inside a Filter pushed below the spread
+        // Exchange (serially, on the narrow scan) and again in the
+        // projection (guide §4.4: Project-field determinism is the
+        // pushdown guard; plan-asserted in PortableSimHashSpec)
+        graft.functions.OptimizerBarrier
+          .of(graft.functions.PortableSimHash.of(TextStats.tokens(col(textCol))))
+          .as("simhash")
       )
       .filter(col("simhash").isNotNull)
 

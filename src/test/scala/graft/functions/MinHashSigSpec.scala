@@ -60,6 +60,13 @@ class MinHashSigSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("plan: kernel evaluated ONCE — barrier blocks filter-pushdown duplication") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c"), (2L, "")).toDF("doc_id", "text")
+    val plan = newSigs(d, 3).queryExecution.optimizedPlan.toString
+    assert(plan.split("minhash_sig").length - 1 == 1, plan)
+  }
+
   test("real data: sf0.001 documents, n=3, full minHashNearDups pair parity") {
     val d = spark.read.parquet(s"$sf001/documents.parquet").select("doc_id", "text")
     assert(rows(newSigs(d, 3)) == rows(oldSigs(d, 3)))

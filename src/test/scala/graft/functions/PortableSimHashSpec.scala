@@ -63,6 +63,13 @@ class PortableSimHashSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("plan: kernel evaluated ONCE — barrier blocks filter-pushdown duplication") {
+    import spark.implicits._
+    val d = Seq((1L, "a b"), (2L, "")).toDF("doc_id", "text")
+    val plan = graft.ml.Dedup.simHash(d, "doc_id", "text").queryExecution.optimizedPlan.toString
+    assert(plan.split("portable_simhash").length - 1 == 1, plan)
+  }
+
   test("real data: sf0.001 documents") {
     val d = spark.read.parquet(s"$sf001/documents.parquet").select("doc_id", "text")
     assert(rows(graft.ml.Dedup.simHash(d, "doc_id", "text")) == rows(oldSimHash(d)))
