@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver bench-read contract (r16 verdict item 2): the driver parses the
+// LAST stdout line of `sbt "runMain graft.Bench"` as the bench JSON. Two
+// sbt behaviors broke that every round since r10: the trailing
+// "[success] Total time: ..." line landing after the JSON, and the
+// logger's "[info] " prefix on forked output. Suppress the former and
+// pass forked run output through unprefixed so the bench's one-line
+// JSON is genuinely the last raw stdout line.
+Global / showSuccess := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -28,3 +37,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+Global / excludeLintKeys += showSuccess

@@ -186,6 +186,14 @@ object Bench {
   private var calibration: Option[(Double, Double)] = None
   private var calibrationEnd: Option[(Double, Double)] = None
 
+  /** Core count of this run, for the per-run artifact filename: the
+    * driver benches at two core counts, and a single mutable
+    * BENCH_LOCAL.json meant the second run destroyed the first run's
+    * per-query data (r16: the scaling block could never populate).
+    * Every run now ALSO writes BENCH_LOCAL_c<cpus>.json.
+    */
+  private var cpusLabel: Option[String] = None
+
   /** Accumulates executor task metrics across every task that ends
     * while registered. Snapshot deltas around a query's timed reps
     * give per-query totals of CPU time, GC time, shuffle/spill/input
@@ -529,6 +537,14 @@ object Bench {
          |""".stripMargin
     val p = java.nio.file.Paths.get("BENCH_LOCAL.json")
     java.nio.file.Files.write(p, json.getBytes("UTF-8"))
+    // per-core-count copy so a later run at a different width can't
+    // clobber this run's per-query data (r16 verdict item 2)
+    cpusLabel.foreach { c =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"BENCH_LOCAL_c$c.json"),
+        json.getBytes("UTF-8")
+      )
+    }
   }
 
   private def run(): Unit = {
@@ -540,6 +556,7 @@ object Bench {
       "SPARK_GRAFT_CPUS",
       math.min(Runtime.getRuntime.availableProcessors, 32).toString
     )
+    cpusLabel = Some(cpus)
     TempRoots.initJvmScratch()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

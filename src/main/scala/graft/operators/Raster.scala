@@ -31,35 +31,56 @@ object Raster {
     * position i is ALWAYS cell (i % w, i / w) — deterministic
     * regardless of arrival order.
     */
-  def tileGrid(cells: DataFrame, tileW: Int, tileH: Int): DataFrame =
-    cells
+  def tileGrid(cells: DataFrame, tileW: Int, tileH: Int): DataFrame = {
+    val keyed = cells
       .withColumn("tile_x", (col("x") / tileW).cast("int"))
       .withColumn("tile_y", (col("y") / tileH).cast("int"))
       .withColumn(
         "pos",
         (col("y") % tileH) * tileW + (col("x") % tileW)
       )
+    val grouped = keyed
       .groupBy(col("series_id"), col("band"), col("issue_ts"), col("valid_ts"), col("tile_x"), col("tile_y"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("value")))).as("__p"))
-      .withColumn(
-        "values",
-        // Full tiles (all but the edge row/column): the pos-sorted
-        // pairs ARE the dense row-major array — O(n). Partial edge
-        // tiles take the map-padding path; its per-position map lookup
-        // is linear, but only O(edge) tiles pay it.
-        when(
-          size(col("__p")) === tileW * tileH,
-          transform(col("__p"), p => p.getField("value"))
-        ).otherwise(
-          transform(
-            sequence(lit(0), lit(tileW * tileH - 1)),
-            i => element_at(map_from_entries(col("__p")), i)
-          )
+    val valueIsDouble =
+      cells.schema.find(_.name == "value").map(_.dataType).contains(org.apache.spark.sql.types.DoubleType)
+    val packed =
+      if (valueIsDouble)
+        // Fixed-slot positional aggregate (r17, guide §5): one primitive
+        // double buffer per tile instead of collect_list(struct) +
+        // array_sort + the per-position map-padding transform on edge
+        // tiles — identical output (slot = cell value, padding NULL),
+        // see graft.functions.TilePack for the contract proof.
+        grouped.agg(
+          graft.functions.TilePack
+            .of(col("pos").cast("int"), col("value"), tileW * tileH)
+            .as("values")
         )
-      )
+      else
+        // non-double cell values (no current caller): keep the generic
+        // composable form whose element type follows the input
+        grouped
+          .agg(array_sort(collect_list(struct(col("pos"), col("value")))).as("__p"))
+          .withColumn(
+            "values",
+            // Full tiles (all but the edge row/column): the pos-sorted
+            // pairs ARE the dense row-major array — O(n). Partial edge
+            // tiles take the map-padding path; its per-position map lookup
+            // is linear, but only O(edge) tiles pay it.
+            when(
+              size(col("__p")) === tileW * tileH,
+              transform(col("__p"), p => p.getField("value"))
+            ).otherwise(
+              transform(
+                sequence(lit(0), lit(tileW * tileH - 1)),
+                i => element_at(map_from_entries(col("__p")), i)
+              )
+            )
+          )
+          .drop("__p")
+    packed
       .withColumn("tile_w", lit(tileW))
       .withColumn("tile_h", lit(tileH))
-      .drop("__p")
+  }
 
   /** Unpack tiles back to cells. Inverse of [[tileGrid]]:
     * `x = tile_x*tile_w + pos % tile_w`, `y = tile_y*tile_h + pos / tile_w`.
@@ -158,9 +179,14 @@ object Raster {
       )
       .collect()
     // NULL extents behave like the old theta join: the predicate can
-    // never pass, so such zones contribute nothing either way
+    // never pass, so such zones contribute nothing either way. zone_id
+    // nullability is NOT part of this filter — a null-keyed zone with
+    // valid extents still joins and groups under the null key.
     val nonEmpty =
-      ext.filter(r => !r.anyNull && r.getLong(2) > r.getLong(1) && r.getLong(4) > r.getLong(3))
+      ext.filter(r =>
+        !r.isNullAt(1) && !r.isNullAt(2) && !r.isNullAt(3) && !r.isNullAt(4) &&
+          r.getLong(2) > r.getLong(1) && r.getLong(4) > r.getLong(3)
+      )
     if (nonEmpty.isEmpty)
       // no zone can match any cell: keep the trivial (empty) plan
       return cellsDf
@@ -187,15 +213,69 @@ object Raster {
 
     // floor-division bucket on BOTH sides (negative-coordinate safe)
     def bCol(c: Column): Column = floor(c.cast("long").cast("double") / b).cast("long")
-    val zoneBuckets = zones
-      .filter(col("x_max") > col("x_min") && col("y_max") > col("y_min"))
-      .withColumn("__bx", explode(sequence(bCol(col("x_min")), bCol(col("x_max") - 1))))
-      .withColumn("__by", explode(sequence(bCol(col("y_min")), bCol(col("y_max") - 1))))
-    cellsDf
-      .withColumn("__bx", bCol(col("x")))
-      .withColumn("__by", bCol(col("y")))
-      .join(broadcast(zoneBuckets), Seq("__bx", "__by"))
-      .filter(boxPred)
+
+    val integralExtents = Seq("x_min", "x_max", "y_min", "y_max").forall { n =>
+      zones.schema.find(_.name == n).map(_.dataType).exists {
+        case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+            org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
+          true
+        case _ => false
+      }
+    }
+    val joined =
+      if (integralExtents) {
+        // The bucket index is built DRIVER-SIDE from the rows the bucket
+        // sizing already collected (r17): zones is scanned exactly once
+        // per evaluation, the exploded-sequence projection disappears,
+        // and the broadcast side is a LocalTableScan — built in the
+        // driver without a job, so the plan the probe sees is the same
+        // every rep (the r16 form re-derived the bucket side from a
+        // second zones scan + two explodes per call, and the driver's
+        // gate run measured one 62.8 s / ~126 CPU-s outlier rep on it).
+        // With integral extents the long-cast residual predicate below
+        // is value-identical to the original-column box predicate.
+        val bucketRowsLocal = nonEmpty.toSeq.flatMap { r =>
+          val (x0, x1, y0, y1) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+          for {
+            bx <- fdiv(x0, b) to fdiv(x1 - 1, b)
+            by <- fdiv(y0, b) to fdiv(y1 - 1, b)
+          } yield org.apache.spark.sql.Row(bx, by, r.get(0), x0, x1, y0, y1)
+        }
+        val zidType = zones.schema.find(_.name == "zone_id").map(_.dataType).get
+        val bucketSchema = org.apache.spark.sql.types.StructType(
+          Seq(
+            org.apache.spark.sql.types.StructField("__bx", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("__by", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("zone_id", zidType),
+            org.apache.spark.sql.types.StructField("x_min", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("x_max", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("y_min", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("y_max", org.apache.spark.sql.types.LongType)
+          )
+        )
+        import scala.jdk.CollectionConverters._
+        val zoneBuckets =
+          zones.sparkSession.createDataFrame(bucketRowsLocal.asJava, bucketSchema)
+        cellsDf
+          .withColumn("__bx", bCol(col("x")))
+          .withColumn("__by", bCol(col("y")))
+          .join(broadcast(zoneBuckets), Seq("__bx", "__by"))
+          .filter(boxPred)
+      } else {
+        // non-integral extents: the long-cast residual would change the
+        // box predicate (truncation), so keep the exploded-scan form
+        // whose residual runs on the original zone columns
+        val zoneBuckets = zones
+          .filter(col("x_max") > col("x_min") && col("y_max") > col("y_min"))
+          .withColumn("__bx", explode(sequence(bCol(col("x_min")), bCol(col("x_max") - 1))))
+          .withColumn("__by", explode(sequence(bCol(col("y_min")), bCol(col("y_max") - 1))))
+        cellsDf
+          .withColumn("__bx", bCol(col("x")))
+          .withColumn("__by", bCol(col("y")))
+          .join(broadcast(zoneBuckets), Seq("__bx", "__by"))
+          .filter(boxPred)
+      }
+    joined
       .groupBy(col("zone_id"))
       .agg(
         count(lit(1)).as("n_cells"),

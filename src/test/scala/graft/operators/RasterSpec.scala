@@ -42,6 +42,45 @@ class RasterSpec extends SparkSpec {
     assert(tile == expect)
   }
 
+  test("tile_pack aggregate reproduces the replaced collect_list formulation exactly") {
+    import spark.implicits._
+    // edge tiles on both axes (20x12 into 8x5 tiles) + NULL cell values:
+    // every branch of the OLD formulation (full-tile fast path, map-
+    // padding edge path, null-value passthrough) must match slot-for-slot
+    val (tw, th) = (8, 5)
+    val base = Raster
+      .syntheticCells(spark, 20, 12)
+      .withColumn("value", when(col("x") * 3 + col("y") % 7 === 4, lit(null)).otherwise(col("value")))
+      .orderBy(rand(7)) // arrival order must not matter
+    def key = Seq(col("series_id"), col("band"), col("issue_ts"), col("valid_ts"), col("tile_x"), col("tile_y"))
+    val old = base
+      .withColumn("tile_x", (col("x") / tw).cast("int"))
+      .withColumn("tile_y", (col("y") / th).cast("int"))
+      .withColumn("pos", (col("y") % th) * tw + (col("x") % tw))
+      .groupBy(key: _*)
+      .agg(array_sort(collect_list(struct(col("pos"), col("value")))).as("__p"))
+      .withColumn(
+        "values",
+        when(size(col("__p")) === tw * th, transform(col("__p"), p => p.getField("value")))
+          .otherwise(
+            transform(
+              sequence(lit(0), lit(tw * th - 1)),
+              i => element_at(map_from_entries(col("__p")), i)
+            )
+          )
+      )
+      .select(col("tile_x"), col("tile_y"), col("values"))
+    val neu = Raster.tileGrid(base, tw, th).select(col("tile_x"), col("tile_y"), col("values"))
+    val oldRows = old.orderBy("tile_x", "tile_y").collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Any](2)))
+    val neuRows = neu.orderBy("tile_x", "tile_y").collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Any](2)))
+    assert(oldRows.length == neuRows.length && oldRows.length == 9) // 3x3 tile grid incl. partials
+    oldRows.zip(neuRows).foreach { case (o, n) => assert(o == n, s"tile (${o._1},${o._2})") }
+    // non-double values keep the generic path (element type follows input)
+    val intCells = base.withColumn("value", col("x") + col("y"))
+    val it = Raster.tileGrid(intCells, tw, th).schema("values").dataType
+    assert(it == org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType, true))
+  }
+
   test("supersedeForecasts: selective keeps latest issue per tile, reanalysis exempt") {
     import spark.implicits._
     val tiles = Seq(
