@@ -51,7 +51,16 @@ object Dedup {
       val target = df.sparkSession.sparkContext.defaultParallelism
       // physical planning only — no job: these inputs are scans
       val cur = df.queryExecution.toRdd.getNumPartitions
-      if (cur < target) df.repartition(key) else df
+      // EXPLICIT partition count (r17): repartition(key) without a count
+      // is REPARTITION_BY_COL, which AQE's coalescing is allowed to fold
+      // back down — and does, because the raw-docs shuffle is tiny in
+      // bytes (the r16 q_containment regression: the tokenize+shingle
+      // kernel and everything under the localCheckpoint ran at
+      // parallelism ~1, tasks 31 -> 17, run_s ~= wall). With a count the
+      // origin is REPARTITION_BY_NUM, which AQE must preserve. Still a
+      // provable no-op at scale: the branch only fires when the scan has
+      // fewer partitions than cores.
+      if (cur < target) df.repartition(target, key) else df
     }
 
   private def permHash(family: HashFamily, perm: Int, shingle: Column): Column =

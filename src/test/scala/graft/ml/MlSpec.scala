@@ -47,6 +47,20 @@ class MlSpec extends SparkSpec {
     assert(sh == Set("a b c", "b c d", "c d e", "d e a", "e a b"))
   }
 
+  test("Dedup.spread keeps full width under AQE (REPARTITION_BY_NUM, not BY_COL)") {
+    // the r16 q_containment regression: repartition(key) without a count
+    // is coalescible by AQE, which folded the tiny-bytes docs shuffle
+    // back to ~1 partition and serialized the tokenize/shingle kernels
+    // plus everything under the localCheckpoint. The explicit-count form
+    // must survive execution at defaultParallelism.
+    val d = docs((1L to 64L).map(i => (i, s"alpha beta gamma delta epsilon $i")): _*)
+    val n = Dedup.shingles(d, "doc_id", "text", 3).rdd.getNumPartitions
+    assert(
+      n >= spark.sparkContext.defaultParallelism,
+      s"spread collapsed to $n partitions (defaultParallelism ${spark.sparkContext.defaultParallelism})"
+    )
+  }
+
   test("Dedup.jaccardPairs: identical docs J=1, disjoint docs absent") {
     val d = docs(
       (1L, "alpha beta gamma delta epsilon zeta"),
