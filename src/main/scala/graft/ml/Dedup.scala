@@ -45,22 +45,29 @@ object Dedup {
     * round-robin) so a downstream groupBy(idCol) can reuse the
     * partitioning, and no sort-before-repartition cost.
     */
-  private[graft] def spread(df: DataFrame, key: Column): DataFrame =
+  private[graft] def spread(df: DataFrame, key: Column, pin: Boolean = false): DataFrame =
     if (df.isStreaming) df
     else {
       val target = df.sparkSession.sparkContext.defaultParallelism
       // physical planning only — no job: these inputs are scans
       val cur = df.queryExecution.toRdd.getNumPartitions
-      // EXPLICIT partition count (r17): repartition(key) without a count
-      // is REPARTITION_BY_COL, which AQE's coalescing is allowed to fold
-      // back down — and does, because the raw-docs shuffle is tiny in
-      // bytes (the r16 q_containment regression: the tokenize+shingle
-      // kernel and everything under the localCheckpoint ran at
-      // parallelism ~1, tasks 31 -> 17, run_s ~= wall). With a count the
-      // origin is REPARTITION_BY_NUM, which AQE must preserve. Still a
-      // provable no-op at scale: the branch only fires when the scan has
-      // fewer partitions than cores.
-      if (cur < target) df.repartition(target, key) else df
+      // pin=true uses an EXPLICIT partition count (r17): repartition(key)
+      // without a count is REPARTITION_BY_COL, which AQE's coalescing is
+      // allowed to fold back down — and does, because the raw-docs
+      // shuffle is tiny in BYTES (the r16 q_containment regression: the
+      // tokenize+shingle kernel and everything under jaccardPairs'
+      // localCheckpoint ran at parallelism ~1, run_s ~= wall). With a
+      // count the origin is REPARTITION_BY_NUM, which AQE must preserve.
+      // pin=false keeps the coalescible form — right for the cheap
+      // one-pass kernel projections (simhash/minhash signatures), where
+      // forcing full width on a tiny corpus measurably HURT wall
+      // (q_simhash_screen 0.59 -> 1.73 s when pinned: dozens of
+      // near-empty tasks per downstream stage, each with fixed cost).
+      // Both forms are a provable no-op at scale: the branch only fires
+      // when the scan has fewer partitions than cores.
+      if (cur < target) {
+        if (pin) df.repartition(target, key) else df.repartition(key)
+      } else df
     }
 
   private def permHash(family: HashFamily, perm: Int, shingle: Column): Column =
@@ -82,7 +89,12 @@ object Dedup {
     * with duplicate ids the old form also deduped across copies.
     */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    spread(docs, col(idCol)).select(
+    // pinned: everything downstream (the df cap, the a×b inverted-index
+    // join, the sizes aggregate — all under jaccardPairs'/
+    // containmentPairs' localCheckpoint) inherits this width, and the
+    // serial collapse of exactly that chain was the r16 q_containment
+    // regression
+    spread(docs, col(idCol), pin = true).select(
       col(idCol),
       explode(
         graft.functions.DistinctShingles.of(TextStats.tokens(col(textCol)), lit(n))
